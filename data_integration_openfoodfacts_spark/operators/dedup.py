@@ -1,0 +1,47 @@
+"""Deduplication operators.
+
+``dedup_keep_latest`` is the reference's canonical dedup (W1,
+pipeline_etl.ipynb:425-429): one shuffle on the key, per-partition sort,
+``row_number() == 1``. The reference ALSO runs a broken
+``orderBy().dropDuplicates()`` pass first (O1, :325-328) whose keep-first
+semantics Spark does not guarantee — we implement only the correct form.
+
+Scale posture: the window shuffle hash-partitions by key, so it scales
+linearly with data and executors; a skewed key (one product updated
+millions of times) is handled by AQE skew-join/skew-agg splitting. No
+global sort, no driver collect.
+
+Near-duplicate detection (MinHash/SimHash/Jaccard) lives in
+``operators.similarity_dedup``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_keep_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """Keep exactly one row per key: the first under ``order_by``.
+
+    Callers MUST make ``order_by`` a total order (add a unique tiebreaker
+    column) or goldens flap — the reference lacks a tiebreaker
+    (SURVEY.md §7 "Keep-latest dedup semantics").
+    """
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order_by)
+    rn = F.row_number().over(w)
+    return df.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def dedup_exact(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Exact dedup on a key subset (reference O2,
+    pipeline_etl.ipynb:520) — hash aggregate, arbitrary survivor.
+    Use ``dedup_keep_latest`` when the survivor must be deterministic.
+    """
+    return df.dropDuplicates(list(keys))

@@ -1,0 +1,15 @@
+"""Central query/oracle registry consumed by ``__spark_entry__``.
+
+Every implemented operator from SURVEY.md §2 (and the LLM-pipeline
+extensions) has a named query here; keys present in ``QUERIES`` but not
+``ORACLES`` get the driver's weaker rows-only check (reserved for
+genuinely non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+from .analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES
+from .etl_queries import ETL_ORACLES, ETL_QUERIES
+
+QUERIES = {**ANALYTICS_QUERIES, **ETL_QUERIES}
+ORACLES = {**ANALYTICS_ORACLES, **ETL_ORACLES}
