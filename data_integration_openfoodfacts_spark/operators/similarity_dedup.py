@@ -1,0 +1,176 @@
+"""Near-duplicate detection: n-gram Jaccard, MinHash+LSH, SimHash.
+
+Beyond the reference's exact keep-latest dedup (SURVEY.md W1), these are
+the scale-path operators a training-data pipeline needs. All hashing is
+md5-derived so signatures are engine-portable and fully deterministic
+(no seed state, no JVM-specific murmur).
+
+Scale design:
+- shingling/minhashing is embarrassingly parallel (narrow per-row
+  transforms, no shuffle);
+- LSH bucketing shuffles once on (band, signature) — the whole point of
+  LSH is that THIS join replaces the quadratic all-pairs join, so 100 TB
+  of documents only ever meets in tiny per-bucket groups;
+- candidate pairs are verified with exact Jaccard only within buckets;
+- degenerate buckets (one giant signature, e.g. empty docs) are the
+  skew risk — AQE skew handling plus an optional bucket-size cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def md5_long(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative long — portable across
+    engines (DuckDB: CAST(concat('0x', substring(md5(x),1,15)) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct n-word shingles per document: (id, shingle)."""
+    toks = _tokens(text_col)
+    shingle_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingle_arr)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard >= threshold.
+
+    Pairs are generated only for documents sharing >=1 shingle (join on
+    shingle), so cost is sum over shingles of group-size², not N² — the
+    exact-but-still-subquadratic baseline that MinHash approximates.
+    Columns: id_a, id_b (id_a < id_b), common, size_a, size_b, jaccard.
+    """
+    sh = word_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("size_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("size_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
+    )
+    return out
+
+
+def minhash_band_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """(id, band, sig): per-band concatenated min-hash signature.
+
+    hash_j(s) = md5_long(j || ':' || s); signature_j = min over shingles.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    js = F.explode(F.array(*[F.lit(j) for j in range(num_hashes)])).alias("j")
+    hashed = sh.select(F.col(id_col), "shingle", js).withColumn(
+        "h",
+        md5_long(
+            F.concat(F.col("j").cast("string"), F.lit(":"), F.col("shingle"))
+        ),
+    )
+    sig = hashed.groupBy(id_col, "j").agg(F.min("h").alias("minh"))
+    banded = sig.withColumn("band", (F.col("j") / band_size).cast("long"))
+    return banded.groupBy(id_col, "band").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "minh"))),
+                lambda s: s["minh"].cast("string"),
+            ),
+        ).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: documents agreeing on any full
+    band of min-hashes. One shuffle on (band, sig); pairs form only
+    inside buckets. Columns: id_a, id_b, nb_bands (distinct agreeing bands).
+    """
+    bands = minhash_band_signatures(
+        df, id_col, text_col, n, num_hashes, band_size
+    )
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("band").cast("long").alias("nb_bands"))
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """Per-document SimHash fingerprint over distinct tokens.
+
+    Each token votes ±1 on each bit of its md5-derived hash; bit is set
+    iff the vote sum is > 0 (ties -> 0, deterministic). 16 bits keeps the
+    oracle SQL tractable; the operator itself accepts up to 60.
+    Columns: (id, simhash long).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(_tokens(text_col))).alias("tok")
+    ).distinct()
+    hashed = toks.withColumn(
+        "h", md5_long(F.col("tok")) % (2 ** bits)
+    )
+    bit = F.explode(F.array(*[F.lit(b) for b in range(bits)])).alias("bit")
+    votes = hashed.select(F.col(id_col), "h", bit).withColumn(
+        "vote", F.expr("(h >> bit) & 1") * 2 - 1
+    )
+    bitsum = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("s"))
+    return bitsum.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1, bit)")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("simhash")
+    )

@@ -1,0 +1,333 @@
+"""LLM-training-data pipeline queries (BASELINE.json north star; Phase E
+in SURVEY.md §7): dedup family, similarity search, text analysis — each
+verifiable against a DuckDB oracle on the synthetic documents/embeddings
+tables.
+
+Portability invariants used throughout (see module docstrings in
+operators/similarity_dedup.py, operators/similarity.py,
+functions/text_analysis.py):
+- hashes are md5-derived (engine-neutral), never murmur/xxhash;
+- floating sums fold left-to-right (Spark ``aggregate`` == DuckDB
+  ``list_reduce`` with a prepended zero);
+- ratios are single IEEE divisions of exact integers or identical
+  doubles; thresholds compare bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text_analysis import (
+    bpe_ish_token_count,
+    language_id,
+    punct_ratio,
+    quality_score,
+    rolling_fingerprint,
+    stopword_ratio,
+    whitespace_token_count,
+)
+from ..operators.similarity import cosine_topk, ivf_topk
+from ..operators.similarity_dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..sources.parquet_source import load_table
+
+# Shared oracle CTEs for word shingles (3-grams) over documents.
+_SHINGLE_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) u
+  WHERE len(t) >= 3
+)
+"""
+
+
+def q18_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-duplicate pairs (threshold 0.2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+Q18_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, common, sa.sz AS size_a, sb.sz AS size_b,
+       CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.2
+"""
+
+
+def q19_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: 8 md5-derived min-hashes, 4 bands of
+    2 — documents agreeing on any full band."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=8, band_size=2
+    )
+
+
+Q19_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+hashes AS (
+  SELECT doc_id, j,
+         MIN(CAST(concat('0x', substring(md5(CAST(j AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT)) AS minh
+  FROM sh, LATERAL (SELECT UNNEST(range(0, 8)) AS j) v
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // 2 AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY j) AS sig
+  FROM hashes GROUP BY doc_id, j // 2
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(DISTINCT a.band) AS nb_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q20_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=16)
+
+
+Q20_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, u.t AS tok
+  FROM documents, LATERAL (SELECT UNNEST(string_split(text, ' ')) AS t) u
+),
+h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) % 65536 AS h16
+  FROM tok
+),
+votes AS (
+  SELECT doc_id, b, SUM(((h16 >> b) & 1) * 2 - 1) AS s
+  FROM h, LATERAL (SELECT UNNEST(range(0, 16)) AS b) v
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def q21_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), punctuation and
+    stopword ratios, composite quality score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_seen"),
+        whitespace_token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text").alias("stopword_ratio"),
+        quality_score("text").alias("quality_score"),
+    )
+
+
+Q21_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS BIGINT) AS n_chars_seen,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
+  FROM documents
+),
+t2 AS (
+  SELECT doc_id, n_chars_seen,
+         CAST(len(toks) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+         punct_ratio,
+         CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], lower(x)))) AS DOUBLE) / len(toks) AS stopword_ratio
+  FROM t
+)
+SELECT doc_id, n_chars_seen, ws_tokens, bpe_tokens, punct_ratio, stopword_ratio,
+       CAST(n_chars_seen >= 100 AS BIGINT)
+       + CAST(punct_ratio <= 0.1 AS BIGINT)
+       + CAST(stopword_ratio <= 0.5 AS BIGINT) AS quality_score
+FROM t2
+"""
+
+
+def q22_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language heuristic vs the declared label."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", language_id("text").alias("lang_pred")
+    )
+
+
+Q22_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, x -> list_contains(['query','table','scan','join'], lower(x)))) AS s_query,
+         len(list_filter(toks, x -> list_contains(['stream','window','batch','watermark'], lower(x)))) AS s_stream,
+         len(list_filter(toks, x -> list_contains(['vector','merge','hash','sort'], lower(x)))) AS s_vector
+  FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN s_query >= s_stream AND s_query >= s_vector THEN 'querylang'
+            WHEN s_stream >= s_vector THEN 'streamlang'
+            ELSE 'vectorlang' END AS lang_pred
+FROM s
+"""
+
+
+def q23_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprint (mod 1e9+7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint("text").alias("fingerprint")
+    )
+
+
+Q23_ORACLE = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+FROM documents
+"""
+
+_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT.format(a=a, b=b)
+
+
+def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 neighbours of vec_id 0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, query_vec_id=0, k=10)
+
+
+Q24_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       {_dot_sql('e.embedding', 'q.qv')}
+       / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+          * sqrt({_dot_sql('q.qv', 'q.qv')})) AS cosine
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+def q25_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned approximate top-10: centroids = vectors 0..7, search
+    only the query's best cluster (nprobe=1)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return ivf_topk(emb, centroids, query_vec_id=0, k=10, nprobe=1)
+
+
+Q25_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_dot_sql('e.embedding', 'c.cv')}
+         / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+            * sqrt({_dot_sql('c.cv', 'c.cv')})) AS cs
+  FROM embeddings e, cents c
+),
+best AS (
+  SELECT vec_id, centroid_id FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id ASC) = 1
+),
+qc AS (
+  SELECT centroid_id FROM scored WHERE vec_id = 0
+  QUALIFY ROW_NUMBER() OVER (ORDER BY cs DESC, centroid_id ASC) = 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       {_dot_sql('e.embedding', 'q.qv')}
+       / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+          * sqrt({_dot_sql('q.qv', 'q.qv')})) AS cosine
+FROM embeddings e
+JOIN best b ON b.vec_id = e.vec_id
+JOIN qc ON qc.centroid_id = b.centroid_id, q
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+def q26_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.35) via
+    self-join. Exact all-pairs baseline; the LSH/IVF bucketed variants
+    above are the scale path."""
+    from ..functions.vectors import cosine_similarity_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", cosine_similarity_expr("va", "vb").alias("cosine")
+    ).filter(F.col("cosine") >= 0.35)
+
+
+Q26_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_dot_sql('a.embedding', 'b.embedding')}
+       / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+          * sqrt({_dot_sql('b.embedding', 'b.embedding')})) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_dot_sql('a.embedding', 'b.embedding')}
+      / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+         * sqrt({_dot_sql('b.embedding', 'b.embedding')})) >= 0.35
+"""
+
+LLM_QUERIES = {
+    "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
+    "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
+    "q20_simhash": q20_simhash,
+    "q21_text_stats": q21_text_stats,
+    "q22_language_id": q22_language_id,
+    "q23_fingerprints": q23_fingerprints,
+    "q24_cosine_topk": q24_cosine_topk,
+    "q25_ivf_topk": q25_ivf_topk,
+    "q26_embedding_neardup_pairs": q26_embedding_neardup_pairs,
+}
+
+LLM_ORACLES = {
+    "q18_ngram_jaccard_pairs": Q18_ORACLE,
+    "q19_minhash_lsh_pairs": Q19_ORACLE,
+    "q20_simhash": Q20_ORACLE,
+    "q21_text_stats": Q21_ORACLE,
+    "q22_language_id": Q22_ORACLE,
+    "q23_fingerprints": Q23_ORACLE,
+    "q24_cosine_topk": Q24_ORACLE,
+    "q25_ivf_topk": Q25_ORACLE,
+    "q26_embedding_neardup_pairs": Q26_ORACLE,
+}

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from .analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES
 from .etl_queries import ETL_ORACLES, ETL_QUERIES
+from .llm_queries import LLM_ORACLES, LLM_QUERIES
 
-QUERIES = {**ANALYTICS_QUERIES, **ETL_QUERIES}
-ORACLES = {**ANALYTICS_ORACLES, **ETL_ORACLES}
+QUERIES = {**ANALYTICS_QUERIES, **ETL_QUERIES, **LLM_QUERIES}
+ORACLES = {**ANALYTICS_ORACLES, **ETL_ORACLES, **LLM_ORACLES}
