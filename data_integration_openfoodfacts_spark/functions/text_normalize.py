@@ -14,28 +14,36 @@ out of hot paths that don't need accent folding.
 
 from __future__ import annotations
 
-import unicodedata
-
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 
-def _fold(s: str | None) -> str | None:
-    if s is None:
-        return None
-    return (
-        unicodedata.normalize("NFD", unicodedata.normalize("NFKC", s))
-        .encode("ascii", "ignore")
-        .decode("ascii")
-    )
+def _make_ascii_fold():
+    """Build the pandas UDF from a *nested* function: cloudpickle
+    serializes nested functions by value, so Spark's Python workers do
+    not need this package importable on their own sys.path (the driver
+    harness may launch from any cwd)."""
+
+    def fold_series(batch):
+        import unicodedata
+
+        def fold(s):
+            if s is None:
+                return None
+            return (
+                unicodedata.normalize("NFD", unicodedata.normalize("NFKC", s))
+                .encode("ascii", "ignore")
+                .decode("ascii")
+            )
+
+        return batch.map(fold)
+
+    return pandas_udf(fold_series, StringType())
 
 
-@pandas_udf(StringType())
-def ascii_fold(batch: pd.Series) -> pd.Series:
-    return batch.map(_fold)
+ascii_fold = _make_ascii_fold()
 
 
 def normalized_text_chain(col: Column | str, max_len: int | None = None) -> Column:

@@ -1,0 +1,333 @@
+"""The medallion pipeline: Bronze -> Silver -> Gold, Spark-first.
+
+Re-expresses the reference notebook (pipeline_etl.ipynb, stages mapped
+in SURVEY.md §3.1) with the architectural fixes §4 calls for:
+
+- one wide ``select`` per stage instead of ~15 chained ``withColumn``
+  cells (keeps Catalyst analysis cheap and codegen spans wide);
+- accent folding via an Arrow-batched pandas UDF, not a row-at-a-time
+  Python UDF (pipeline_etl.ipynb:205-210 — its biggest perf sink);
+- Silver is cached before the Gold fan-out: the reference recomputes
+  the full CSV->Silver chain for every one of ~9 downstream actions
+  (SURVEY.md §4 "Caching / reuse");
+- surrogate keys minted in-engine (row_number over natural keys) —
+  no MySQL AUTO_INCREMENT write->read-back round-trip
+  (pipeline_etl.ipynb:570-571,644);
+- sinks are Parquet tables (``saveAsTable``), not JDBC;
+- the broken orderBy+dropDuplicates pass (pipeline_etl.ipynb:325-328)
+  is intentionally NOT reproduced — keep-latest dedup happens once,
+  correctly, with a deterministic tiebreaker (W1, :425-429).
+
+Scale posture: the only wide operations are the keep-latest window
+(hash shuffle on ``code``) and the dim distinct/aggregations; dims are
+orders of magnitude smaller than the product table, so all Gold lookup
+joins broadcast. The fact table write can be partitioned by
+``year(last_modified_date)`` for partition pruning at 100 TB.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text_normalize import ascii_fold
+from ..operators.cleaning import (
+    clean_text_chain,
+    extract_category_head,
+    impute_with_default,
+    valid_expr,
+)
+from ..operators.dedup import dedup_keep_latest
+from ..operators.keys import add_surrogate_key
+from ..operators.validation import NUTRIENT_BOUNDS, bounded_expr
+from ..schemas import NUTRIENT_COLUMNS, SILVER_INPUT_COLUMNS
+
+# Imputation config — defaults (including misspellings) kept verbatim
+# from pipeline_etl.ipynb:268-302 for output parity.
+IMPUTATION = {
+    "categories_en": ("categories", "non classe"),
+    "brands": (None, "marque inconnue"),
+    "countries_en": (None, "pays inconue"),
+    "nutriscore_grade": (None, "non classe"),
+}
+
+# Cols excluded from the aggressive clean (pipeline_etl.ipynb:251-257):
+# they keep accents folded + lower/trim only, since hyphens and commas
+# are semantically meaningful (category paths, country lists).
+LIGHT_CLEAN_COLUMNS = {"countries_en", "main_category", "categories_en"}
+
+
+def build_silver(bronze: DataFrame) -> DataFrame:
+    """Bronze (all-string, schema-on-read) -> cleansed, typed Silver."""
+    # P1/P2: defensive projection + hyphen rename (ipynb:160-181). The
+    # existence check is the reference's schema-drift tolerance; columns
+    # absent from this Bronze drop are carried as NULL so the Silver
+    # schema stays fixed regardless of source drift.
+    wanted = list(SILVER_INPUT_COLUMNS)
+    if "categories" in bronze.columns:  # imputation fallback source
+        wanted.append("categories")
+    df = bronze.select(
+        *[
+            (
+                F.col(c) if c in bronze.columns else F.lit(None).cast("string")
+            ).alias(c.replace("-", "_"))
+            for c in wanted
+        ]
+    )
+
+    # F1-F3: text cleaning — one select, all string columns at once.
+    string_cols = [
+        "code",
+        "product_name",
+        "brands",
+        "main_category",
+        "categories_en",
+        "countries_en",
+        "nutriscore_grade",
+        "categories",
+    ]
+    cleaned = []
+    for f in df.schema.fields:
+        if f.name not in string_cols:
+            cleaned.append(F.col(f.name))
+        elif f.name in LIGHT_CLEAN_COLUMNS or f.name == "categories":
+            cleaned.append(ascii_fold(F.lower(F.trim(F.col(f.name)))).alias(f.name))
+        else:
+            cleaned.append(
+                clean_text_chain(ascii_fold(F.col(f.name)), max_len=255).alias(f.name)
+            )
+    df = df.select(*cleaned)
+
+    # P5/P6: invalid-token NULLing + defaults (ipynb:268-302).
+    imputed = []
+    for f in df.schema.fields:
+        if f.name in IMPUTATION:
+            fallback, default = IMPUTATION[f.name]
+            fb = F.col(fallback) if fallback and fallback in df.columns else None
+            imputed.append(
+                impute_with_default(f.name, default=default, fallback=fb).alias(f.name)
+            )
+        elif f.name == "categories":
+            continue  # fallback source dropped after use (ipynb:302)
+        else:
+            imputed.append(F.col(f.name))
+    df = df.select(*imputed)
+
+    # F4: category head + language-prefix strip; F6/AR1: countries ->
+    # real array (kept as array — SURVEY.md AR2 round-trip dropped).
+    df = df.withColumn(
+        "main_category", extract_category_head("main_category")
+    ).withColumn("countries_en", F.split("countries_en", ",\\s*"))
+
+    # P4 + M1-M3: numeric casts, bounds, sodium/salt + kcal->kJ, rounding
+    # (ipynb:348-391) — a single select.
+    bounded = {
+        c: bounded_expr(F.col(c).cast("double"), *NUTRIENT_BOUNDS[c])
+        for c in NUTRIENT_COLUMNS
+    }
+    salt = F.coalesce(bounded["salt_100g"], bounded["sodium_100g"] * 2.5)
+    sodium = F.coalesce(bounded["sodium_100g"], bounded["salt_100g"] / 2.5)
+    keep = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in NUTRIENT_COLUMNS and f.name != "completeness"
+    ]
+    df = df.select(
+        *keep,
+        F.round(bounded["energy_kcal_100g"], 1).alias("energy_kcal_100g"),
+        F.round(bounded["energy_kcal_100g"] * 4.184, 1).alias("energy_kj_100g"),
+        F.round(bounded["fat_100g"], 1).alias("fat_100g"),
+        F.round(bounded["saturated_fat_100g"], 1).alias("saturated_fat_100g"),
+        F.round(bounded["sugars_100g"], 1).alias("sugars_100g"),
+        F.round(salt, 1).alias("salt_100g"),
+        F.round(sodium, 1).alias("sodium_100g"),
+        F.round(bounded["proteins_100g"], 1).alias("proteins_100g"),
+        F.round(bounded["fiber_100g"], 1).alias("fiber_100g"),
+        F.round(
+            bounded_expr(F.col("completeness").cast("double"), 0.0, 1.0), 1
+        ).alias("completeness"),
+    )
+
+    # P3: key filter (ipynb:432-436).
+    df = df.filter(
+        F.col("code").isNotNull()
+        & (F.col("code") != "")
+        & (F.col("code") != "null")
+    )
+
+    # D1/D2: typed time derivations (ipynb:406-412).
+    df = (
+        df.withColumn("last_modified_t", F.col("last_modified_t").cast("long"))
+        .withColumn(
+            "last_modified_ts",
+            F.to_timestamp(F.col("last_modified_t").cast("double")),
+        )
+        .withColumn("last_modified_date", F.to_date("last_modified_ts"))
+    )
+
+    # W1: keep-latest dedup with deterministic tiebreak (ipynb:425-429;
+    # tiebreaker added per SURVEY.md §7).
+    return dedup_keep_latest(
+        df,
+        keys=["code"],
+        order_by=[F.col("last_modified_t").desc_nulls_last(), F.col("product_name")],
+    )
+
+
+def build_gold(silver: DataFrame) -> dict[str, DataFrame]:
+    """Silver -> star schema. Returns {table_name: DataFrame}."""
+    # dim_time: degenerate SK == last_modified_t (data_dictionary.md:263-267).
+    dim_time = (
+        silver.select("last_modified_t")
+        .distinct()
+        .select(
+            F.col("last_modified_t").alias("time_sk"),
+            F.from_unixtime("last_modified_t").cast("date").alias("date"),
+        )
+        .select(
+            "time_sk",
+            "date",
+            F.year("date").cast("long").alias("year"),
+            F.month("date").cast("long").alias("month"),
+            F.dayofmonth("date").cast("long").alias("day"),
+            F.weekofyear("date").cast("long").alias("week"),
+            F.weekofyear("date").cast("long").alias("iso_week"),
+        )
+    )
+
+    dim_brand = add_surrogate_key(
+        silver.select(F.substring("brands", 1, 500).alias("brand_name"))
+        .filter(F.col("brand_name").isNotNull() & (F.col("brand_name") != ""))
+        .distinct(),
+        "brand_sk",
+        ["brand_name"],
+    )
+
+    dim_category = add_surrogate_key(
+        silver.select(
+            F.substring("main_category", 1, 500).alias("category_name"),
+            F.substring("categories_en", 1, 500).alias("parent_category_name"),
+        )
+        .filter(F.col("category_name").isNotNull() & (F.col("category_name") != ""))
+        .dropDuplicates(["category_name"]),
+        "category_sk",
+        ["category_name"],
+    )
+
+    dim_country = add_surrogate_key(
+        silver.select(F.explode("countries_en").alias("country_name"))
+        .filter(F.col("country_name").isNotNull() & (F.col("country_name") != ""))
+        .distinct(),
+        "country_sk",
+        ["country_name"],
+    )
+
+    # dim_product: lookup joins J1/J2 — dims are small, broadcast them.
+    dim_product = add_surrogate_key(
+        silver.join(
+            F.broadcast(dim_brand),
+            silver["brands"] == dim_brand["brand_name"],
+            "left",
+        )
+        .join(
+            F.broadcast(dim_category),
+            silver["main_category"] == dim_category["category_name"],
+            "left",
+        )
+        .select(
+            "code",
+            "product_name",
+            "brand_sk",
+            F.col("category_sk").alias("primary_category_sk"),
+            F.col("countries_en").alias("countries_multi_name"),
+        ),
+        "product_sk",
+        ["code"],
+    )
+
+    # fact: J3 inner join on code + snapshot measures.
+    fact = silver.join(
+        F.broadcast(dim_product.select("product_sk", "code")), "code", "inner"
+    ).select(
+        "product_sk",
+        F.col("last_modified_t").alias("time_sk"),
+        *NUTRIENT_COLUMNS,
+        "nutriscore_grade",
+        F.col("completeness").alias("completeness_score"),
+    )
+
+    return {
+        "dim_time": dim_time,
+        "dim_brand": dim_brand,
+        "dim_category": dim_category,
+        "dim_country": dim_country,
+        "dim_product": dim_product,
+        "fact_nutrition_snapshot": fact,
+    }
+
+
+@dataclass
+class PipelineResult:
+    metrics: dict = field(default_factory=dict)
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    bronze: DataFrame,
+    database: str | None = None,
+) -> PipelineResult:
+    """Full Bronze->Gold run. If ``database`` is given, persists Silver +
+    Gold as Parquet tables ``<database>_silver.products`` /
+    ``<database>_gold.<dim|fact>``; otherwise keeps them as cached
+    DataFrames (test mode).
+
+    Metrics parity with pipeline_etl.ipynb:708-717, computed in ONE
+    aggregation pass over the fact instead of 5 separate actions.
+    """
+    t0 = time.time()
+    rows_in = bronze.count()
+
+    silver = build_silver(bronze).cache()
+    rows_out = silver.count()
+
+    gold = build_gold(silver)
+
+    if database:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}_silver")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}_gold")
+        silver.write.mode("overwrite").format("parquet").saveAsTable(
+            f"{database}_silver.products"
+        )
+        for name, df in gold.items():
+            df.write.mode("overwrite").format("parquet").saveAsTable(
+                f"{database}_gold.{name}"
+            )
+        gold = {
+            name: spark.table(f"{database}_gold.{name}") for name in gold
+        }
+
+    fact = gold["fact_nutrition_snapshot"]
+    m = fact.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("completeness_score").alias("avg_completeness"),
+        (
+            F.count(F.col("nutriscore_grade")) / F.count(F.lit(1))
+        ).alias("pct_nutriscore"),
+        F.sum((F.col("sugars_100g") > 100).cast("long")).alias("sugar_anomalies"),
+    ).first()
+
+    metrics = {
+        "rows_in": rows_in,
+        "rows_out": rows_out,
+        "rows_rejected": rows_in - rows_out,
+        "avg_completeness": m["avg_completeness"],
+        "pct_nutriscore": m["pct_nutriscore"],
+        "sugar_anomalies": m["sugar_anomalies"] or 0,
+        "duration_sec": round(time.time() - t0, 2),
+    }
+    tables = {"silver_products": silver, **gold}
+    return PipelineResult(metrics=metrics, tables=tables)
