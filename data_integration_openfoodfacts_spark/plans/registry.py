@@ -11,6 +11,20 @@ from __future__ import annotations
 from .analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES
 from .etl_queries import ETL_ORACLES, ETL_QUERIES
 from .llm_queries import LLM_ORACLES, LLM_QUERIES
+from .multimodal_queries import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
+from .streaming_queries import STREAMING_ORACLES, STREAMING_QUERIES
 
-QUERIES = {**ANALYTICS_QUERIES, **ETL_QUERIES, **LLM_QUERIES}
-ORACLES = {**ANALYTICS_ORACLES, **ETL_ORACLES, **LLM_ORACLES}
+QUERIES = {
+    **ANALYTICS_QUERIES,
+    **ETL_QUERIES,
+    **LLM_QUERIES,
+    **STREAMING_QUERIES,
+    **MULTIMODAL_QUERIES,
+}
+ORACLES = {
+    **ANALYTICS_ORACLES,
+    **ETL_ORACLES,
+    **LLM_ORACLES,
+    **STREAMING_ORACLES,
+    **MULTIMODAL_ORACLES,
+}

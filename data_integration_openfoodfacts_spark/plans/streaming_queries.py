@@ -1,0 +1,79 @@
+"""Batch twins of the streaming aggregations (streaming/events_stream.py).
+
+The window/session aggregations are batch/stream agnostic, so the
+correctness gate runs them as batch queries against DuckDB oracles
+(``time_bucket`` for tumbling windows, lag+cumsum for sessions); the
+streaming tests in tests/test_streaming.py run the same functions as
+real streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet_source import load_events
+from ..streaming.events_stream import sessionized_events, windowed_event_stats
+
+
+def q27_windowed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event stats (streaming operator, batch twin)."""
+    return windowed_event_stats(load_events(spark, sf_dir), window="1 hour")
+
+
+Q27_ORACLE = """
+SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS window_start,
+       event_type,
+       COUNT(*) AS nb_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q28_sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (30 min), batch twin of the
+    streaming ``session_window`` operator."""
+    out = sessionized_events(load_events(spark, sf_dir), gap="30 minutes")
+    return out.select(
+        "session_start", "user_id", "nb_events", "first_event_id", "last_event_id"
+    )
+
+
+# Sessionization in plain SQL: a session break is a gap >= 30 min from
+# the previous event of the same user; session id = running count of
+# breaks; session_start = min(ts) in the session. Boundary semantics
+# match Spark's session_window half-open [start, start+gap) interval.
+Q28_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '30 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT CAST(MIN(ts) AS VARCHAR) AS session_start,
+       user_id,
+       COUNT(*) AS nb_events,
+       MIN(event_id) AS first_event_id,
+       MAX(event_id) AS last_event_id
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+STREAMING_QUERIES = {
+    "q27_windowed_event_stats": q27_windowed_event_stats,
+    "q28_sessionized_events": q28_sessionized_events,
+}
+
+STREAMING_ORACLES = {
+    "q27_windowed_event_stats": Q27_ORACLE,
+    "q28_sessionized_events": Q28_ORACLE,
+}

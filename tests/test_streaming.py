@@ -1,0 +1,111 @@
+"""Structured Streaming tests: run the window/session/upsert operators
+as REAL streams (file source, availableNow trigger) and check they agree
+with their batch twins."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_openfoodfacts_spark.sources.parquet_source import load_events
+from data_integration_openfoodfacts_spark.streaming.events_stream import (
+    read_events_stream,
+    run_events_upsert_stream,
+    sessionized_events,
+    windowed_event_stats,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """A streaming source dir: events split into two parquet 'drops'
+    with micro-truncated timestamps (what load_events produces)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_events(spark, SF_DIR).drop("ts_ns")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(d, "drop=0")
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(d, "drop=1")
+    )
+    # flatten: file source wants plain files in one dir
+    flat = str(tmp_path_factory.mktemp("events_flat"))
+    i = 0
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(root, f), os.path.join(flat, f"part{i}.parquet"))
+                i += 1
+    return flat
+
+
+def _run_to_memory(spark, stream_df, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_windowed_stats_stream_matches_batch(spark, stream_dir):
+    stream = read_events_stream(spark, stream_dir)
+    got = _run_to_memory(
+        spark, windowed_event_stats(stream), "win_stats", "complete"
+    ).collect()
+    want = windowed_event_stats(
+        spark.read.schema(
+            read_events_stream(spark, stream_dir).schema
+        ).parquet(stream_dir)
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+
+
+def test_sessionized_stream_matches_batch(spark, stream_dir):
+    stream = read_events_stream(spark, stream_dir)
+    got = _run_to_memory(
+        spark, sessionized_events(stream), "sessions", "complete"
+    ).collect()
+    want = sessionized_events(
+        spark.read.schema(
+            read_events_stream(spark, stream_dir).schema
+        ).parquet(stream_dir)
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+
+
+def test_upsert_stream_keeps_latest_per_user(spark, stream_dir, tmp_path):
+    target = str(tmp_path / "latest_events")
+    ckpt = str(tmp_path / "ckpt")
+    run_events_upsert_stream(spark, stream_dir, target, ckpt)
+    out = spark.read.parquet(target)
+    # one row per user
+    assert out.groupBy("user_id").count().filter("count > 1").count() == 0
+    # and it is the max-ts event for a sampled user
+    batch = spark.read.schema(
+        read_events_stream(spark, stream_dir).schema
+    ).parquet(stream_dir)
+    u = batch.select("user_id").first()["user_id"]
+    want_ts = batch.filter(F.col("user_id") == u).agg(F.max("ts")).first()[0]
+    got_ts = out.filter(F.col("user_id") == u).first()["ts"]
+    assert got_ts == want_ts
+
+
+def test_incremental_second_run_processes_nothing_new(spark, stream_dir, tmp_path):
+    target = str(tmp_path / "t2")
+    ckpt = str(tmp_path / "c2")
+    run_events_upsert_stream(spark, stream_dir, target, ckpt)
+    n1 = spark.read.parquet(target).count()
+    # second run with same checkpoint: no new files -> target unchanged
+    run_events_upsert_stream(spark, stream_dir, target, ckpt)
+    assert spark.read.parquet(target).count() == n1
