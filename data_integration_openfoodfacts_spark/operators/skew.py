@@ -1,0 +1,59 @@
+"""Skew-mitigation operators for hot keys at 100 TB.
+
+AQE's skew-join splitting (on by default in ``session.get_spark``)
+handles most cases at runtime; these are the explicit tools for the
+cases AQE can't fix:
+
+- ``salted_group_count``: two-phase aggregation for counting-style aggs
+  on a key where one value dominates (e.g. the reference's
+  ``"marque inconnue"`` default brand swallowing every unbranded
+  product). Phase 1 aggregates on (key, salt) — the hot key's rows
+  spread over N reducers; phase 2 re-aggregates the N partials. Works
+  for any algebraic aggregate (sum/count/min/max); shown for counts.
+- ``salted_broadcast_left``: replicate a SMALL right side N times so a
+  salted big side still joins correctly — only needed when the right
+  side is too big to broadcast whole but the hot-key subset isn't;
+  with a broadcastable right side, plain ``broadcast()`` already
+  avoids the skew entirely (no shuffle of the big side at all).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_group_count(
+    df: DataFrame, keys: Sequence[str], n_salts: int = 16
+) -> DataFrame:
+    """COUNT(*) per key via two-phase salted aggregation. Result is
+    identical to ``df.groupBy(keys).count()``; the difference is the
+    shuffle: no single reducer receives all rows of a hot key."""
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=0) * n_salts).cast("int")
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.count(F.lit(1)).alias("__partial")
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(F.sum("__partial").alias("count"))
+    )
+
+
+def salted_broadcast_left(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Inner-join a skewed big side with a small side by salting the big
+    side and replicating the small side across all salt values."""
+    big_s = big.withColumn("__salt", (F.rand(seed=0) * n_salts).cast("int"))
+    salts = F.explode(
+        F.array(*[F.lit(i) for i in range(n_salts)])
+    ).alias("__salt")
+    small_r = small.select("*", salts)
+    return big_s.join(small_r, [on, "__salt"]).drop("__salt")
