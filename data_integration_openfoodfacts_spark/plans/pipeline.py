@@ -269,6 +269,30 @@ def build_gold(silver: DataFrame) -> dict[str, DataFrame]:
     }
 
 
+def _save_table(spark: SparkSession, df: DataFrame, table: str) -> None:
+    """Overwrite ``table``, tolerating a leftover location from a
+    previous session: the default in-memory catalog forgets tables on
+    restart while their warehouse directories persist, and saveAsTable
+    then refuses the location. Registering first via DROP + path cleanup
+    keeps re-runs idempotent."""
+    try:
+        df.write.mode("overwrite").format("parquet").saveAsTable(table)
+    except Exception as e:  # noqa: BLE001
+        if "LOCATION_ALREADY_EXISTS" not in str(e):
+            raise
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        db, _, name = table.partition(".")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        path = jvm.org.apache.hadoop.fs.Path(
+            f"{warehouse}/{db}.db/{name}"
+        )
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        fs.delete(path, True)
+        df.write.mode("overwrite").format("parquet").saveAsTable(table)
+
+
 @dataclass
 class PipelineResult:
     metrics: dict = field(default_factory=dict)
@@ -299,13 +323,9 @@ def run_pipeline(
     if database:
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}_silver")
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}_gold")
-        silver.write.mode("overwrite").format("parquet").saveAsTable(
-            f"{database}_silver.products"
-        )
+        _save_table(spark, silver, f"{database}_silver.products")
         for name, df in gold.items():
-            df.write.mode("overwrite").format("parquet").saveAsTable(
-                f"{database}_gold.{name}"
-            )
+            _save_table(spark, df, f"{database}_gold.{name}")
         gold = {
             name: spark.table(f"{database}_gold.{name}") for name in gold
         }
