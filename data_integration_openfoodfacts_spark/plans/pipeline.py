@@ -269,14 +269,26 @@ def build_gold(silver: DataFrame) -> dict[str, DataFrame]:
     }
 
 
-def _save_table(spark: SparkSession, df: DataFrame, table: str) -> None:
+def _save_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    partition_by: list[str] | None = None,
+) -> None:
     """Overwrite ``table``, tolerating a leftover location from a
     previous session: the default in-memory catalog forgets tables on
     restart while their warehouse directories persist, and saveAsTable
     then refuses the location. Registering first via DROP + path cleanup
     keeps re-runs idempotent."""
+
+    def write() -> None:
+        w = df.write.mode("overwrite").format("parquet")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.saveAsTable(table)
+
     try:
-        df.write.mode("overwrite").format("parquet").saveAsTable(table)
+        write()
     except Exception as e:  # noqa: BLE001
         if "LOCATION_ALREADY_EXISTS" not in str(e):
             raise
@@ -285,12 +297,10 @@ def _save_table(spark: SparkSession, df: DataFrame, table: str) -> None:
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
         jvm = spark.sparkContext._jvm
         jsc = spark.sparkContext._jsc
-        path = jvm.org.apache.hadoop.fs.Path(
-            f"{warehouse}/{db}.db/{name}"
-        )
+        path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{db}.db/{name}")
         fs = path.getFileSystem(jsc.hadoopConfiguration())
         fs.delete(path, True)
-        df.write.mode("overwrite").format("parquet").saveAsTable(table)
+        write()
 
 
 @dataclass
@@ -303,6 +313,7 @@ def run_pipeline(
     spark: SparkSession,
     bronze: DataFrame,
     database: str | None = None,
+    partition_fact_by_year: bool = False,
 ) -> PipelineResult:
     """Full Bronze->Gold run. If ``database`` is given, persists Silver +
     Gold as Parquet tables ``<database>_silver.products`` /
@@ -325,7 +336,17 @@ def run_pipeline(
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}_gold")
         _save_table(spark, silver, f"{database}_silver.products")
         for name, df in gold.items():
-            _save_table(spark, df, f"{database}_gold.{name}")
+            # At 100 TB the fact is partitioned by snapshot year so the
+            # weekly/seasonal analytics (Q6-style) prune whole years of
+            # files before the scan starts.
+            part_cols = None
+            if partition_fact_by_year and name == "fact_nutrition_snapshot":
+                df = df.withColumn(
+                    "snapshot_year",
+                    F.year(F.from_unixtime("time_sk").cast("date")).cast("int"),
+                )
+                part_cols = ["snapshot_year"]
+            _save_table(spark, df, f"{database}_gold.{name}", part_cols)
         gold = {
             name: spark.table(f"{database}_gold.{name}") for name in gold
         }
