@@ -78,3 +78,34 @@ def test_aggs_have_partial_phase(spark, name):
     """Map-side partial aggregation must be present (halves shuffle IO)."""
     plan = plan_of(spark, name)
     assert "partial" in plan.lower()
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketing both join sides on the key removes the join exchanges —
+    the 100 TB co-located fact-to-fact join strategy (SURVEY §7)."""
+    from data_integration_openfoodfacts_spark.sources.sinks import write_table
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    try:
+        write_table(orders, "b_orders", bucket_by=(4, ["o_orderkey"]))
+        write_table(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem",
+            bucket_by=(4, ["o_orderkey"]),
+        )
+        # broadcast would bypass the bucketing; force the SMJ path the
+        # way a fact-to-fact join at scale would plan
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"), "o_orderkey"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
