@@ -314,6 +314,7 @@ def run_pipeline(
     bronze: DataFrame,
     database: str | None = None,
     partition_fact_by_year: bool = False,
+    analyze_tables: bool = False,
 ) -> PipelineResult:
     """Full Bronze->Gold run. If ``database`` is given, persists Silver +
     Gold as Parquet tables ``<database>_silver.products`` /
@@ -347,6 +348,16 @@ def run_pipeline(
                 )
                 part_cols = ["snapshot_year"]
             _save_table(spark, df, f"{database}_gold.{name}", part_cols)
+        if analyze_tables:
+            # Feed the cost-based optimizer (join reordering, broadcast
+            # decisions from real sizes — SURVEY §4 "Join reordering").
+            spark.sql(
+                f"ANALYZE TABLE {database}_silver.products COMPUTE STATISTICS"
+            )
+            for name in gold:
+                spark.sql(
+                    f"ANALYZE TABLE {database}_gold.{name} COMPUTE STATISTICS"
+                )
         gold = {
             name: spark.table(f"{database}_gold.{name}") for name in gold
         }
@@ -355,8 +366,9 @@ def run_pipeline(
     m = fact.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("completeness_score").alias("avg_completeness"),
-        (
-            F.count(F.col("nutriscore_grade")) / F.count(F.lit(1))
+        # try_divide: NULL (not an ANSI error) on an empty fact table
+        F.try_divide(
+            F.count(F.col("nutriscore_grade")), F.count(F.lit(1))
         ).alias("pct_nutriscore"),
         F.sum((F.col("sugars_100g") > 100).cast("long")).alias("sugar_anomalies"),
     ).first()

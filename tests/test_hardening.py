@@ -1,0 +1,50 @@
+"""Edge-input hardening: empty bronze, header-only CSV, UDF registry,
+table statistics."""
+
+from __future__ import annotations
+
+import os
+
+from data_integration_openfoodfacts_spark.functions.registry import register_udfs
+from data_integration_openfoodfacts_spark.plans.pipeline import run_pipeline
+from data_integration_openfoodfacts_spark.sources.csv_source import (
+    read_openfoodfacts_csv,
+)
+from tests.test_pipeline import HEADER
+
+
+def test_pipeline_on_header_only_csv(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "empty.tsv")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(HEADER + "\n")
+    res = run_pipeline(spark, read_openfoodfacts_csv(spark, path))
+    assert res.metrics["rows_in"] == 0
+    assert res.metrics["rows_out"] == 0
+    assert res.metrics["sugar_anomalies"] == 0
+    for name, df in res.tables.items():
+        assert df.count() == 0, name
+
+
+def test_registered_udf_usable_from_sql(spark):
+    register_udfs(spark)
+    got = spark.sql("SELECT ascii_fold('Côte d\\'Or™') AS v").first()["v"]
+    assert got == "Cote d'OrTM"
+
+
+def test_analyze_tables_records_stats(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "p.tsv")
+    from tests.test_pipeline import ROWS
+
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(HEADER + "\n" + "\n".join(ROWS) + "\n")
+    run_pipeline(
+        spark,
+        read_openfoodfacts_csv(spark, path),
+        database="statdemo",
+        analyze_tables=True,
+    )
+    desc = spark.sql(
+        "DESCRIBE TABLE EXTENDED statdemo_gold.dim_brand"
+    ).collect()
+    stats = [r for r in desc if r["col_name"] == "Statistics"]
+    assert stats and "rows" in stats[0]["data_type"]
