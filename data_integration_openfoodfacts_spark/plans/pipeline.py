@@ -38,7 +38,6 @@ from ..operators.cleaning import (
     clean_text_chain,
     extract_category_head,
     impute_with_default,
-    valid_expr,
 )
 from ..operators.dedup import dedup_keep_latest
 from ..operators.keys import add_surrogate_key

@@ -4,6 +4,10 @@ Every implemented operator from SURVEY.md §2 (and the LLM-pipeline
 extensions) has a named query here; keys present in ``QUERIES`` but not
 ``ORACLES`` get the driver's weaker rows-only check (reserved for
 genuinely non-SQL-expressible ops).
+
+STABILITY: query keys (q1..q29) are part of the cross-round correctness
+record — the driver compares CORRECTNESS_r{N}.json between rounds. Add
+new keys freely; never rename or repurpose existing ones.
 """
 
 from __future__ import annotations
