@@ -45,6 +45,32 @@ def write_metrics_json(metrics: dict[str, Any], out_dir: str) -> str:
     return path
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files of
+    roughly ``target_file_mb``. Streaming sinks and per-batch upserts
+    accumulate small files; at 100 TB, scan throughput dies on file-open
+    overhead and the NameNode/listing cost long before CPU matters.
+    Returns the new file count. (On Delta/Iceberg this is OPTIMIZE /
+    rewrite_data_files; this is the plain-parquet equivalent.)"""
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files
+
+
 def read_jdbc(
     spark: SparkSession, url: str, table: str, properties: dict[str, str]
 ) -> DataFrame:
