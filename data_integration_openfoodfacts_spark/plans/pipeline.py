@@ -122,9 +122,12 @@ def build_silver(bronze: DataFrame) -> DataFrame:
     ).withColumn("countries_en", F.split("countries_en", ",\\s*"))
 
     # P4 + M1-M3: numeric casts, bounds, sodium/salt + kcal->kJ, rounding
-    # (ipynb:348-391) — a single select.
+    # (ipynb:348-391) — a single select. try_cast: malformed numerics
+    # become NULL (the reference ran pre-ANSI Spark 3.4 where plain cast
+    # already behaved this way; ANSI-mode cast would fail the job on one
+    # bad cell).
     bounded = {
-        c: bounded_expr(F.col(c).cast("double"), *NUTRIENT_BOUNDS[c])
+        c: bounded_expr(F.col(c).try_cast("double"), *NUTRIENT_BOUNDS[c])
         for c in NUTRIENT_COLUMNS
     }
     salt = F.coalesce(bounded["salt_100g"], bounded["sodium_100g"] * 2.5)
@@ -146,7 +149,7 @@ def build_silver(bronze: DataFrame) -> DataFrame:
         F.round(bounded["proteins_100g"], 1).alias("proteins_100g"),
         F.round(bounded["fiber_100g"], 1).alias("fiber_100g"),
         F.round(
-            bounded_expr(F.col("completeness").cast("double"), 0.0, 1.0), 1
+            bounded_expr(F.col("completeness").try_cast("double"), 0.0, 1.0), 1
         ).alias("completeness"),
     )
 
@@ -159,7 +162,7 @@ def build_silver(bronze: DataFrame) -> DataFrame:
 
     # D1/D2: typed time derivations (ipynb:406-412).
     df = (
-        df.withColumn("last_modified_t", F.col("last_modified_t").cast("long"))
+        df.withColumn("last_modified_t", F.col("last_modified_t").try_cast("long"))
         .withColumn(
             "last_modified_ts",
             F.to_timestamp(F.col("last_modified_t").cast("double")),

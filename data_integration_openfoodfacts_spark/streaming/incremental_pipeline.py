@@ -1,0 +1,129 @@
+"""Incremental medallion pipeline: the reference's documented-but-never-
+built CDC mode (docs/architecture_notes.md:263-331) applied to its own
+ETL — new product-CSV drops stream in, Silver is upserted keep-latest by
+``code``, Gold is rebuilt from the merged Silver.
+
+Batch/streaming share ONE transform: ``build_silver`` runs unchanged
+inside ``foreachBatch``, so the cleansing logic cannot drift between
+the full-load and incremental paths (the lesson of every dual-path ETL).
+
+Scale notes:
+- each micro-batch processes only NEW files (file-source checkpointing);
+- the Silver merge is keep-latest over (existing ∪ batch) — on
+  Delta/Iceberg this becomes MERGE INTO and stops being O(existing);
+- Gold dims/fact are recomputed from merged Silver per batch here; at
+  100 TB you'd switch dims to SCD upserts and fact to append-only
+  partitions, both of which the same operators support.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..plans.pipeline import build_gold, build_silver
+
+
+# Canonical column layout of an incremental drop file. CSV streaming
+# requires a static schema, and Spark maps a user schema to CSV columns
+# BY POSITION (the header row is skipped, not matched) — so this order
+# must mirror the physical file layout exactly.
+DROP_FILE_COLUMNS = [
+    "code",
+    "product_name",
+    "brands",
+    "main_category",
+    "categories_en",
+    "categories",
+    "countries_en",
+    "last_modified_t",
+    "nutriscore_grade",
+    "energy-kcal_100g",
+    "fat_100g",
+    "saturated-fat_100g",
+    "sugars_100g",
+    "salt_100g",
+    "proteins_100g",
+    "fiber_100g",
+    "sodium_100g",
+    "completeness",
+]
+
+
+def bronze_stream_schema(
+    columns: list[str] | None = None,
+) -> StructType:
+    """All-string schema-on-read, like the batch Bronze (S1)."""
+    return StructType(
+        [StructField(c, StringType()) for c in (columns or DROP_FILE_COLUMNS)]
+    )
+
+
+def read_bronze_stream(
+    spark: SparkSession, csv_dir: str, columns: list[str] | None = None
+) -> DataFrame:
+    return (
+        spark.readStream.schema(bronze_stream_schema(columns))
+        .options(header=True, sep="\t", quote='"', escape='"', mode="PERMISSIVE")
+        .csv(csv_dir)
+    )
+
+
+def merge_silver_batch(
+    batch: DataFrame, silver_path: str
+) -> DataFrame:
+    """Keep-latest merge of a cleansed micro-batch into the Silver store."""
+    from ..operators.dedup import dedup_keep_latest
+
+    spark = batch.sparkSession
+    try:
+        existing = spark.read.parquet(silver_path)
+        merged = existing.unionByName(batch, allowMissingColumns=True)
+    except Exception:  # first batch
+        merged = batch
+    latest = dedup_keep_latest(
+        merged,
+        keys=["code"],
+        order_by=[
+            F.col("last_modified_t").desc_nulls_last(),
+            F.col("product_name"),
+        ],
+    )
+    latest.cache().count()
+    latest.write.mode("overwrite").parquet(silver_path)
+    latest.unpersist()
+    return latest
+
+
+def run_incremental_pipeline(
+    spark: SparkSession,
+    csv_dir: str,
+    work_dir: str,
+) -> None:
+    """Process all pending CSV drops (availableNow), maintaining
+    ``{work_dir}/silver`` and ``{work_dir}/gold/<table>`` parquet stores.
+    Re-invoke on a schedule for continuous incremental loads; the
+    checkpoint guarantees each file is processed exactly once."""
+    silver_path = f"{work_dir}/silver"
+
+    def process(batch: DataFrame, _batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        cleansed = build_silver(batch)
+        merged = merge_silver_batch(cleansed, silver_path)
+        gold = build_gold(merged.sparkSession.read.parquet(silver_path))
+        for name, df in gold.items():
+            out = f"{work_dir}/gold/{name}"
+            df.cache().count()
+            df.write.mode("overwrite").parquet(out)
+            df.unpersist()
+
+    (
+        read_bronze_stream(spark, csv_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{work_dir}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -25,6 +25,25 @@ def test_pipeline_on_header_only_csv(spark, tmp_path):
         assert df.count() == 0, name
 
 
+def test_malformed_numerics_become_null_not_errors(spark, tmp_path):
+    """ANSI mode would fail the whole job on one bad cell; the pipeline
+    must degrade it to NULL (reference semantics, pre-ANSI Spark 3.4)."""
+    path = os.path.join(str(tmp_path), "bad.tsv")
+    row = (
+        "0042\tThing\tAcme\ten:meals\tMeals\t\tFrance\tnot_a_number\ta\t"
+        "abc\txyz\t--\t12.5\t0.5\t8\t1\t0.2\toops"
+    )
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(HEADER + "\n" + row + "\n")
+    res = run_pipeline(spark, read_openfoodfacts_csv(spark, path))
+    r = res.tables["silver_products"].first()
+    assert r["energy_kcal_100g"] is None
+    assert r["fat_100g"] is None
+    assert r["sugars_100g"] == 12.5
+    assert r["completeness"] is None
+    assert r["last_modified_t"] is None
+
+
 def test_registered_udf_usable_from_sql(spark):
     register_udfs(spark)
     got = spark.sql("SELECT ascii_fold('Côte d\\'Or™') AS v").first()["v"]
