@@ -272,6 +272,61 @@ SELECT COUNT(*) AS nb_rows,
 FROM events
 """
 
+def q30_unixtime_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 alternate date path (pipeline_etl.ipynb:497): unix seconds ->
+    from_unixtime -> date, session timezone pinned UTC. Counts events
+    per derived calendar date."""
+    events = load_table(spark, sf_dir, "events")
+    secs = F.expr("ts div 1000000000")
+    date_s = F.from_unixtime(secs).cast("date").cast("string")
+    return (
+        events.select(date_s.alias("event_date"))
+        .groupBy("event_date")
+        .agg(F.count(F.lit(1)).alias("nb_events"))
+    )
+
+
+Q30_ORACLE = """
+SELECT CAST(CAST(to_timestamp(epoch(ts)) AS DATE) AS VARCHAR) AS event_date,
+       COUNT(*) AS nb_events
+FROM events
+GROUP BY 1
+"""
+
+
+def q31_mixed_join_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: INNER + LEFT join mix with a non-equi condition producing
+    NULLs on the left side (the reference's example query shape,
+    data_dictionary.md:434-448)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    big_parts = part.filter(F.col("p_size") > 47).select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    j = lineitem.join(
+        F.broadcast(orders.select("o_orderkey", "o_orderstatus")),
+        lineitem.l_orderkey == orders.o_orderkey,
+        "inner",
+    ).join(F.broadcast(big_parts), "l_partkey", "left")
+    return j.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("p_brand").isNotNull().cast("long").alias("has_big_part"),
+    ).agg(F.count(F.lit(1)).alias("nb_lines"))
+
+
+Q31_ORACLE = """
+SELECT o.o_orderstatus AS status,
+       CAST(p.p_brand IS NOT NULL AS BIGINT) AS has_big_part,
+       COUNT(*) AS nb_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size > 47) p
+       ON p.p_partkey = l.l_partkey
+GROUP BY 1, 2
+"""
+
+
 ETL_QUERIES = {
     "q7_dim_time": q7_dim_time,
     "q8_events_keep_latest": q8_events_keep_latest,
@@ -284,6 +339,8 @@ ETL_QUERIES = {
     "q15_top_words": q15_top_words,
     "q16_distinct_lang_source": q16_distinct_lang_source,
     "q17_run_metrics": q17_run_metrics,
+    "q30_unixtime_dates": q30_unixtime_dates,
+    "q31_mixed_join_null_handling": q31_mixed_join_null_handling,
 }
 
 ETL_ORACLES = {
@@ -298,4 +355,6 @@ ETL_ORACLES = {
     "q15_top_words": Q15_ORACLE,
     "q16_distinct_lang_source": Q16_ORACLE,
     "q17_run_metrics": Q17_ORACLE,
+    "q30_unixtime_dates": Q30_ORACLE,
+    "q31_mixed_join_null_handling": Q31_ORACLE,
 }

@@ -1,4 +1,5 @@
 from .events_stream import (
+    dedup_events_stream,
     read_events_stream,
     sessionized_events,
     upsert_keep_latest_batch,
@@ -6,6 +7,7 @@ from .events_stream import (
 )
 
 __all__ = [
+    "dedup_events_stream",
     "read_events_stream",
     "windowed_event_stats",
     "sessionized_events",

@@ -119,6 +119,22 @@ def sessionized_events(
     )
 
 
+def dedup_events_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once dedup: drop re-delivered events by key.
+
+    ``dropDuplicates`` on a stream keeps per-key state; the watermark
+    bounds that state to the late-data horizon (without it, 100 TB of
+    ids accumulate in the state store until OOM). Training-data ingest
+    uses exactly this for at-least-once upstream feeds.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
 def upsert_keep_latest_batch(
     batch: DataFrame, target_path: str, keys: list[str], order_col: str
 ) -> None:

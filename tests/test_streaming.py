@@ -101,6 +101,31 @@ def test_upsert_stream_keeps_latest_per_user(spark, stream_dir, tmp_path):
     assert got_ts == want_ts
 
 
+def test_stream_dedup_drops_redelivered_events(spark, stream_dir, tmp_path):
+    """Re-deliver the same files (duplicate event_ids) -> dedup stream
+    must emit each event exactly once."""
+    from data_integration_openfoodfacts_spark.streaming.events_stream import (
+        dedup_events_stream,
+    )
+
+    dup_dir = str(tmp_path / "dup")
+    os.makedirs(dup_dir)
+    for i, f in enumerate(sorted(os.listdir(stream_dir))):
+        shutil.copy(os.path.join(stream_dir, f), os.path.join(dup_dir, f"a{i}.parquet"))
+        shutil.copy(os.path.join(stream_dir, f), os.path.join(dup_dir, f"b{i}.parquet"))
+    stream = read_events_stream(spark, dup_dir)
+    got = _run_to_memory(
+        spark, dedup_events_stream(stream), "dedup_stream", "append"
+    )
+    n_unique = (
+        spark.read.schema(read_events_stream(spark, stream_dir).schema)
+        .parquet(stream_dir)
+        .count()
+    )
+    assert got.count() == n_unique
+    assert got.groupBy("event_id").count().filter("count > 1").count() == 0
+
+
 def test_incremental_second_run_processes_nothing_new(spark, stream_dir, tmp_path):
     target = str(tmp_path / "t2")
     ckpt = str(tmp_path / "c2")
