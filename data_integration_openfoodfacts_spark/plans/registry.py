@@ -17,6 +17,7 @@ from .etl_queries import ETL_ORACLES, ETL_QUERIES
 from .llm_queries import LLM_ORACLES, LLM_QUERIES
 from .multimodal_queries import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
 from .streaming_queries import STREAMING_ORACLES, STREAMING_QUERIES
+from .tpch_queries import TPCH_ORACLES, TPCH_QUERIES
 
 QUERIES = {
     **ANALYTICS_QUERIES,
@@ -24,6 +25,7 @@ QUERIES = {
     **LLM_QUERIES,
     **STREAMING_QUERIES,
     **MULTIMODAL_QUERIES,
+    **TPCH_QUERIES,
 }
 ORACLES = {
     **ANALYTICS_ORACLES,
@@ -31,4 +33,5 @@ ORACLES = {
     **LLM_ORACLES,
     **STREAMING_ORACLES,
     **MULTIMODAL_ORACLES,
+    **TPCH_ORACLES,
 }
