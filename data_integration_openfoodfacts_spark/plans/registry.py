@@ -17,6 +17,7 @@ from .etl_queries import ETL_ORACLES, ETL_QUERIES
 from .llm_queries import LLM_ORACLES, LLM_QUERIES
 from .multimodal_queries import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
 from .streaming_queries import STREAMING_ORACLES, STREAMING_QUERIES
+from .temporal_queries import TEMPORAL_ORACLES, TEMPORAL_QUERIES
 from .tpch_queries import TPCH_ORACLES, TPCH_QUERIES
 
 QUERIES = {
@@ -26,6 +27,7 @@ QUERIES = {
     **STREAMING_QUERIES,
     **MULTIMODAL_QUERIES,
     **TPCH_QUERIES,
+    **TEMPORAL_QUERIES,
 }
 ORACLES = {
     **ANALYTICS_ORACLES,
@@ -34,4 +36,5 @@ ORACLES = {
     **STREAMING_ORACLES,
     **MULTIMODAL_ORACLES,
     **TPCH_ORACLES,
+    **TEMPORAL_ORACLES,
 }
