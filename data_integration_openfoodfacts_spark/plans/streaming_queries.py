@@ -68,12 +68,46 @@ FROM sess
 GROUP BY user_id, session_id
 """
 
+def q38_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one pass produces
+    (year, month, day), (year, month), (year), and grand-total rows via
+    ROLLUP — the multi-granularity time-series rollup TimescaleDB-class
+    engines materialize. Map-side partial aggregation applies at every
+    level, so this is one shuffle regardless of granularity count."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.rollup(
+            F.year("ts").cast("long").alias("y"),
+            F.month("ts").cast("long").alias("m"),
+            F.dayofmonth("ts").cast("long").alias("d"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("nb_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+Q38_ORACLE = """
+SELECT CAST(YEAR(ts) AS BIGINT) AS y,
+       CAST(MONTH(ts) AS BIGINT) AS m,
+       CAST(DAY(ts) AS BIGINT) AS d,
+       COUNT(*) AS nb_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (YEAR(ts), MONTH(ts), DAY(ts))
+"""
+
 STREAMING_QUERIES = {
     "q27_windowed_event_stats": q27_windowed_event_stats,
     "q28_sessionized_events": q28_sessionized_events,
+    "q38_time_rollup": q38_time_rollup,
 }
 
 STREAMING_ORACLES = {
     "q27_windowed_event_stats": Q27_ORACLE,
     "q28_sessionized_events": Q28_ORACLE,
+    "q38_time_rollup": Q38_ORACLE,
 }
