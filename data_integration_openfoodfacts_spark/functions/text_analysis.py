@@ -36,13 +36,15 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 def stopword_ratio(col: Column | str) -> Column:
     toks = F.split(F.trim(_c(col)), "\\s+")
     n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
-    return n_stop.cast("double") / F.size(toks)
+    return F.try_divide(n_stop.cast("double"), F.size(toks))
 
 
 def punct_ratio(col: Column | str) -> Column:
+    # try_divide: empty text -> NULL ratio instead of an ANSI
+    # DIVIDE_BY_ZERO that would abort the whole scan.
     c = _c(col)
     n_punct = F.length(c) - F.length(F.regexp_replace(c, "[^a-zA-Z0-9\\s]", ""))
-    return n_punct.cast("double") / F.length(c)
+    return F.try_divide(n_punct.cast("double"), F.length(c))
 
 
 def quality_score(col: Column | str) -> Column:

@@ -28,4 +28,8 @@ def l2_norm_expr(a: Column | str) -> Column:
 
 
 def cosine_similarity_expr(a: Column | str, b: Column | str) -> Column:
-    return dot_product_expr(a, b) / (l2_norm_expr(a) * l2_norm_expr(b))
+    # try_divide: an all-zeros vector (empty doc embedded, padding row)
+    # yields NULL similarity instead of an ANSI DIVIDE_BY_ZERO abort.
+    return F.try_divide(
+        dot_product_expr(a, b), l2_norm_expr(a) * l2_norm_expr(b)
+    )

@@ -64,6 +64,10 @@ def ngram_jaccard_pairs(
     exact-but-still-subquadratic baseline that MinHash approximates.
     Columns: id_a, id_b (id_a < id_b), common, size_a, size_b, jaccard.
     """
+    # cache: sh feeds three consumers (sizes + both join sides) in one
+    # job. Deliberately not unpersisted — the DataFrame is returned
+    # lazily, so eviction is left to Spark's LRU; callers looping over
+    # many corpora should sh.unpersist() via their own session hygiene.
     sh = word_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -167,9 +171,14 @@ def simhash(
         "vote", F.expr("(h >> bit) & 1") * 2 - 1
     )
     bitsum = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("s"))
+    # shiftleft on a BIGINT one: a 32-bit literal would wrap for
+    # bit >= 32 (Java masks the shift count), silently corrupting
+    # fingerprints above 31 bits.
     return bitsum.groupBy(id_col).agg(
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1, bit)")).otherwise(F.lit(0))
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0))
         )
         .cast("long")
         .alias("simhash")

@@ -172,9 +172,9 @@ def q13_bounded_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bounded.groupBy(F.col("event_type").alias("event_type")).agg(
         F.count(F.lit(1)).alias("nb_events"),
         F.count("value_ok").alias("nb_in_bounds"),
-        (
-            F.sum(F.col("value_ok").cast("decimal(18,6)")).cast("double")
-            / F.count("value_ok")
+        F.try_divide(
+            F.sum(F.col("value_ok").cast("decimal(18,6)")).cast("double"),
+            F.count("value_ok"),
         ).alias("avg_in_bounds"),
     )
 
@@ -183,7 +183,7 @@ Q13_ORACLE = """
 SELECT event_type, COUNT(*) AS nb_events,
        COUNT(CASE WHEN value >= 0 AND value <= 100 THEN value END) AS nb_in_bounds,
        CAST(SUM(CAST(CASE WHEN value >= 0 AND value <= 100 THEN value END AS DECIMAL(18,6))) AS DOUBLE)
-             / COUNT(CASE WHEN value >= 0 AND value <= 100 THEN value END) AS avg_in_bounds
+             / NULLIF(COUNT(CASE WHEN value >= 0 AND value <= 100 THEN value END), 0) AS avg_in_bounds
 FROM events
 GROUP BY event_type
 """

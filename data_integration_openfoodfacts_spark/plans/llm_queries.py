@@ -145,7 +145,7 @@ WITH t AS (
   SELECT doc_id, text,
          CAST(length(text) AS BIGINT) AS n_chars_seen,
          string_split_regex(trim(text), '\\s+') AS toks,
-         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
+         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / NULLIF(length(text), 0) AS punct_ratio
   FROM documents
 ),
 t2 AS (
@@ -153,7 +153,7 @@ t2 AS (
          CAST(len(toks) AS BIGINT) AS ws_tokens,
          CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_tokens,
          punct_ratio,
-         CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], lower(x)))) AS DOUBLE) / len(toks) AS stopword_ratio
+         CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], lower(x)))) AS DOUBLE) / NULLIF(len(toks), 0) AS stopword_ratio
   FROM t
 )
 SELECT doc_id, n_chars_seen, ws_tokens, bpe_tokens, punct_ratio, stopword_ratio,

@@ -208,13 +208,17 @@ def build_gold(silver: DataFrame) -> dict[str, DataFrame]:
         ["brand_name"],
     )
 
+    # Deterministic parent survivor: dropDuplicates picks a partition-
+    # layout-dependent row, which would make dim_category differ between
+    # runs whenever one category has several parents. min() is stable.
     dim_category = add_surrogate_key(
         silver.select(
             F.substring("main_category", 1, 500).alias("category_name"),
             F.substring("categories_en", 1, 500).alias("parent_category_name"),
         )
         .filter(F.col("category_name").isNotNull() & (F.col("category_name") != ""))
-        .dropDuplicates(["category_name"]),
+        .groupBy("category_name")
+        .agg(F.min("parent_category_name").alias("parent_category_name")),
         "category_sk",
         ["category_name"],
     )

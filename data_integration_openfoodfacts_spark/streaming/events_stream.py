@@ -126,21 +126,67 @@ def dedup_events_stream(
 ) -> DataFrame:
     """Streaming exactly-once dedup: drop re-delivered events by key.
 
-    ``dropDuplicates`` on a stream keeps per-key state; the watermark
-    bounds that state to the late-data horizon (without it, 100 TB of
-    ids accumulate in the state store until OOM). Training-data ingest
-    uses exactly this for at-least-once upstream feeds.
+    Uses ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates`` on
+    keys that exclude the event-time column never evicts its state (it
+    would grow one entry per id forever); the within-watermark variant
+    expires each key once the watermark passes it, bounding state to the
+    re-delivery horizon. Training-data ingest uses exactly this for
+    at-least-once upstream feeds.
     """
     keys = keys or ["event_id"]
-    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def read_parquet_if_exists(spark, path: str):
+    """Read a parquet target, returning None ONLY when the path does not
+    exist. Any other failure (corrupt file, permission, FS timeout)
+    propagates — treating it as "first batch" would silently overwrite
+    and destroy the accumulated target."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+
+
+def overwrite_parquet_atomically(df: DataFrame, path: str) -> None:
+    """Write-to-temp-then-swap: a plain overwrite of a path the plan is
+    lazily reading from deletes the source mid-computation if any cached
+    partition is evicted and recomputed. The temp write fully
+    materializes first; the swap is two renames."""
+    import uuid
+
+    spark = df.sparkSession
+    tmp = f"{path.rstrip('/')}__tmp_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+    fs.rename(htmp, hpath)
 
 
 def upsert_keep_latest_batch(
-    batch: DataFrame, target_path: str, keys: list[str], order_col: str
+    batch: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_col: str,
+    tiebreak_cols: list[str] | None = None,
 ) -> None:
     """foreachBatch MERGE-equivalent on plain Parquet: union the target
     with the micro-batch and keep the latest row per key. On Delta this
     whole function is one ``MERGE INTO``; the callback signature stays.
+
+    ``tiebreak_cols`` must make (order_col, *tiebreak_cols) a total
+    order within a key, or ties pick a nondeterministic survivor.
 
     Scale note: rewrite-on-merge is O(target) per batch — acceptable for
     dimension-sized targets (the reference's SCD use case), wrong for
@@ -149,21 +195,17 @@ def upsert_keep_latest_batch(
     from ..operators.dedup import dedup_keep_latest
 
     spark = batch.sparkSession
-    try:
-        existing = spark.read.parquet(target_path)
-        merged = existing.unionByName(batch)
-    except Exception:  # first batch: target does not exist yet
-        merged = batch
+    existing = read_parquet_if_exists(spark, target_path)
+    merged = existing.unionByName(batch) if existing is not None else batch
     out = dedup_keep_latest(
         merged,
         keys=keys,
-        order_by=[F.col(order_col).desc(), *[F.col(k) for k in keys]],
+        order_by=[
+            F.col(order_col).desc(),
+            *[F.col(c).desc() for c in (tiebreak_cols or [])],
+        ],
     )
-    # Write to a temp dir then swap would be the production pattern;
-    # for the local harness a direct overwrite after materializing is ok.
-    out.cache().count()
-    out.write.mode("overwrite").parquet(target_path)
-    out.unpersist()
+    overwrite_parquet_atomically(out, target_path)
 
 
 def run_events_upsert_stream(
@@ -179,7 +221,11 @@ def run_events_upsert_stream(
     (
         stream.writeStream.foreachBatch(
             lambda b, _id: upsert_keep_latest_batch(
-                b, target_path, keys=["user_id"], order_col="ts"
+                b,
+                target_path,
+                keys=["user_id"],
+                order_col="ts",
+                tiebreak_cols=["event_id"],
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -73,15 +73,24 @@ def read_bronze_stream(
 def merge_silver_batch(
     batch: DataFrame, silver_path: str
 ) -> DataFrame:
-    """Keep-latest merge of a cleansed micro-batch into the Silver store."""
+    """Keep-latest merge of a cleansed micro-batch into the Silver
+    store. Missing target path == first batch; any OTHER read failure
+    propagates (treating it as first-batch would overwrite and destroy
+    the accumulated store). The overwrite is write-temp-then-swap so a
+    recomputed partition can never read the deleted source mid-write."""
     from ..operators.dedup import dedup_keep_latest
+    from .events_stream import (
+        overwrite_parquet_atomically,
+        read_parquet_if_exists,
+    )
 
     spark = batch.sparkSession
-    try:
-        existing = spark.read.parquet(silver_path)
-        merged = existing.unionByName(batch, allowMissingColumns=True)
-    except Exception:  # first batch
-        merged = batch
+    existing = read_parquet_if_exists(spark, silver_path)
+    merged = (
+        existing.unionByName(batch, allowMissingColumns=True)
+        if existing is not None
+        else batch
+    )
     latest = dedup_keep_latest(
         merged,
         keys=["code"],
@@ -90,9 +99,7 @@ def merge_silver_batch(
             F.col("product_name"),
         ],
     )
-    latest.cache().count()
-    latest.write.mode("overwrite").parquet(silver_path)
-    latest.unpersist()
+    overwrite_parquet_atomically(latest, silver_path)
     return latest
 
 
@@ -108,16 +115,15 @@ def run_incremental_pipeline(
     silver_path = f"{work_dir}/silver"
 
     def process(batch: DataFrame, _batch_id: int) -> None:
+        from .events_stream import overwrite_parquet_atomically
+
         if not batch.head(1):
             return
         cleansed = build_silver(batch)
-        merged = merge_silver_batch(cleansed, silver_path)
-        gold = build_gold(merged.sparkSession.read.parquet(silver_path))
+        merge_silver_batch(cleansed, silver_path)
+        gold = build_gold(batch.sparkSession.read.parquet(silver_path))
         for name, df in gold.items():
-            out = f"{work_dir}/gold/{name}"
-            df.cache().count()
-            df.write.mode("overwrite").parquet(out)
-            df.unpersist()
+            overwrite_parquet_atomically(df, f"{work_dir}/gold/{name}")
 
     (
         read_bronze_stream(spark, csv_dir)
