@@ -100,14 +100,68 @@ FROM events
 GROUP BY ROLLUP (YEAR(ts), MONTH(ts), DAY(ts))
 """
 
+def q39_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (alpha=0.3) via applyInPandas — a
+    recursive aggregate no window function expresses. The DuckDB oracle
+    reproduces the identical left fold over the identically-ordered list,
+    so results are bit-exact."""
+    from ..operators.grouped_pandas import grouped_ewma
+
+    ev = load_events(spark, sf_dir)
+    return grouped_ewma(
+        ev, key_col="user_id", order_cols=["ts", "event_id"], value_col="value"
+    )
+
+
+Q39_ORACLE = """
+-- order by the MICRO-truncated ts (what Spark sees) + event_id, so a
+-- same-microsecond pair can't order differently via the raw nanos
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       list_reduce(
+         list(value ORDER BY make_timestamp(epoch_us(ts)), event_id),
+         (acc, x) -> acc + 0.3 * (x - acc)) AS ewma
+FROM events
+GROUP BY user_id
+"""
+
+
+def q40_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (absent from the reference, SURVEY §2.13):
+    users who viewed but never purchased (EXCEPT) and users who did both
+    (INTERSECT), unioned with a tag."""
+    ev = load_events(spark, sf_dir)
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    only_view = viewers.exceptAll(buyers).select(
+        F.lit("view_only").alias("segment"), "user_id"
+    )
+    both = viewers.intersect(buyers).select(
+        F.lit("view_and_buy").alias("segment"), "user_id"
+    )
+    return only_view.unionByName(both)
+
+
+Q40_ORACLE = """
+WITH viewers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+     buyers  AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT 'view_only' AS segment, user_id FROM (SELECT user_id FROM viewers EXCEPT SELECT user_id FROM buyers)
+UNION ALL
+SELECT 'view_and_buy' AS segment, user_id FROM (SELECT user_id FROM viewers INTERSECT SELECT user_id FROM buyers)
+"""
+
+
 STREAMING_QUERIES = {
     "q27_windowed_event_stats": q27_windowed_event_stats,
     "q28_sessionized_events": q28_sessionized_events,
     "q38_time_rollup": q38_time_rollup,
+    "q39_user_value_ewma": q39_user_value_ewma,
+    "q40_set_operations": q40_set_operations,
 }
 
 STREAMING_ORACLES = {
     "q27_windowed_event_stats": Q27_ORACLE,
     "q28_sessionized_events": Q28_ORACLE,
     "q38_time_rollup": Q38_ORACLE,
+    "q39_user_value_ewma": Q39_ORACLE,
+    "q40_set_operations": Q40_ORACLE,
 }
