@@ -44,11 +44,17 @@ def grouped_ewma(
     order_list = list(order_cols)
 
     def fold_group(pdf):
+        import math
+
         import pandas as pd
 
         pdf = pdf.sort_values(order_list, kind="mergesort")
         acc = None
         for x in pdf[value_col]:
+            # skip-null semantics: Arrow delivers NULL doubles as NaN,
+            # and one NaN would otherwise poison the accumulator forever
+            if x is None or (isinstance(x, float) and math.isnan(x)):
+                continue
             x = float(x)
             acc = x if acc is None else acc + alpha * (x - acc)
         return pd.DataFrame(

@@ -51,21 +51,41 @@ def asof_join(
     """
     by = list(by)
     lcols = [c for c in left.columns]
+    # Join semantics for NULLs: a NULL timestamp or NULL key on the
+    # right can never match (ASOF's `l.ts >= r.ts AND l.k = r.k` is
+    # never true for NULL operands) — drop such right rows up front.
+    right_clean = right.filter(F.col(on).isNotNull())
+    for k in by:
+        right_clean = right_clean.filter(F.col(k).isNotNull())
+
+    # The carried payload is ONE struct per right row (not per-column):
+    # last(ignorenulls) over per-column values would skip a legitimate
+    # NULL field and resurrect a staler row's value — the whole-row
+    # struct is non-null exactly when a right row exists, regardless of
+    # its field values.
+    payload = F.struct(
+        *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+        F.col(on).alias("__matched_ts"),
+    )
     l_tagged = left.select(
         *lcols,
         F.lit(1).alias("__src"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in right_cols
+        ],
     )
-    r_tagged = right.select(
+    r_tagged = right_clean.select(
         *by,
         F.col(on).alias(on),
         F.lit(0).alias("__src"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     )
-    # align schemas: right rows carry NULL for left-only columns
     for c in lcols:
         if c not in by and c != on:
-            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+            r_tagged = r_tagged.withColumn(
+                c, F.lit(None).cast(left.schema[c].dataType)
+            )
     u = l_tagged.unionByName(r_tagged)
 
     w = (
@@ -76,32 +96,25 @@ def asof_join(
     carried = u.select(
         *lcols,
         "__src",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
-            for c in right_cols
-        ],
         F.last(
-            F.when(F.col("__src") == 0, F.col(on)), ignorenulls=True
+            F.when(F.col("__src") == 0, payload), ignorenulls=True
         )
         .over(w)
-        .alias("__matched_ts"),
+        .alias("__p"),
     )
-    out = carried.filter(F.col("__src") == 1).drop("__src")
+    out = carried.filter(F.col("__src") == 1)
+    matched = F.col("__p").isNotNull()
     if tolerance is not None:
-        # outside tolerance -> clear the payload (keep the row, asof-left)
-        within = F.col("__matched_ts").isNotNull() & (
-            (F.col(on) - F.col("__matched_ts")) <= tolerance
+        matched = matched & (
+            (F.col(on) - F.col("__p.__matched_ts")) <= tolerance
         )
-        out = out.select(
-            *lcols,
-            *[
-                F.when(within, F.col(c)).otherwise(F.lit(None)).alias(c)
-                for c in right_cols
-            ],
-        )
-    else:
-        out = out.drop("__matched_ts")
-    return out
+    return out.select(
+        *lcols,
+        *[
+            F.when(matched, F.col(f"__p.{c}")).otherwise(F.lit(None)).alias(c)
+            for c in right_cols
+        ],
+    )
 
 
 def range_join_broadcast(
@@ -136,12 +149,16 @@ def range_join_bucketed(
     fact_b = fact.withColumn(
         "__bucket", F.floor(F.col(value_col) / bucket_width).cast("long")
     )
+    # Upper bucket = floor(hi/width) with no epsilon games: a value just
+    # below hi can land in that bucket, and the exact residual filter
+    # below removes anything >= hi, so over-covering by one bucket is
+    # always safe while under-covering silently drops matches.
     bands_b = bands.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / bucket_width).cast("long"),
-                F.floor((F.col(hi_col) - 1e-9) / bucket_width).cast("long"),
+                F.floor(F.col(hi_col) / bucket_width).cast("long"),
             )
         ),
     )

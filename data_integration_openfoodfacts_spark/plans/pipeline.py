@@ -171,11 +171,16 @@ def build_silver(bronze: DataFrame) -> DataFrame:
     )
 
     # W1: keep-latest dedup with deterministic tiebreak (ipynb:425-429;
-    # tiebreaker added per SURVEY.md §7).
+    # tiebreaker added per SURVEY.md §7). The content hash makes even
+    # same-(ts, name) duplicates with different payloads deterministic.
     return dedup_keep_latest(
         df,
         keys=["code"],
-        order_by=[F.col("last_modified_t").desc_nulls_last(), F.col("product_name")],
+        order_by=[
+            F.col("last_modified_t").desc_nulls_last(),
+            F.col("product_name"),
+            F.xxhash64(*[c for c in df.columns if c != "code"]),
+        ],
     )
 
 

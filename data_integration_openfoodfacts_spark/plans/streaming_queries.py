@@ -115,10 +115,12 @@ def q39_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q39_ORACLE = """
 -- order by the MICRO-truncated ts (what Spark sees) + event_id, so a
--- same-microsecond pair can't order differently via the raw nanos
+-- same-microsecond pair can't order differently via the raw nanos;
+-- FILTER mirrors the Spark fold's skip-null semantics
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
        list_reduce(
-         list(value ORDER BY make_timestamp(epoch_us(ts)), event_id),
+         list(value ORDER BY make_timestamp(epoch_us(ts)), event_id)
+           FILTER (WHERE value IS NOT NULL),
          (acc, x) -> acc + 0.3 * (x - acc)) AS ewma
 FROM events
 GROUP BY user_id

@@ -77,9 +77,12 @@ def q33_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-01-01")
     )
-    j = li.join(
-        F.broadcast(orders), li.l_orderkey == orders.o_orderkey
-    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    # orders/customer are NOT broadcast-hinted: at real scale they blow
+    # the 8 GB broadcast limit — AQE picks broadcast when they fit and
+    # shuffle joins when they don't (only true dims get hints).
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         j.groupBy(
@@ -123,8 +126,8 @@ def q34_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     j = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey)

@@ -178,15 +178,21 @@ def upsert_keep_latest_batch(
     batch: DataFrame,
     target_path: str,
     keys: list[str],
-    order_col: str,
+    order_col: str | None = None,
     tiebreak_cols: list[str] | None = None,
+    order_by: list | None = None,
+    allow_missing_columns: bool = False,
 ) -> None:
     """foreachBatch MERGE-equivalent on plain Parquet: union the target
     with the micro-batch and keep the latest row per key. On Delta this
     whole function is one ``MERGE INTO``; the callback signature stays.
+    (Also the engine's single parquet-merge implementation — the
+    incremental Silver pipeline delegates here.)
 
-    ``tiebreak_cols`` must make (order_col, *tiebreak_cols) a total
-    order within a key, or ties pick a nondeterministic survivor.
+    Order is ``order_by`` verbatim if given, else (order_col desc,
+    tiebreak_cols desc). It must be a total order within a key, or ties
+    pick a nondeterministic survivor; when no natural tiebreaker exists,
+    append ``F.xxhash64(*all_cols)`` as the last resort.
 
     Scale note: rewrite-on-merge is O(target) per batch — acceptable for
     dimension-sized targets (the reference's SCD use case), wrong for
@@ -196,15 +202,17 @@ def upsert_keep_latest_batch(
 
     spark = batch.sparkSession
     existing = read_parquet_if_exists(spark, target_path)
-    merged = existing.unionByName(batch) if existing is not None else batch
-    out = dedup_keep_latest(
-        merged,
-        keys=keys,
-        order_by=[
+    merged = (
+        existing.unionByName(batch, allowMissingColumns=allow_missing_columns)
+        if existing is not None
+        else batch
+    )
+    if order_by is None:
+        order_by = [
             F.col(order_col).desc(),
             *[F.col(c).desc() for c in (tiebreak_cols or [])],
-        ],
-    )
+        ]
+    out = dedup_keep_latest(merged, keys=keys, order_by=order_by)
     overwrite_parquet_atomically(out, target_path)
 
 

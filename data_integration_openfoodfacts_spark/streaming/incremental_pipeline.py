@@ -63,9 +63,21 @@ def bronze_stream_schema(
 def read_bronze_stream(
     spark: SparkSession, csv_dir: str, columns: list[str] | None = None
 ) -> DataFrame:
+    # multiLine matches the batch Bronze read (csv_source.py) so quoted
+    # embedded newlines parse identically on both ingest paths. The one
+    # drift streaming can't remove: a static schema maps positionally,
+    # so a drop whose header REORDERS columns must be rejected upstream
+    # (batch maps by header name and would silently tolerate it).
     return (
         spark.readStream.schema(bronze_stream_schema(columns))
-        .options(header=True, sep="\t", quote='"', escape='"', mode="PERMISSIVE")
+        .options(
+            header=True,
+            sep="\t",
+            quote='"',
+            escape='"',
+            multiLine=True,
+            mode="PERMISSIVE",
+        )
         .csv(csv_dir)
     )
 
@@ -73,34 +85,27 @@ def read_bronze_stream(
 def merge_silver_batch(
     batch: DataFrame, silver_path: str
 ) -> DataFrame:
-    """Keep-latest merge of a cleansed micro-batch into the Silver
-    store. Missing target path == first batch; any OTHER read failure
-    propagates (treating it as first-batch would overwrite and destroy
-    the accumulated store). The overwrite is write-temp-then-swap so a
-    recomputed partition can never read the deleted source mid-write."""
-    from ..operators.dedup import dedup_keep_latest
-    from .events_stream import (
-        overwrite_parquet_atomically,
-        read_parquet_if_exists,
-    )
+    """Keep-latest merge of a cleansed micro-batch into the Silver store
+    (delegates to the engine's single parquet-merge implementation,
+    ``upsert_keep_latest_batch``). The final ``xxhash64`` tiebreaker
+    makes same-(code, ts, name) re-exports with different payloads pick
+    a content-deterministic survivor instead of a partition-dependent
+    one. Returns a FRESH read of the post-swap store — the merged plan's
+    lineage points at files the swap deleted and must not escape."""
+    from .events_stream import upsert_keep_latest_batch
 
-    spark = batch.sparkSession
-    existing = read_parquet_if_exists(spark, silver_path)
-    merged = (
-        existing.unionByName(batch, allowMissingColumns=True)
-        if existing is not None
-        else batch
-    )
-    latest = dedup_keep_latest(
-        merged,
+    upsert_keep_latest_batch(
+        batch,
+        silver_path,
         keys=["code"],
         order_by=[
             F.col("last_modified_t").desc_nulls_last(),
             F.col("product_name"),
+            F.xxhash64(*[c for c in batch.columns if c != "code"]),
         ],
+        allow_missing_columns=True,
     )
-    overwrite_parquet_atomically(latest, silver_path)
-    return latest
+    return batch.sparkSession.read.parquet(silver_path)
 
 
 def run_incremental_pipeline(

@@ -75,6 +75,46 @@ def test_range_join_bucketed_equals_broadcast(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_asof_null_payload_is_not_skipped(spark):
+    """The LATEST right row wins even when its payload is NULL — a
+    staler non-null row must NOT be resurrected (true ASOF semantics)."""
+    left = spark.createDataFrame([(1, "u", 100)], "id long, k string, t long")
+    right = spark.createDataFrame(
+        [("u", 90, 1.0), ("u", 100, None)], "k string, t long, rv double"
+    )
+    out = asof_join(left, right, on="t", by=["k"], right_cols=["rv"]).collect()
+    assert out[0]["rv"] is None
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    left = spark.createDataFrame([(1, "u", 50)], "id long, k string, t long")
+    right = spark.createDataFrame(
+        [("u", None, 9.0)], "k string, t long, rv double"
+    )
+    out = asof_join(left, right, on="t", by=["k"], right_cols=["rv"]).collect()
+    assert out[0]["rv"] is None
+
+
+def test_asof_null_keys_never_match(spark):
+    left = spark.createDataFrame([(1, None, 100)], "id long, k string, t long")
+    right = spark.createDataFrame(
+        [(None, 90, 1.0)], "k string, t long, rv double"
+    )
+    out = asof_join(left, right, on="t", by=["k"], right_cols=["rv"]).collect()
+    assert len(out) == 1 and out[0]["rv"] is None
+
+
+def test_range_join_bucketed_hi_near_bucket_boundary(spark):
+    """Band hi just above a bucket edge: values between the edge and hi
+    must still match (the old epsilon under-covered this bucket)."""
+    vals = spark.createDataFrame([(5.0000000001,)], "v double")
+    bands = spark.createDataFrame(
+        [("x", 0.0, 5.0000000005)], "band string, lo double, hi double"
+    )
+    got = range_join_bucketed(vals, bands, "v", "lo", "hi", 1.0).collect()
+    assert len(got) == 1
+
+
 def test_range_join_boundary_semantics(spark):
     vals = spark.createDataFrame([(900.0,), (5000.0,), (4999.99,)], "v double")
     bands = spark.createDataFrame(
