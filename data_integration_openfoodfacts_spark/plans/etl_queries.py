@@ -327,6 +327,28 @@ GROUP BY 1, 2
 """
 
 
+def q41_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, verified bit-exact). The exact form sorts
+    within groups; at 100 TB swap to ``approx_percentile`` (t-digest
+    sketch, map-side combinable) — same call shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).alias("nb_lines"),
+        F.percentile("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile("l_extendedprice", 0.95).alias("p95_price"),
+    )
+
+
+Q41_ORACLE = """
+SELECT l_returnflag AS returnflag, COUNT(*) AS nb_lines,
+       quantile_cont(l_extendedprice, 0.5) AS p50_price,
+       quantile_cont(l_extendedprice, 0.95) AS p95_price
+FROM lineitem
+GROUP BY 1
+"""
+
+
 ETL_QUERIES = {
     "q7_dim_time": q7_dim_time,
     "q8_events_keep_latest": q8_events_keep_latest,
@@ -341,6 +363,7 @@ ETL_QUERIES = {
     "q17_run_metrics": q17_run_metrics,
     "q30_unixtime_dates": q30_unixtime_dates,
     "q31_mixed_join_null_handling": q31_mixed_join_null_handling,
+    "q41_price_percentiles": q41_price_percentiles,
 }
 
 ETL_ORACLES = {
@@ -357,4 +380,5 @@ ETL_ORACLES = {
     "q17_run_metrics": Q17_ORACLE,
     "q30_unixtime_dates": Q30_ORACLE,
     "q31_mixed_join_null_handling": Q31_ORACLE,
+    "q41_price_percentiles": Q41_ORACLE,
 }
