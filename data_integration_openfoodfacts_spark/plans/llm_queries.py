@@ -329,6 +329,44 @@ WHERE {_dot_sql('a.embedding', 'b.embedding')}
          * sqrt({_dot_sql('b.embedding', 'b.embedding')})) >= 0.35
 """
 
+def q42_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the 3-gram
+    Jaccard pair graph (threshold 0.2) — each clustered document labeled
+    with the min doc_id of its component (the canonical survivor a
+    dedup pipeline would keep)."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    cc = connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+Q42_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.2
+),
+sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+walk(n, m) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM sym)
+  UNION
+  SELECT e.s, w.m FROM sym e JOIN walk w ON e.d = w.n
+)
+SELECT n AS doc_id, MIN(m) AS component FROM walk GROUP BY n
+"""
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -339,6 +377,7 @@ LLM_QUERIES = {
     "q24_cosine_topk": q24_cosine_topk,
     "q25_ivf_topk": q25_ivf_topk,
     "q26_embedding_neardup_pairs": q26_embedding_neardup_pairs,
+    "q42_duplicate_clusters": q42_duplicate_clusters,
 }
 
 LLM_ORACLES = {
@@ -351,4 +390,5 @@ LLM_ORACLES = {
     "q24_cosine_topk": Q24_ORACLE,
     "q25_ivf_topk": Q25_ORACLE,
     "q26_embedding_neardup_pairs": Q26_ORACLE,
+    "q42_duplicate_clusters": Q42_ORACLE,
 }

@@ -1,0 +1,38 @@
+"""Connected components unit tests."""
+
+from __future__ import annotations
+
+from data_integration_openfoodfacts_spark.operators.graph import (
+    connected_components,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2-3-4 chain: diameter > 1 forces multiple propagation rounds
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_disjoint_components(spark):
+    got = _cc(spark, [(1, 2), (10, 11), (11, 12), (20, 21)])
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_triangle_and_direction_independence(spark):
+    a = _cc(spark, [(3, 1), (2, 3), (1, 2)])
+    b = _cc(spark, [(1, 2), (2, 3), (3, 1)])
+    assert a == b == {1: 1, 2: 1, 3: 1}
+
+
+def test_long_chain_converges_within_default_iters(spark):
+    n = 12
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert set(got.values()) == {0}
