@@ -54,6 +54,30 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
 
+    # Baseline-comparable figure: the reference's only published number
+    # is its 418k-row end-to-end ETL (BASELINE.md: 393-580s). Run the
+    # same-scale pipeline (synthetic TSV, full sinks) so the bench
+    # record carries a direct comparison.
+    pipeline_sec = None
+    try:
+        import tools.bench_pipeline as bp
+
+        if not os.path.exists(bp.TSV) or os.path.getsize(bp.TSV) < 10_000_000:
+            bp.gen_tsv(bp.TSV, bp.N_ROWS_DEFAULT)
+        from data_integration_openfoodfacts_spark.plans.pipeline import (
+            run_pipeline,
+        )
+        from data_integration_openfoodfacts_spark.sources.csv_source import (
+            read_openfoodfacts_csv,
+        )
+
+        t0 = time.time()
+        bronze = read_openfoodfacts_csv(spark, bp.TSV, multi_line=False)
+        run_pipeline(spark, bronze, database="benchpipe")
+        pipeline_sec = round(time.time() - t0, 2)
+    except Exception:  # noqa: BLE001 — bench must still emit its line
+        pass
+
     print(
         json.dumps(
             {
@@ -62,6 +86,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "pipeline_e2e_418k_sec": pipeline_sec,
+                "baseline_pipeline_e2e_418k_sec": 393,
             }
         )
     )
