@@ -150,6 +150,66 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    use_lsh: bool = True,
+) -> DataFrame:
+    """End-to-end corpus dedup: near-duplicate pairs -> connected
+    components -> keep ONE canonical document (min id) per cluster.
+
+    ``use_lsh=True`` generates candidates via MinHash banding and
+    verifies them with exact Jaccard (the 100 TB path — candidate
+    generation never goes quadratic); ``False`` uses the exact
+    shingle-join baseline. Returns the deduplicated DataFrame.
+    """
+    from .graph import connected_components
+
+    if use_lsh:
+        candidates = minhash_lsh_pairs(df, id_col, text_col, n)
+        sh = word_shingles(df, id_col, text_col, n)
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        verified = (
+            candidates.join(common, ["id_a", "id_b"])
+            .join(
+                sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sa")),
+                "id_a",
+            )
+            .join(
+                sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sb")),
+                "id_b",
+            )
+            .filter(
+                F.col("common").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("common"))
+                >= threshold
+            )
+            .select("id_a", "id_b")
+        )
+    else:
+        verified = ngram_jaccard_pairs(
+            df, id_col, text_col, n, threshold
+        ).select("id_a", "id_b")
+
+    clusters = connected_components(verified, "id_a", "id_b")
+    # survivors: the min-id doc of each cluster + every unclustered doc
+    losers = clusters.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16
 ) -> DataFrame:
