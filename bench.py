@@ -24,7 +24,10 @@ def run_query(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.0  # non-sfN directory: record 0.0 rather than crash late
 
     from data_integration_openfoodfacts_spark.plans.registry import QUERIES
     from data_integration_openfoodfacts_spark.session import get_spark
@@ -33,7 +36,10 @@ def main() -> None:
         load_table,
     )
 
-    spark = get_spark("bench")
+    spark = get_spark(
+        "bench",
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/benchwh"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm up: file listing + parquet footer reads + JVM codegen paths.
@@ -62,8 +68,7 @@ def main() -> None:
     try:
         import tools.bench_pipeline as bp
 
-        if not os.path.exists(bp.TSV) or os.path.getsize(bp.TSV) < 10_000_000:
-            bp.gen_tsv(bp.TSV, bp.N_ROWS_DEFAULT)
+        bp.ensure_tsv(bp.N_ROWS_DEFAULT)
         from data_integration_openfoodfacts_spark.plans.pipeline import (
             run_pipeline,
         )
@@ -85,7 +90,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf),
+                "sf": sf,
                 "pipeline_e2e_418k_sec": pipeline_sec,
                 "baseline_pipeline_e2e_418k_sec": 393,
             }

@@ -94,7 +94,9 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     def decode_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        def _decode_one(payload: bytes, fake_flag: bool):
+        def _decode_one(payload, fake_flag: bool):
+            if payload is None:
+                return (None, None, None)  # undecodable row, not a crash
             if not fake_flag:
                 raise NotImplementedError(
                     "media codecs unavailable in this container; "
@@ -131,6 +133,9 @@ def extract_byte_features(df: DataFrame, n_buckets: int = 8) -> DataFrame:
 
             out = []
             for payload in batch:
+                if payload is None:
+                    out.append([0.0] * n_buckets)
+                    continue
                 a = np.frombuffer(payload, dtype=np.uint8)
                 if a.size == 0:
                     out.append([0.0] * n_buckets)

@@ -26,10 +26,12 @@ def _star(t: dict[str, DataFrame], *dims: str) -> DataFrame:
     if "brand" in dims:
         df = df.join(F.broadcast(t["dim_brand"]), "brand_sk")
     if "category" in dims:
+        # INNER like the reference Q2/Q3 (requetes_analytiques.sql
+        # joins dim_category without LEFT); with main_category imputed
+        # to 'non classe', every product has a category row anyway.
         df = df.join(
             F.broadcast(t["dim_category"]),
             df["primary_category_sk"] == t["dim_category"]["category_sk"],
-            "left",
         )
     if "time" in dims:
         df = df.join(F.broadcast(t["dim_time"]), "time_sk")
@@ -117,12 +119,13 @@ def nutrient_completeness_by_brand(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def nutrition_anomalies(t: dict[str, DataFrame]) -> DataFrame:
-    """Q5 (:75-90): products with extreme salt or sugars."""
-    j = _star(t, "product")
+    """Q5 (:75-90): products with extreme salt or sugars, with brand
+    attribution (the reference selects brand_name)."""
+    j = _star(t, "product", "brand")
     return j.filter(
         (F.col("salt_100g") > 25) | (F.col("sugars_100g") > 80)
     ).select(
-        "code", "product_name", "salt_100g", "sugars_100g", "nutriscore_grade"
+        "code", "product_name", "brand_name", "salt_100g", "sugars_100g"
     )
 
 

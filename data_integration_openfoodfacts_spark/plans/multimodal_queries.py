@@ -16,7 +16,13 @@ from ..sources.parquet_source import load_table
 
 
 def q29_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # ascii-only filter on BOTH sides: the engine histograms UTF-8
+    # BYTES, the SQL oracle can only see characters — they coincide
+    # exactly on ascii text, so pin that precondition in the query
+    # rather than trusting the fixture to stay ascii forever.
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").rlike("^[\\x00-\\x7F]*$")
+    )
     media = attach_fake_media(docs, "doc_id", "text")
     feats = extract_byte_features(media, n_buckets=8)
     return feats.select(
@@ -28,9 +34,13 @@ def q29_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q29_ORACLE = """
-WITH chars AS (
+WITH ascii_docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE NOT regexp_matches(text, '[^\\x00-\\x7F]')
+),
+chars AS (
   SELECT doc_id AS media_id, ascii(u.c) AS code
-  FROM documents, LATERAL (SELECT UNNEST(string_split(text, '')) AS c) u
+  FROM ascii_docs, LATERAL (SELECT UNNEST(string_split(text, '')) AS c) u
 ),
 sizes AS (SELECT media_id, COUNT(*) AS n FROM chars GROUP BY 1),
 counts AS (SELECT media_id, code // 32 AS bucket, COUNT(*) AS c FROM chars GROUP BY 1, 2),

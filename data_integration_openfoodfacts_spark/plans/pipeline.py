@@ -51,6 +51,7 @@ IMPUTATION = {
     "brands": (None, "marque inconnue"),
     "countries_en": (None, "pays inconue"),
     "nutriscore_grade": (None, "non classe"),
+    "main_category": (None, "non classe"),
 }
 
 # Cols excluded from the aggressive clean (pipeline_etl.ipynb:251-257):
@@ -100,6 +101,12 @@ def build_silver(bronze: DataFrame) -> DataFrame:
             )
     df = df.select(*cleaned)
 
+    # F4: category head + language-prefix strip — BEFORE imputation,
+    # matching the reference's cell order (:245-250 precedes :268-302):
+    # 'en:undefined-foo' must reduce to 'undefined' first so the
+    # invalid-token check can catch it.
+    df = df.withColumn("main_category", extract_category_head("main_category"))
+
     # P5/P6: invalid-token NULLing + defaults (ipynb:268-302).
     imputed = []
     for f in df.schema.fields:
@@ -115,11 +122,9 @@ def build_silver(bronze: DataFrame) -> DataFrame:
             imputed.append(F.col(f.name))
     df = df.select(*imputed)
 
-    # F4: category head + language-prefix strip; F6/AR1: countries ->
-    # real array (kept as array — SURVEY.md AR2 round-trip dropped).
-    df = df.withColumn(
-        "main_category", extract_category_head("main_category")
-    ).withColumn("countries_en", F.split("countries_en", ",\\s*"))
+    # F6/AR1: countries -> real array (kept as array — SURVEY.md AR2
+    # round-trip dropped).
+    df = df.withColumn("countries_en", F.split("countries_en", ",\\s*"))
 
     # P4 + M1-M3: numeric casts, bounds, sodium/salt + kcal->kJ, rounding
     # (ipynb:348-391) — a single select. try_cast: malformed numerics

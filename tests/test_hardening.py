@@ -44,6 +44,31 @@ def test_malformed_numerics_become_null_not_errors(spark, tmp_path):
     assert r["last_modified_t"] is None
 
 
+def test_main_category_imputed_like_reference(spark, tmp_path):
+    """pipeline_etl.ipynb imputes main_category -> 'non classe'; head
+    extraction must run FIRST so 'en:undefined-x' reduces to the
+    invalid token before the check."""
+    path = os.path.join(str(tmp_path), "cat.tsv")
+    rows = [
+        # main_category: language-prefixed invalid token
+        "0050\tThing A\tAcme\ten:undefined-snacks\tSnacks\t\tFrance\t1700000000\ta\t100\t1\t1\t1\t1\t1\t1\t0.4\t0.5",
+        # main_category: empty
+        "0051\tThing B\tAcme\t\tSnacks\t\tFrance\t1700000001\tb\t100\t1\t1\t1\t1\t1\t1\t0.4\t0.5",
+    ]
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(HEADER + "\n" + "\n".join(rows) + "\n")
+    res = run_pipeline(spark, read_openfoodfacts_csv(spark, path))
+    got = {
+        r["code"]: r["main_category"]
+        for r in res.tables["silver_products"].collect()
+    }
+    assert got == {"0050": "non classe", "0051": "non classe"}
+    cats = {
+        r["category_name"] for r in res.tables["dim_category"].collect()
+    }
+    assert cats == {"non classe"}
+
+
 def test_registered_udf_usable_from_sql(spark):
     register_udfs(spark)
     got = spark.sql("SELECT ascii_fold('Côte d\\'Or™') AS v").first()["v"]

@@ -88,13 +88,25 @@ def gen_tsv(path: str, n: int, seed: int = 42) -> None:
             f.write("\n".join(buf) + "\n")
 
 
+def ensure_tsv(n: int) -> None:
+    """Generate the TSV iff missing or generated for a DIFFERENT row
+    count (a sidecar meta records n — size heuristics silently reused
+    wrong-scale files)."""
+    meta = TSV + ".meta"
+    if os.path.exists(TSV) and os.path.exists(meta):
+        if open(meta).read().strip() == str(n):
+            return
+    gen_tsv(TSV, n)
+    with open(meta, "w") as f:
+        f.write(str(n))
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(args[0]) if args else N_ROWS_DEFAULT
     local1 = "--local1" in sys.argv
 
-    if not os.path.exists(TSV) or os.path.getsize(TSV) < n * 50:
-        gen_tsv(TSV, n)
+    ensure_tsv(n)
 
     from data_integration_openfoodfacts_spark.plans.pipeline import run_pipeline
     from data_integration_openfoodfacts_spark.session import get_spark
