@@ -32,7 +32,16 @@ def connected_components(
     max_iter: int = 20,
 ) -> DataFrame:
     """Label every node appearing in ``edges`` (undirected) with the min
-    node id of its component. Returns (node, component)."""
+    node id of its component. Returns (node, component).
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iter`` rounds (component diameter > max_iter) — returning the
+    unconverged labels would silently split true components into
+    multiple "canonical" survivors downstream. Convergence needs
+    max_iter >= graph diameter; raise it for long-chain graphs.
+    """
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
@@ -63,4 +72,10 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); increase max_iter beyond "
+            "the graph diameter"
+        )
     return labels

@@ -50,35 +50,56 @@ def word_shingles(
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    threshold: float = 0.2,
+def exact_jaccard_pairs_from_shingles(
+    sh: DataFrame, id_col: str, threshold: float, max_doc_freq: int | None = None
 ) -> DataFrame:
-    """Exact pairwise n-gram Jaccard >= threshold.
+    """Exact pairwise Jaccard >= threshold from a (id, shingle) table.
 
-    Pairs are generated only for documents sharing >=1 shingle (join on
-    shingle), so cost is sum over shingles of group-size², not N² — the
-    exact-but-still-subquadratic baseline that MinHash approximates.
+    Pairs form only for documents sharing >=1 shingle, so cost is
+    sum over shingles of group-size², not N². ``max_doc_freq`` drops
+    shingles appearing in more than that many documents from PAIR
+    GENERATION only (stopword shingles create quadratic hot buckets);
+    sizes and intersection counts still use the full shingle sets, so
+    jaccard values stay exact for every pair that is generated —
+    capping can only lose pairs whose every common shingle is hot.
     Columns: id_a, id_b (id_a < id_b), common, size_a, size_b, jaccard.
     """
-    # cache: sh feeds three consumers (sizes + both join sides) in one
-    # job. Deliberately not unpersisted — the DataFrame is returned
-    # lazily, so eviction is left to Spark's LRU; callers looping over
-    # many corpora should sh.unpersist() via their own session hygiene.
-    sh = word_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
+    pair_src_a, pair_src_b = a, b
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        pair_src_a = a.join(rare, "shingle", "left_semi")
+        pair_src_b = b.join(rare, "shingle", "left_semi")
+    pairs = (
+        pair_src_a.join(pair_src_b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    out = (
+    if max_doc_freq is not None:
+        # recount intersections over the FULL shingle table so jaccard
+        # is exact even when hot shingles were excluded from generation
+        common = (
+            pairs.join(a, "id_a")
+            .join(b, ["shingle", "id_b"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    return (
         common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("size_a")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("size_b")), "id_b")
         .withColumn(
@@ -89,7 +110,28 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
     )
-    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard >= threshold.
+
+    The exact-but-still-subquadratic baseline that MinHash approximates;
+    see :func:`exact_jaccard_pairs_from_shingles` for the cost model and
+    the ``max_doc_freq`` hot-bucket cap.
+    """
+    # cache: sh feeds three consumers (sizes + both join sides) in one
+    # job. Deliberately not unpersisted — the DataFrame is returned
+    # lazily, so eviction is left to Spark's LRU; callers looping over
+    # many corpora should sh.unpersist() via their own session hygiene.
+    sh = word_shingles(df, id_col, text_col, n).cache()
+    return exact_jaccard_pairs_from_shingles(sh, id_col, threshold, max_doc_freq)
 
 
 def minhash_band_signatures(
@@ -132,14 +174,27 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: documents agreeing on any full
     band of min-hashes. One shuffle on (band, sig); pairs form only
-    inside buckets. Columns: id_a, id_b, nb_bands (distinct agreeing bands).
+    inside buckets. ``max_bucket_size`` drops degenerate buckets (e.g.
+    the all-empty-document signature) whose membership exceeds the cap —
+    a bucket of size m yields m²/2 pairs, so one hot bucket can dominate
+    the whole job; true near-dup clusters that large are recovered by the
+    other bands. Columns: id_a, id_b, nb_bands (distinct agreeing bands).
     """
     bands = minhash_band_signatures(
         df, id_col, text_col, n, num_hashes, band_size
     )
+    if max_bucket_size is not None:
+        small = (
+            bands.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .filter(F.col("m") <= max_bucket_size)
+            .select("band", "sig")
+        )
+        bands = bands.join(small, ["band", "sig"], "left_semi")
     a = bands.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "sig")
     return (
@@ -150,6 +205,69 @@ def minhash_lsh_pairs(
     )
 
 
+def candidate_shingles(
+    sh: DataFrame, candidates: DataFrame, id_col: str
+) -> DataFrame:
+    """Restrict a (id, shingle) table to documents appearing in a
+    candidate-pair table (id_a, id_b) via a semi-join.
+
+    This is what keeps LSH verification candidate-bounded: the exact
+    Jaccard recheck then runs over candidate documents' shingles only —
+    proportional to |candidates|, not to every co-shingled pair in the
+    corpus.
+    """
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    return sh.join(cand_ids, id_col, "left_semi")
+
+
+def verify_candidate_pairs(
+    sh: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs, candidate-bounded.
+
+    Intersections are computed by joining the pair table to each side's
+    shingles (never an open shingle self-join), so the work is
+    sum over candidate pairs of shingles-per-doc. Sizes come from the
+    candidate documents' full shingle sets, so jaccard is exact.
+    Columns: id_a, id_b, jaccard (only pairs >= threshold).
+    """
+    sh_c = candidate_shingles(sh, candidates, id_col)
+    sizes = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh_c.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh_c.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        candidates.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, ["shingle", "id_b"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sb")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sa") + F.col("sb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def dedup_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -157,46 +275,30 @@ def dedup_near_duplicates(
     n: int = 3,
     threshold: float = 0.8,
     use_lsh: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end corpus dedup: near-duplicate pairs -> connected
     components -> keep ONE canonical document (min id) per cluster.
 
     ``use_lsh=True`` generates candidates via MinHash banding and
-    verifies them with exact Jaccard (the 100 TB path — candidate
-    generation never goes quadratic); ``False`` uses the exact
-    shingle-join baseline. Returns the deduplicated DataFrame.
+    verifies them with exact Jaccard computed ONLY over candidate
+    documents (semi-joined shingles + pair-anchored intersection join —
+    see :func:`verify_candidate_pairs`), so neither generation nor
+    verification ever goes quadratic in the corpus: the 100 TB path.
+    ``False`` uses the exact shingle-join baseline. ``max_bucket_size``
+    caps degenerate LSH buckets (see :func:`minhash_lsh_pairs`).
+    Returns the deduplicated DataFrame.
     """
     from .graph import connected_components
 
     if use_lsh:
-        candidates = minhash_lsh_pairs(df, id_col, text_col, n)
+        candidates = minhash_lsh_pairs(
+            df, id_col, text_col, n, max_bucket_size=max_bucket_size
+        )
         sh = word_shingles(df, id_col, text_col, n)
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-        common = (
-            a.join(b, "shingle")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("common"))
-        )
-        verified = (
-            candidates.join(common, ["id_a", "id_b"])
-            .join(
-                sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sa")),
-                "id_a",
-            )
-            .join(
-                sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sb")),
-                "id_b",
-            )
-            .filter(
-                F.col("common").cast("double")
-                / (F.col("sa") + F.col("sb") - F.col("common"))
-                >= threshold
-            )
-            .select("id_a", "id_b")
-        )
+        verified = verify_candidate_pairs(
+            sh, candidates, id_col, threshold
+        ).select("id_a", "id_b")
     else:
         verified = ngram_jaccard_pairs(
             df, id_col, text_col, n, threshold

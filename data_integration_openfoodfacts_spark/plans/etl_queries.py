@@ -253,14 +253,17 @@ def q17_run_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, avg completeness, predicate counts) computed in ONE
     aggregation pass instead of 5 separate actions (SURVEY.md §3.3)."""
     events = load_table(spark, sf_dir, "events")
+    # sum_value is the double cast of an EXACT decimal sum (bit-identical
+    # across engines); the consumer divides sum_value / nb_rows for the
+    # average. Hashing a post-division double is engine-divergent at the
+    # last ulp (round-1 q17 lesson), so no division happens here.
     return events.agg(
         F.count(F.lit(1)).alias("nb_rows"),
         F.countDistinct("user_id").cast("long").alias("nb_users"),
         F.sum((F.col("value") > 100).cast("long")).alias("nb_high_value"),
-        (
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_value"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
     )
 
 
@@ -268,7 +271,7 @@ Q17_ORACLE = """
 SELECT COUNT(*) AS nb_rows,
        COUNT(DISTINCT user_id) AS nb_users,
        SUM(CAST(value > 100 AS BIGINT)) AS nb_high_value,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events
 """
 
