@@ -22,7 +22,10 @@ def _star(t: dict[str, DataFrame], *dims: str) -> DataFrame:
     fact = t["fact_nutrition_snapshot"]
     df = fact
     if "product" in dims:
-        df = df.join(F.broadcast(t["dim_product"]), "product_sk")
+        # dim_product is product-cardinality (one row per fact row) —
+        # never broadcast-force it; AQE broadcasts while small, sorts and
+        # merges once it isn't. The genuinely small dims below keep hints.
+        df = df.join(t["dim_product"], "product_sk")
     if "brand" in dims:
         df = df.join(F.broadcast(t["dim_brand"]), "brand_sk")
     if "category" in dims:

@@ -19,10 +19,14 @@ in SURVEY.md §3.1) with the architectural fixes §4 calls for:
   correctly, with a deterministic tiebreaker (W1, :425-429).
 
 Scale posture: the only wide operations are the keep-latest window
-(hash shuffle on ``code``) and the dim distinct/aggregations; dims are
-orders of magnitude smaller than the product table, so all Gold lookup
-joins broadcast. The fact table write can be partitioned by
-``year(last_modified_date)`` for partition pruning at 100 TB.
+(hash shuffle on ``code``) and the dim distinct/aggregations. The small
+dims (brand/category/time) broadcast into their lookup joins;
+dim_product is product-cardinality, so the fact join on ``code`` is a
+regular shuffle join (AQE still broadcasts it while genuinely small).
+Surrogate keys default to the deterministic ``row_number`` mint for
+oracle parity; ``sk_strategy="hash"`` is the shuffle-free scale mode.
+The fact table write can be partitioned by ``year(last_modified_date)``
+for partition pruning at 100 TB.
 """
 
 from __future__ import annotations
@@ -189,8 +193,19 @@ def build_silver(bronze: DataFrame) -> DataFrame:
     )
 
 
-def build_gold(silver: DataFrame) -> dict[str, DataFrame]:
-    """Silver -> star schema. Returns {table_name: DataFrame}."""
+def build_gold(
+    silver: DataFrame, sk_strategy: str = "row_number"
+) -> dict[str, DataFrame]:
+    """Silver -> star schema. Returns {table_name: DataFrame}.
+
+    ``sk_strategy`` selects how surrogate keys are minted
+    (``operators/keys.py``): ``row_number`` is fully deterministic and
+    the oracle-test default but plans a single-partition global sort —
+    fine for the small dims, a scale-killer for the product-cardinality
+    dim_product at 100 TB; ``hash`` (xxhash64 of the natural key) is
+    shuffle-free and embarrassingly parallel — the scale mode. Pair
+    ``hash`` with the ``assert_unique`` check ``run_pipeline`` performs.
+    """
     # dim_time: degenerate SK == last_modified_t (data_dictionary.md:263-267).
     dim_time = (
         silver.select("last_modified_t")
@@ -216,6 +231,7 @@ def build_gold(silver: DataFrame) -> dict[str, DataFrame]:
         .distinct(),
         "brand_sk",
         ["brand_name"],
+        strategy=sk_strategy,
     )
 
     # Deterministic parent survivor: dropDuplicates picks a partition-
@@ -231,6 +247,7 @@ def build_gold(silver: DataFrame) -> dict[str, DataFrame]:
         .agg(F.min("parent_category_name").alias("parent_category_name")),
         "category_sk",
         ["category_name"],
+        strategy=sk_strategy,
     )
 
     dim_country = add_surrogate_key(
@@ -239,6 +256,7 @@ def build_gold(silver: DataFrame) -> dict[str, DataFrame]:
         .distinct(),
         "country_sk",
         ["country_name"],
+        strategy=sk_strategy,
     )
 
     # dim_product: lookup joins J1/J2 — dims are small, broadcast them.
@@ -262,11 +280,17 @@ def build_gold(silver: DataFrame) -> dict[str, DataFrame]:
         ),
         "product_sk",
         ["code"],
+        strategy=sk_strategy,
     )
 
-    # fact: J3 inner join on code + snapshot measures.
+    # fact: J3 inner join on code + snapshot measures. dim_product has
+    # one row PER PRODUCT — the same cardinality as the fact — so it is
+    # deliberately NOT broadcast (a forced broadcast OOMs the moment the
+    # product table outgrows executor memory); AQE picks broadcast on
+    # its own while the table is actually small. At 100 TB, bucket both
+    # sides on ``code`` to make this a shuffle-free sort-merge join.
     fact = silver.join(
-        F.broadcast(dim_product.select("product_sk", "code")), "code", "inner"
+        dim_product.select("product_sk", "code"), "code", "inner"
     ).select(
         "product_sk",
         F.col("last_modified_t").alias("time_sk"),
@@ -331,11 +355,18 @@ def run_pipeline(
     database: str | None = None,
     partition_fact_by_year: bool = False,
     analyze_tables: bool = False,
+    sk_strategy: str = "row_number",
 ) -> PipelineResult:
     """Full Bronze->Gold run. If ``database`` is given, persists Silver +
     Gold as Parquet tables ``<database>_silver.products`` /
     ``<database>_gold.<dim|fact>``; otherwise keeps them as cached
     DataFrames (test mode).
+
+    ``sk_strategy="hash"`` is the 100 TB mode: surrogate keys become
+    shuffle-free xxhash64 mints (no global sort), and every minted key
+    is verified unique in-run (``assert_unique``) since hash keys are
+    probabilistic — a collision fails the run instead of silently
+    corrupting the star schema.
 
     Metrics parity with pipeline_etl.ipynb:708-717, computed in ONE
     aggregation pass over the fact instead of 5 separate actions.
@@ -346,7 +377,23 @@ def run_pipeline(
     silver = build_silver(bronze).cache()
     rows_out = silver.count()
 
-    gold = build_gold(silver)
+    gold = build_gold(silver, sk_strategy=sk_strategy)
+
+    if sk_strategy == "hash":
+        from ..operators.dq import assert_unique
+
+        for name, sk in [
+            ("dim_brand", "brand_sk"),
+            ("dim_category", "category_sk"),
+            ("dim_country", "country_sk"),
+            ("dim_product", "product_sk"),
+        ]:
+            dupes = assert_unique(gold[name], [sk])
+            if dupes:
+                raise RuntimeError(
+                    f"hash surrogate-key collision: {name}.{sk} has "
+                    f"{dupes} duplicated key groups"
+                )
 
     if database:
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}_silver")

@@ -134,3 +134,95 @@ def test_metrics_shape(result):
     }
     assert m["sugar_anomalies"] == 0
     assert 0 <= m["avg_completeness"] <= 1
+
+
+def _executed_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fact_dim_product_join_not_broadcast_forced(result):
+    """dim_product is product-cardinality; a forced broadcast OOMs at
+    scale. With broadcast thresholds disabled, any BroadcastHashJoin left
+    in the plan can only come from a hint — the fact join on code must
+    fall back to a shuffle join instead (round-2 fix, VERDICT #3)."""
+    spark = result.tables["fact_nutrition_snapshot"].sparkSession
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        from data_integration_openfoodfacts_spark.plans.pipeline import (
+            build_gold,
+        )
+
+        gold = build_gold(result.tables["silver_products"])
+        plan = _executed_plan(gold["fact_nutrition_snapshot"])
+        assert "SortMergeJoin" in plan  # the code join shuffles
+        # no hinted broadcast of the product-cardinality side survives
+        # (Catalyst even prunes the small-dim lookup joins away here,
+        # since the fact only needs product_sk+code)
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_gold_analytics_product_join_not_broadcast_forced(result):
+    from data_integration_openfoodfacts_spark.plans.gold_analytics import (
+        _star,
+    )
+
+    spark = result.tables["fact_nutrition_snapshot"].sparkSession
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        plan = _executed_plan(_star(result.tables, "product"))
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+@pytest.fixture(scope="module")
+def hash_result(spark, tmp_path_factory):
+    path = os.path.join(str(tmp_path_factory.mktemp("offh")), "products.tsv")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(HEADER + "\n" + "\n".join(ROWS) + "\n")
+    bronze = read_openfoodfacts_csv(spark, path)
+    return run_pipeline(spark, bronze, sk_strategy="hash")
+
+
+def test_hash_sk_pipeline_integrity(hash_result):
+    """The 100 TB SK mode: xxhash64 keys, no global sort, same star
+    integrity as the row_number default."""
+    t = hash_result.tables
+    assert hash_result.metrics["rows_out"] == 3
+    assert assert_unique(t["dim_product"], ["product_sk"]) == 0
+    assert assert_unique(t["dim_brand"], ["brand_sk"]) == 0
+    fact = t["fact_nutrition_snapshot"]
+    assert assert_no_orphans(fact, t["dim_product"], "product_sk") == 0
+    assert assert_count_parity(t["silver_products"], fact) == 0
+
+
+def test_hash_sk_is_deterministic_hash(hash_result):
+    from pyspark.sql import functions as F
+
+    dp = hash_result.tables["dim_product"]
+    mismatches = dp.filter(
+        F.col("product_sk") != F.xxhash64(F.col("code"))
+    ).count()
+    assert mismatches == 0
+
+
+def test_hash_sk_plan_has_no_global_sort(hash_result, spark):
+    """row_number SK plans a single-partition window sort; the hash mode
+    must not — that's the entire point of the strategy."""
+    from data_integration_openfoodfacts_spark.plans.pipeline import build_gold
+
+    silver = hash_result.tables["silver_products"]
+    # (silver's own keep-latest window is partitioned by code — only a
+    # SinglePartition exchange marks the global row_number sort)
+    hash_plan = _executed_plan(build_gold(silver, sk_strategy="hash")["dim_product"])
+    rn_plan = _executed_plan(build_gold(silver)["dim_product"])
+    assert "SinglePartition" not in hash_plan
+    assert "SinglePartition" in rn_plan
