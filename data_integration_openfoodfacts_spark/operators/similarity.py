@@ -20,10 +20,12 @@ identically, so scores are bit-identical across engines.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity_expr
+from ..functions.vectors import cosine_similarity_expr, dot_product_expr
 
 
 def cosine_topk(
@@ -111,3 +113,155 @@ def ivf_topk(
         cosine_similarity_expr(vec_col, "__qv").alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def rademacher_hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random +-1 (Rademacher) hyperplanes derived
+    from md5 — engine-neutral, so a DuckDB oracle can embed the exact
+    same planes as literals. Sign-of-dot with +-1 components is the
+    classic sign-random-projection (SimHash for real vectors, Charikar
+    2002): P[sign agrees] = 1 - angle/pi, and products by +-1.0 are
+    bit-exact in IEEE double, keeping Spark and the oracle identical."""
+    planes: list[list[float]] = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"rhp:{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_lsh_candidates(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_band: int = 2,
+    num_bands: int = 16,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane LSH candidate pairs for embedding near-dup —
+    the bucketed scale path behind the exact all-pairs baseline
+    (plans/llm_queries.q26). Never quadratic: each vector computes
+    ``rows_per_band * num_bands`` sign bits in one narrow JVM-side
+    projection, explodes to ``num_bands`` (band, signature) rows, and
+    the only shuffle is the equi-join on (band, signature) — work is
+    proportional to bucket sizes, not n².
+
+    Tuning is threshold-driven: P[one plane agrees] = 1 - theta/pi, so
+    a production near-dup threshold (cosine >= 0.9, p ~ 0.857) prunes
+    sharply with rows_per_band=8 (see tests), while a near-random
+    threshold like 0.35 (p ~ 0.614) needs short bands
+    (rows_per_band=2) for recall and legitimately retains most pairs —
+    that is a property of the threshold, not the algorithm.
+
+    ``max_bucket_size`` caps degenerate buckets (e.g. all-zero
+    vectors collapse to one signature): buckets larger than the cap are
+    dropped before the pair join, bounding the worst-case bucket cost
+    at a (documented) recall loss.
+
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    num_planes = rows_per_band * num_bands
+    planes = rademacher_hyperplanes(num_planes, dim)
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    vec_d,
+                    F.array(*[F.lit(v) for v in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0
+        )
+        .cast("int")
+        .cast("string")
+        for plane in planes
+    ]
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *bits[b * rows_per_band : (b + 1) * rows_per_band]
+                ).alias("sig"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    tagged = (
+        embeddings.select(F.col(id_col), F.explode(band_sigs).alias("bs"))
+        .select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    )
+    if max_bucket_size is not None:
+        ok = (
+            tagged.groupBy("band", "sig")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .select("band", "sig")
+        )
+        tagged = tagged.join(ok, ["band", "sig"])
+    a = tagged.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = tagged.select(F.col(id_col).alias("id_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def hyperplane_lsh_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_band: int = 2,
+    num_bands: int = 16,
+    threshold: float = 0.35,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH candidates -> exact-cosine verification (>= ``threshold``).
+
+    The verify joins embeddings back to the candidate pairs only, so
+    (unlike an all-pairs scan) exact-cosine work is bounded by the
+    candidate count. Output columns (id_a, id_b, cosine) match the
+    exact baseline's, enabling pair-for-pair recall checks.
+    """
+    cand = hyperplane_lsh_candidates(
+        embeddings,
+        dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        rows_per_band=rows_per_band,
+        num_bands=num_bands,
+        max_bucket_size=max_bucket_size,
+    )
+    ea = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.sqrt(dot_product_expr(vec_col, vec_col)).alias("__na"),
+    )
+    eb = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.sqrt(dot_product_expr(vec_col, vec_col)).alias("__nb"),
+    )
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                dot_product_expr("__va", "__vb")
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

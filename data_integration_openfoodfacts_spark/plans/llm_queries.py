@@ -329,6 +329,67 @@ WHERE {_dot_sql('a.embedding', 'b.embedding')}
          * sqrt({_dot_sql('b.embedding', 'b.embedding')})) >= 0.35
 """
 
+def q43_hyperplane_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH embedding near-dup — the bucketed SCALE
+    path behind q26's exact all-pairs baseline. 32 md5-derived +-1
+    hyperplanes, 16 bands of 2 sign bits, candidates verified with
+    exact cosine >= 0.35. Work is one (band, sig) equi-join plus a
+    candidate-bounded verify — never an n² cross join.
+
+    Band choice: 0.35 is deliberately near-random (theta ~ 69.5deg,
+    P[bit agrees] ~ 0.614), so bands are short for recall — on this
+    corpus recall vs q26 is exactly 1.0 (pinned by test). Production
+    thresholds (>= 0.9) use rows_per_band=8 and actually prune (see
+    tests/test_llm_ops.py planted-near-dup case)."""
+    from ..operators.similarity import hyperplane_lsh_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_pairs(
+        emb, dim=64, rows_per_band=2, num_bands=16, threshold=0.35
+    )
+
+
+def _q43_oracle() -> str:
+    from ..operators.similarity import rademacher_hyperplanes
+
+    planes = rademacher_hyperplanes(32, 64)
+    rows = ",\n".join(
+        f"({p}, {p // 2}, [{', '.join(str(v) for v in row)}]::DOUBLE[])"
+        for p, row in enumerate(planes)
+    )
+    cos = (
+        f"{_dot_sql('a.embedding', 'b.embedding')}"
+        f" / (sqrt({_dot_sql('a.embedding', 'a.embedding')})"
+        f" * sqrt({_dot_sql('b.embedding', 'b.embedding')}))"
+    )
+    return f"""
+WITH planes(p, band, pv) AS (VALUES {rows}),
+bits AS (
+  SELECT e.vec_id, pl.p, pl.band,
+         CASE WHEN {_dot_sql('e.embedding', 'pl.pv')} >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM embeddings e, planes pl
+),
+sig AS (
+  SELECT vec_id, band, string_agg(bit, '' ORDER BY p) AS sig
+  FROM bits GROUP BY vec_id, band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a
+  JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, {cos} AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.id_a
+JOIN embeddings b ON b.vec_id = c.id_b
+WHERE {cos} >= 0.35
+"""
+
+
+Q43_ORACLE = _q43_oracle()
+
+
 def q42_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the 3-gram
     Jaccard pair graph (threshold 0.2) — each clustered document labeled
@@ -378,6 +439,7 @@ LLM_QUERIES = {
     "q25_ivf_topk": q25_ivf_topk,
     "q26_embedding_neardup_pairs": q26_embedding_neardup_pairs,
     "q42_duplicate_clusters": q42_duplicate_clusters,
+    "q43_hyperplane_lsh_neardup_pairs": q43_hyperplane_lsh_neardup_pairs,
 }
 
 LLM_ORACLES = {
@@ -391,4 +453,5 @@ LLM_ORACLES = {
     "q25_ivf_topk": Q25_ORACLE,
     "q26_embedding_neardup_pairs": Q26_ORACLE,
     "q42_duplicate_clusters": Q42_ORACLE,
+    "q43_hyperplane_lsh_neardup_pairs": Q43_ORACLE,
 }

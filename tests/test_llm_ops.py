@@ -127,3 +127,118 @@ def test_rolling_fingerprint_order_sensitive(spark):
     df = spark.createDataFrame([("ab",), ("ba",)], "text string")
     vals = {r["f"] for r in df.select(rolling_fingerprint("text").alias("f")).collect()}
     assert len(vals) == 2
+
+
+# --- random-hyperplane LSH (q43 scale path for q26) -------------------
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _planted_embeddings(spark, n_base=60, noise=0.18, dim=64):
+    """Deterministic planted near-dups: n_base md5-seeded gaussian base
+    vectors plus one noisy copy each (cosine ~0.95) — no RNG, so the
+    test is bit-stable across runs."""
+    import hashlib
+    import math
+
+    def unit_hash(tag):
+        # md5 -> [0, 1) double
+        return int(hashlib.md5(tag.encode()).hexdigest()[:13], 16) / 16**13
+
+    def gauss_vec(tag, d):
+        out = []
+        for i in range(d // 2):
+            u1 = max(unit_hash(f"{tag}:u1:{i}"), 1e-12)
+            u2 = unit_hash(f"{tag}:u2:{i}")
+            r = math.sqrt(-2.0 * math.log(u1))
+            out.append(r * math.cos(2 * math.pi * u2))
+            out.append(r * math.sin(2 * math.pi * u2))
+        return out
+
+    rows = []
+    for i in range(n_base):
+        base = gauss_vec(f"base:{i}", dim)
+        jitter = gauss_vec(f"noise:{i}", dim)
+        noisy = [b + noise * j for b, j in zip(base, jitter)]
+        rows.append((i, [float(x) for x in base]))
+        rows.append((n_base + i, [float(x) for x in noisy]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_hyperplane_lsh_matches_exact_baseline(spark):
+    """q43's verified pairs == q26's exact all-pairs output at sf0.001
+    (the VERDICT round-2 acceptance: LSH recall 1.0 on testdata)."""
+    from data_integration_openfoodfacts_spark.plans.llm_queries import (
+        q26_embedding_neardup_pairs,
+        q43_hyperplane_lsh_neardup_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in q26_embedding_neardup_pairs(spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in q43_hyperplane_lsh_neardup_pairs(spark, SF_DIR).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0
+
+
+def test_hyperplane_lsh_prunes_at_production_threshold(spark):
+    """At a realistic near-dup threshold (cosine >= 0.9) with 8-bit
+    bands, candidates are a small fraction of all pairs while every
+    planted near-dup pair survives — the actual 100 TB story."""
+    from data_integration_openfoodfacts_spark.operators.similarity import (
+        hyperplane_lsh_candidates,
+        hyperplane_lsh_pairs,
+    )
+
+    emb = _planted_embeddings(spark)
+    n = emb.count()
+    all_pairs = n * (n - 1) // 2
+    cand = hyperplane_lsh_candidates(
+        emb, dim=64, rows_per_band=8, num_bands=8
+    ).count()
+    assert cand < 0.15 * all_pairs  # real pruning, not all-pairs
+
+    verified = {
+        (r["id_a"], r["id_b"])
+        for r in hyperplane_lsh_pairs(
+            emb, dim=64, rows_per_band=8, num_bands=8, threshold=0.9
+        ).collect()
+    }
+    # every planted (base i, noisy i) pair with true cosine >= 0.9 found
+    from data_integration_openfoodfacts_spark.functions.vectors import (
+        cosine_similarity_expr,
+    )
+
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    ).filter(F.col("id_a") < 60)
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    planted = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_b") == F.col("id_a") + 60)
+        .filter(cosine_similarity_expr("va", "vb") >= 0.9)
+        .collect()
+    }
+    assert planted  # noise level keeps most planted pairs above 0.9
+    assert planted <= verified
+
+
+def test_hyperplane_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """max_bucket_size drops oversized buckets before the pair join —
+    an all-identical corpus would otherwise make one quadratic bucket."""
+    from data_integration_openfoodfacts_spark.operators.similarity import (
+        hyperplane_lsh_candidates,
+    )
+
+    same = [(i, [1.0] * 64) for i in range(40)]
+    emb = spark.createDataFrame(same, ["vec_id", "embedding"])
+    uncapped = hyperplane_lsh_candidates(emb, dim=64).count()
+    capped = hyperplane_lsh_candidates(emb, dim=64, max_bucket_size=10).count()
+    assert uncapped == 40 * 39 // 2
+    assert capped == 0
