@@ -152,12 +152,71 @@ SELECT 'view_and_buy' AS segment, user_id FROM (SELECT user_id FROM viewers INTE
 """
 
 
+def q44_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 history over the events CDC feed: each user's
+    event_type becomes a tracked dimension attribute; every attribute
+    change opens a version with effective_from/effective_to/is_current.
+    The reference designed exactly this as future work
+    (vincent_valentin/docs/architecture_notes.md:263-331,
+    docs/data_dictionary.md:456-464); the oracle reconstructs the
+    version intervals with lag/lead window functions."""
+    from ..operators.dedup import dedup_keep_latest
+    from ..operators.scd import scd2_history
+
+    ev = load_events(spark, sf_dir)
+    # one change per (user, micro-ts): latest event_id wins the tie
+    changes = dedup_keep_latest(
+        ev.select("user_id", "ts", "event_type", "event_id"),
+        keys=["user_id", "ts"],
+        order_by=[F.col("event_id").desc()],
+    )
+    hist = scd2_history(
+        changes, keys=["user_id"], order_col="ts", tracked_cols=["event_type"]
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.col("effective_from").cast("string").alias("effective_from"),
+        F.col("effective_to").cast("string").alias("effective_to"),
+        "is_current",
+        "version",
+    )
+
+
+Q44_ORACLE = """
+WITH ch AS (
+  SELECT user_id, make_timestamp(epoch_us(ts)) AS mts, event_type
+  FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, make_timestamp(epoch_us(ts))
+                             ORDER BY event_id DESC) = 1
+),
+flagged AS (
+  SELECT user_id, mts, event_type,
+         (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY mts) = 1
+          OR event_type IS DISTINCT FROM
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY mts)) AS brk
+  FROM ch
+),
+vers AS (SELECT user_id, mts, event_type FROM flagged WHERE brk)
+SELECT user_id, event_type,
+       CAST(mts AS VARCHAR) AS effective_from,
+       CAST(LEAD(mts) OVER (PARTITION BY user_id ORDER BY mts) AS VARCHAR)
+         AS effective_to,
+       (LEAD(mts) OVER (PARTITION BY user_id ORDER BY mts) IS NULL)
+         AS is_current,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY mts) AS BIGINT)
+         AS version
+FROM vers
+"""
+
+
 STREAMING_QUERIES = {
     "q27_windowed_event_stats": q27_windowed_event_stats,
     "q28_sessionized_events": q28_sessionized_events,
     "q38_time_rollup": q38_time_rollup,
     "q39_user_value_ewma": q39_user_value_ewma,
     "q40_set_operations": q40_set_operations,
+    "q44_scd2_user_history": q44_scd2_user_history,
 }
 
 STREAMING_ORACLES = {
@@ -166,4 +225,5 @@ STREAMING_ORACLES = {
     "q38_time_rollup": Q38_ORACLE,
     "q39_user_value_ewma": Q39_ORACLE,
     "q40_set_operations": Q40_ORACLE,
+    "q44_scd2_user_history": Q44_ORACLE,
 }
