@@ -352,6 +352,52 @@ GROUP BY 1
 """
 
 
+def q45_dim_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_country build through the PRODUCTION builder
+    (plans/pipeline.build_dim_country): a comma-joined multi-value
+    geo string per customer (nation, region — the testdata stand-in for
+    OFF's ``countries_en``) is split to an array, exploded to DISTINCT
+    country names, and surrogate-keyed. Oracle-pins the engine's
+    deliberate divergence from the reference's one-row-per-product
+    no-dedup shape (pipeline_etl.ipynb:523-525; see the builder's
+    docstring)."""
+    from .pipeline import build_dim_country
+
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = (
+        customer.join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+        )
+        .select(
+            F.split(F.concat_ws(", ", "n_name", "r_name"), ",\\s*").alias(
+                "countries_en"
+            )
+        )
+    )
+    return build_dim_country(base)
+
+
+Q45_ORACLE = """
+SELECT country_name,
+       CAST(ROW_NUMBER() OVER (ORDER BY country_name) AS BIGINT) AS country_sk
+FROM (
+  SELECT DISTINCT u.x AS country_name
+  FROM (SELECT n_name || ', ' || r_name AS cs
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey) t,
+  LATERAL (SELECT UNNEST(string_split_regex(cs, ',\\s*')) AS x) u
+  WHERE u.x IS NOT NULL AND u.x <> ''
+)
+"""
+
+
 ETL_QUERIES = {
     "q7_dim_time": q7_dim_time,
     "q8_events_keep_latest": q8_events_keep_latest,
@@ -367,6 +413,7 @@ ETL_QUERIES = {
     "q30_unixtime_dates": q30_unixtime_dates,
     "q31_mixed_join_null_handling": q31_mixed_join_null_handling,
     "q41_price_percentiles": q41_price_percentiles,
+    "q45_dim_country": q45_dim_country,
 }
 
 ETL_ORACLES = {
@@ -384,4 +431,5 @@ ETL_ORACLES = {
     "q30_unixtime_dates": Q30_ORACLE,
     "q31_mixed_join_null_handling": Q31_ORACLE,
     "q41_price_percentiles": Q41_ORACLE,
+    "q45_dim_country": Q45_ORACLE,
 }

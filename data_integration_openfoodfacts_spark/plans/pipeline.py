@@ -193,6 +193,32 @@ def build_silver(bronze: DataFrame) -> DataFrame:
     )
 
 
+def build_dim_country(
+    df: DataFrame,
+    countries_col: str = "countries_en",
+    sk_strategy: str = "row_number",
+) -> DataFrame:
+    """dim_country: explode the country array to DISTINCT names, one row
+    per country (+ surrogate key).
+
+    DELIBERATE divergence from the reference, which writes one
+    dim_country row PER PRODUCT holding the full comma-joined list with
+    no dedup (vincent_valentin/pipeline_etl.ipynb:523-525) — that shape
+    can't serve as a conformed dimension (no FK from fact, unbounded
+    duplication). The exploded-distinct form is the star-schema-correct
+    reading of the same source column; pinned by
+    tests/test_pipeline.py::test_dim_country_is_exploded_distinct and
+    oracle-checked by q45 (plans/etl_queries.py)."""
+    return add_surrogate_key(
+        df.select(F.explode(countries_col).alias("country_name"))
+        .filter(F.col("country_name").isNotNull() & (F.col("country_name") != ""))
+        .distinct(),
+        "country_sk",
+        ["country_name"],
+        strategy=sk_strategy,
+    )
+
+
 def build_gold(
     silver: DataFrame, sk_strategy: str = "row_number"
 ) -> dict[str, DataFrame]:
@@ -250,14 +276,7 @@ def build_gold(
         strategy=sk_strategy,
     )
 
-    dim_country = add_surrogate_key(
-        silver.select(F.explode("countries_en").alias("country_name"))
-        .filter(F.col("country_name").isNotNull() & (F.col("country_name") != ""))
-        .distinct(),
-        "country_sk",
-        ["country_name"],
-        strategy=sk_strategy,
-    )
+    dim_country = build_dim_country(silver, sk_strategy=sk_strategy)
 
     # dim_product: lookup joins J1/J2 — dims are small, broadcast them.
     dim_product = add_surrogate_key(

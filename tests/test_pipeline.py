@@ -226,3 +226,25 @@ def test_hash_sk_plan_has_no_global_sort(hash_result, spark):
     rn_plan = _executed_plan(build_gold(silver)["dim_product"])
     assert "SinglePartition" not in hash_plan
     assert "SinglePartition" in rn_plan
+
+
+def test_dim_country_is_exploded_distinct(result):
+    """Pins the documented divergence from the reference: dim_country is
+    one row per DISTINCT country name (conformed dimension), NOT the
+    reference's one-row-per-product comma-joined list with no dedup
+    (pipeline_etl.ipynb:523-525)."""
+    from pyspark.sql import functions as F
+
+    dc = result.tables["dim_country"].collect()
+    names = [r["country_name"] for r in dc]
+    assert len(names) == len(set(names))  # deduped
+    assert all("," not in n for n in names)  # split, not the raw list
+    silver_countries = {
+        c
+        for r in result.tables["silver_products"]
+        .select(F.explode("countries_en").alias("c"))
+        .collect()
+        for c in [r["c"]]
+        if c
+    }
+    assert set(names) == silver_countries
