@@ -16,12 +16,15 @@ from ..sources.parquet_source import load_table
 
 
 def q29_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ascii-only filter on BOTH sides: the engine histograms UTF-8
-    # BYTES, the SQL oracle can only see characters — they coincide
-    # exactly on ascii text, so pin that precondition in the query
-    # rather than trusting the fixture to stay ascii forever.
+    # ascii-only + non-empty filter on BOTH sides: the engine histograms
+    # UTF-8 BYTES, the SQL oracle can only see characters — they
+    # coincide exactly on ascii text; and an empty payload has no
+    # defined histogram (the engine emits all-zeros, DuckDB's
+    # string_split('','') would yield [''] with ascii('')=0 -> a fake
+    # bucket-0 of 1.0). Pin both preconditions in the query rather than
+    # trusting the fixture to stay ascii and non-empty forever.
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").rlike("^[\\x00-\\x7F]*$")
+        F.col("text").rlike("^[\\x00-\\x7F]*$") & (F.col("text") != "")
     )
     media = attach_fake_media(docs, "doc_id", "text")
     feats = extract_byte_features(media, n_buckets=8)
@@ -36,7 +39,7 @@ def q29_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q29_ORACLE = """
 WITH ascii_docs AS (
   SELECT doc_id, text FROM documents
-  WHERE NOT regexp_matches(text, '[^\\x00-\\x7F]')
+  WHERE NOT regexp_matches(text, '[^\\x00-\\x7F]') AND text <> ''
 ),
 chars AS (
   SELECT doc_id AS media_id, ascii(u.c) AS code

@@ -116,12 +116,16 @@ def q39_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q39_ORACLE = """
 -- order by the MICRO-truncated ts (what Spark sees) + event_id, so a
 -- same-microsecond pair can't order differently via the raw nanos;
--- FILTER mirrors the Spark fold's skip-null semantics
+-- FILTER mirrors the Spark fold's skip-null semantics. The COUNT(value)
+-- guard mirrors Spark's NULL ewma for an all-NULL user — DuckDB's
+-- list_reduce raises on an empty list instead of returning NULL.
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
-       list_reduce(
-         list(value ORDER BY make_timestamp(epoch_us(ts)), event_id)
-           FILTER (WHERE value IS NOT NULL),
-         (acc, x) -> acc + 0.3 * (x - acc)) AS ewma
+       CASE WHEN COUNT(value) = 0 THEN NULL
+            ELSE list_reduce(
+              list(value ORDER BY make_timestamp(epoch_us(ts)), event_id)
+                FILTER (WHERE value IS NOT NULL),
+              (acc, x) -> acc + 0.3 * (x - acc))
+       END AS ewma
 FROM events
 GROUP BY user_id
 """

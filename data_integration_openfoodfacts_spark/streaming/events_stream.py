@@ -158,20 +158,48 @@ def overwrite_parquet_atomically(df: DataFrame, path: str) -> None:
     """Write-to-temp-then-swap: a plain overwrite of a path the plan is
     lazily reading from deletes the source mid-computation if any cached
     partition is evicted and recomputed. The temp write fully
-    materializes first; the swap is two renames."""
+    materializes first; the swap parks the old target in a trash dir,
+    renames the temp in, then drops the trash — so the accumulated data
+    survives both a failed swap (restored from trash) and a crash in
+    the window between renames (trash still on disk for manual
+    recovery; the window itself is inherent to rename-based swaps on
+    non-transactional stores — Delta/Iceberg remove it entirely).
+
+    Hadoop ``FileSystem.rename`` reports failure via its boolean return
+    (no exception); every rename here is checked — a silently-failed
+    rename after the target was removed would otherwise destroy it.
+    """
     import uuid
 
     spark = df.sparkSession
-    tmp = f"{path.rstrip('/')}__tmp_{uuid.uuid4().hex[:8]}"
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{path.rstrip('/')}__tmp_{token}"
+    trash = f"{path.rstrip('/')}__trash_{token}"
     df.write.mode("overwrite").parquet(tmp)
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    htrash = jvm.org.apache.hadoop.fs.Path(trash)
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
-    if fs.exists(hpath):
-        fs.delete(hpath, True)
-    fs.rename(htmp, hpath)
+    had_target = fs.exists(hpath)
+    if had_target and not fs.rename(hpath, htrash):
+        raise IOError(
+            f"overwrite_parquet_atomically: could not park {path} -> "
+            f"{trash}; target left untouched"
+        )
+    if not fs.rename(htmp, hpath):
+        if had_target and not fs.rename(htrash, hpath):
+            raise IOError(
+                f"overwrite_parquet_atomically: swap failed AND restore "
+                f"failed — data preserved at {trash}"
+            )
+        raise IOError(
+            f"overwrite_parquet_atomically: could not rename {tmp} -> "
+            f"{path}" + ("; previous target restored" if had_target else "")
+        )
+    if had_target:
+        fs.delete(htrash, True)
 
 
 def upsert_keep_latest_batch(
