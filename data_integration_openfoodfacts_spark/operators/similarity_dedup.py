@@ -345,3 +345,40 @@ def simhash(
         .cast("long")
         .alias("simhash")
     )
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    ``min_shared`` distinct n-gram shingles with ANY benchmark document
+    — the standard guard against eval-set leakage in a training corpus
+    (n-gram-overlap decontamination, cf. GPT-3/C4-style dataset cards).
+
+    Returns (id, shared_shingles, benchmark_docs) for contaminated
+    documents only; anti-join the corpus against it to clean.
+
+    Scale posture: one equi-join on the shingle key. The benchmark side
+    is tiny relative to the corpus (eval sets are thousands of docs, the
+    corpus billions), so Spark broadcasts its shingle table and the
+    corpus side never shuffles; the per-doc aggregation shuffles on the
+    corpus doc id only. Never quadratic in corpus size.
+    """
+    corp_sh = word_shingles(corpus, id_col, text_col, n)
+    bench_sh = word_shingles(benchmark, id_col, text_col, n).select(
+        F.col(id_col).alias("__bench_id"), "shingle"
+    )
+    hits = corp_sh.join(F.broadcast(bench_sh), "shingle")
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("shared_shingles"),
+            F.countDistinct("__bench_id").alias("benchmark_docs"),
+        )
+        .filter(F.col("shared_shingles") >= min_shared)
+    )

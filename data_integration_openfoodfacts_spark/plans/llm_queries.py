@@ -428,6 +428,117 @@ SELECT n AS doc_id, MIN(m) AS component FROM walk GROUP BY n
 """
 
 
+def q46_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: corpus docs sharing >= 5 distinct
+    3-gram shingles with any 'benchmark' doc (stand-in benchmark set:
+    doc_id % 50 == 0). One shingle equi-join with the tiny benchmark
+    side broadcast — never quadratic in corpus size."""
+    from ..operators.similarity_dedup import benchmark_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return benchmark_contamination(
+        corpus, benchmark, "doc_id", "text", n=3, min_shared=5
+    )
+
+
+Q46_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+bench AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 = 0),
+corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+SELECT c.doc_id,
+       COUNT(DISTINCT c.shingle) AS shared_shingles,
+       COUNT(DISTINCT b.doc_id) AS benchmark_docs
+FROM corp c JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+HAVING COUNT(DISTINCT c.shingle) >= 5
+"""
+
+
+def q47_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: exact top-3 cosine neighbours for EVERY query
+    vector (vec_id < 10) in one pass. The small query side broadcasts,
+    so the corpus is scanned once total — not once per query — and only
+    the per-query top-k aggregation shuffles (on query_id). At real
+    scale the per-query IVF variant (q25) bounds the scan further."""
+    from ..functions.vectors import dot_product_expr, l2_norm_expr
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm_expr("embedding").alias("norm")
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("qn"),
+    ).filter(F.col("query_id") < 10)
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot_product_expr("embedding", "qv")
+                / (F.col("norm") * F.col("qn"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+Q47_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_dot_sql('e.embedding', 'q.qv')}
+         / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+            * sqrt({_dot_sql('q.qv', 'q.qv')})) AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC)
+            AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+def q48_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5-hashed doc_id
+    — re-run-safe and partition-layout independent, unlike
+    ``randomSplit``. Narrow per-row expression: no shuffle, no RNG."""
+    from ..operators.splits import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_split(docs, "doc_id", train_pct=80, val_pct=10)
+
+
+Q48_ORACLE = """
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+"""
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -440,6 +551,9 @@ LLM_QUERIES = {
     "q26_embedding_neardup_pairs": q26_embedding_neardup_pairs,
     "q42_duplicate_clusters": q42_duplicate_clusters,
     "q43_hyperplane_lsh_neardup_pairs": q43_hyperplane_lsh_neardup_pairs,
+    "q46_benchmark_decontamination": q46_benchmark_decontamination,
+    "q47_knn_join": q47_knn_join,
+    "q48_dataset_split": q48_dataset_split,
 }
 
 LLM_ORACLES = {
@@ -454,4 +568,7 @@ LLM_ORACLES = {
     "q26_embedding_neardup_pairs": Q26_ORACLE,
     "q42_duplicate_clusters": Q42_ORACLE,
     "q43_hyperplane_lsh_neardup_pairs": Q43_ORACLE,
+    "q46_benchmark_decontamination": Q46_ORACLE,
+    "q47_knn_join": Q47_ORACLE,
+    "q48_dataset_split": Q48_ORACLE,
 }

@@ -242,3 +242,82 @@ def test_hyperplane_lsh_bucket_cap_bounds_degenerate_buckets(spark):
     capped = hyperplane_lsh_candidates(emb, dim=64, max_bucket_size=10).count()
     assert uncapped == 40 * 39 // 2
     assert capped == 0
+
+
+# --- decontamination / knn join / dataset split ------------------------
+
+
+def test_benchmark_contamination_flags_overlap(spark):
+    from data_integration_openfoodfacts_spark.operators.similarity_dedup import (
+        benchmark_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated content about spark query planning"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = benchmark_contamination(
+        corpus, bench, "doc_id", "text", n=3, min_shared=5
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["shared_shingles"] >= 5
+    assert out[0]["benchmark_docs"] == 1
+
+
+def test_knn_join_agrees_with_single_query_topk(spark):
+    """q47's batch form must equal cosine_topk run per query."""
+    from data_integration_openfoodfacts_spark.plans.llm_queries import (
+        q47_knn_join,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    batch = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in q47_knn_join(spark, SF_DIR).collect()
+    }
+    for qid in [0, 7]:
+        single = cosine_topk(emb, query_vec_id=qid, k=3).collect()
+        for rank, r in enumerate(single, start=1):
+            nid, cos = batch[(qid, rank)]
+            assert nid == r["vec_id"]
+            assert cos == r["cosine"]  # bit-identical expressions
+
+
+def test_deterministic_split_stable_and_partition_invariant(spark):
+    from data_integration_openfoodfacts_spark.operators.splits import (
+        deterministic_split,
+    )
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = deterministic_split(docs, "doc_id").collect()
+    b = deterministic_split(docs.repartition(13), "doc_id").collect()
+    am = {r["doc_id"]: r["split"] for r in a}
+    bm = {r["doc_id"]: r["split"] for r in b}
+    assert am == bm  # layout-independent, unlike randomSplit
+    from collections import Counter
+
+    frac = Counter(am.values())
+    assert 0.75 < frac["train"] / 2000 < 0.85
+    assert 0.06 < frac["val"] / 2000 < 0.14
+    assert 0.06 < frac["test"] / 2000 < 0.14
+
+
+def test_deterministic_split_salt_changes_assignment(spark):
+    from data_integration_openfoodfacts_spark.operators.splits import (
+        deterministic_split,
+    )
+
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["bucket"] for r in deterministic_split(docs, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["bucket"]
+        for r in deterministic_split(docs, "doc_id", salt="v2").collect()
+    }
+    assert a != b
