@@ -35,10 +35,13 @@ def connected_components(
     node id of its component. Returns (node, component).
 
     Raises ``RuntimeError`` if labels are still changing after
-    ``max_iter`` rounds (component diameter > max_iter) — returning the
-    unconverged labels would silently split true components into
-    multiple "canonical" survivors downstream. Convergence needs
-    max_iter >= graph diameter; raise it for long-chain graphs.
+    ``max_iter`` rounds — returning the unconverged labels would
+    silently split true components into multiple "canonical" survivors
+    downstream. Note the loop needs one extra zero-change round to
+    CONFIRM convergence, so set ``max_iter >= diameter + 1`` (a graph
+    of diameter exactly ``max_iter`` finishes its labels on the last
+    round but still raises, conservatively, because the confirmation
+    round never ran); raise it for long-chain graphs.
     """
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")

@@ -67,6 +67,7 @@ def scd2_merge_batch(
     keys: list[str],
     order_col: str,
     tracked_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
 ) -> None:
     """foreachBatch SCD2 merge on plain Parquet: fold the micro-batch's
     change rows into the versioned target.
@@ -79,8 +80,12 @@ def scd2_merge_batch(
     collapsed to one version forgets t2, so a late B@t1.5 would fail to
     re-split it — the changelog keeps every distinct change, making the
     result identical to a batch rebuild over the full log regardless of
-    arrival order. Same-(key, order) conflicts resolve deterministically
-    by the tracked columns' descending sort, not arrival order.
+    arrival order. Same-(key, order) conflicts resolve by
+    ``tiebreak_cols`` descending when given (e.g. a change-event id —
+    pass the same rule the batch rebuild uses, or stream and batch
+    histories diverge on same-timestamp conflicts); the fallback is the
+    tracked columns' descending sort — deterministic, but NOT arrival
+    order, which the changelog cannot see.
 
     On Delta/Iceberg the rebuild collapses to a MERGE INTO that closes
     the open version and inserts new ones; the callback signature stays.
@@ -93,7 +98,7 @@ def scd2_merge_batch(
 
     spark = batch.sparkSession
     log_path = f"{target_path.rstrip('/')}__changelog"
-    cols = [*keys, order_col, *tracked_cols]
+    cols = [*keys, order_col, *tracked_cols, *(tiebreak_cols or [])]
     incoming = batch.select(*cols)
     existing_log = read_parquet_if_exists(spark, log_path)
     if existing_log is not None:
@@ -101,7 +106,7 @@ def scd2_merge_batch(
     changes = dedup_keep_latest(
         incoming,
         keys=[*keys, order_col],
-        order_by=[F.col(c).desc() for c in tracked_cols],
+        order_by=[F.col(c).desc() for c in (tiebreak_cols or tracked_cols)],
     )
     overwrite_parquet_atomically(changes, log_path)
     out = scd2_history(
@@ -118,17 +123,32 @@ def run_scd2_dim_stream(
     keys: list[str],
     order_col: str,
     tracked_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+    schema=None,
     max_files_per_trigger: int | None = None,
 ) -> None:
     """Incremental SCD2 maintenance over a growing directory of change
-    files (availableNow: process the backlog, then stop)."""
-    from ..streaming.events_stream import read_events_stream
+    files (availableNow: process the backlog, then stop).
 
-    stream = read_events_stream(spark, source_dir, max_files_per_trigger)
+    ``schema`` is the change-file schema; it defaults to the events
+    table shape (``EVENTS_STREAM_SCHEMA``) — pass your own for any
+    other dimension feed (file-source streams require an explicit
+    schema)."""
+    from ..streaming.events_stream import EVENTS_STREAM_SCHEMA
+
+    reader = spark.readStream.schema(schema or EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     (
         stream.writeStream.foreachBatch(
             lambda b, _id: scd2_merge_batch(
-                b, target_path, keys, order_col, tracked_cols
+                b,
+                target_path,
+                keys,
+                order_col,
+                tracked_cols,
+                tiebreak_cols=tiebreak_cols,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -258,9 +258,14 @@ def hyperplane_lsh_pairs(
         .select(
             "id_a",
             "id_b",
-            (
-                dot_product_expr("__va", "__vb")
-                / (F.col("__na") * F.col("__nb"))
+            # try_divide: all-zero vectors share every LSH bucket (every
+            # dot is 0.0 -> identical signatures) so they WILL reach the
+            # verify as candidates; plain division would abort the job
+            # under ANSI mode, try_divide yields NULL which the
+            # threshold filter drops.
+            F.try_divide(
+                dot_product_expr("__va", "__vb"),
+                F.col("__na") * F.col("__nb"),
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

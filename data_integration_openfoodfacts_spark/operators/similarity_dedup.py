@@ -67,7 +67,6 @@ def exact_jaccard_pairs_from_shingles(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    pair_src_a, pair_src_b = a, b
     if max_doc_freq is not None:
         rare = (
             sh.groupBy("shingle")
@@ -75,15 +74,13 @@ def exact_jaccard_pairs_from_shingles(
             .filter(F.col("df") <= max_doc_freq)
             .select("shingle")
         )
-        pair_src_a = a.join(rare, "shingle", "left_semi")
-        pair_src_b = b.join(rare, "shingle", "left_semi")
-    pairs = (
-        pair_src_a.join(pair_src_b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    if max_doc_freq is not None:
+        pairs = (
+            a.join(rare, "shingle", "left_semi")
+            .join(b.join(rare, "shingle", "left_semi"), "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
         # recount intersections over the FULL shingle table so jaccard
         # is exact even when hot shingles were excluded from generation
         common = (

@@ -17,14 +17,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .similarity_dedup import md5_long
+
 
 def split_bucket(id_col: Column | str, salt: str = "", buckets: int = 100) -> Column:
-    """Stable bucket in [0, buckets) from the md5 of (salt || id)."""
+    """Stable bucket in [0, buckets) from the md5 of (salt || id).
+
+    Reuses :func:`md5_long` — the single engine-parity-critical
+    md5->long expression whose DuckDB twin Q48_ORACLE embeds."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    key = F.concat(F.lit(salt), c.cast("string"))
-    return (
-        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % buckets
-    )
+    return md5_long(F.concat(F.lit(salt), c.cast("string"))) % buckets
 
 
 def deterministic_split(
@@ -39,8 +41,11 @@ def deterministic_split(
     Percentages are integer bucket counts out of 100; test gets the
     remainder. Adds ``bucket`` (0-99) and ``split`` columns.
     """
-    if not 0 < train_pct + val_pct <= 100:
-        raise ValueError("train_pct + val_pct must be in (0, 100]")
+    if train_pct <= 0 or val_pct < 0 or train_pct + val_pct > 100:
+        raise ValueError(
+            "need train_pct > 0, val_pct >= 0, train_pct + val_pct <= 100 "
+            f"(got train_pct={train_pct}, val_pct={val_pct})"
+        )
     b = split_bucket(id_col, salt=salt)
     return df.withColumn("bucket", b).withColumn(
         "split",

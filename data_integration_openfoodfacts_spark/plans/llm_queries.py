@@ -312,9 +312,11 @@ def q26_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a",
         "id_b",
-        (dot_product_expr("va", "vb") / (F.col("na") * F.col("nb"))).alias(
-            "cosine"
-        ),
+        # try_divide: zero-norm vectors yield NULL (dropped by the
+        # threshold), not an ANSI DIVIDE_BY_ZERO job abort
+        F.try_divide(
+            dot_product_expr("va", "vb"), F.col("na") * F.col("nb")
+        ).alias("cosine"),
     ).filter(F.col("cosine") >= 0.35)
 
 
@@ -479,9 +481,11 @@ def q47_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (
-                dot_product_expr("embedding", "qv")
-                / (F.col("norm") * F.col("qn"))
+            # try_divide: a zero-norm vector anywhere in the corpus must
+            # rank last (NULL cosine), not abort the job under ANSI mode
+            F.try_divide(
+                dot_product_expr("embedding", "qv"),
+                F.col("norm") * F.col("qn"),
             ).alias("cosine"),
         )
     )

@@ -184,6 +184,7 @@ def overwrite_parquet_atomically(df: DataFrame, path: str) -> None:
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
     had_target = fs.exists(hpath)
     if had_target and not fs.rename(hpath, htrash):
+        fs.delete(htmp, True)  # don't strand the freshly-written copy
         raise IOError(
             f"overwrite_parquet_atomically: could not park {path} -> "
             f"{trash}; target left untouched"

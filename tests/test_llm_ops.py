@@ -321,3 +321,20 @@ def test_deterministic_split_salt_changes_assignment(spark):
         for r in deterministic_split(docs, "doc_id", salt="v2").collect()
     }
     assert a != b
+
+
+def test_hyperplane_lsh_survives_zero_vectors(spark):
+    """All-zero vectors share every LSH bucket (all dots are 0.0) and
+    reach the verify as candidates — they must yield NULL cosine
+    (dropped by the threshold), not an ANSI DIVIDE_BY_ZERO abort."""
+    from data_integration_openfoodfacts_spark.operators.similarity import (
+        hyperplane_lsh_pairs,
+    )
+
+    rows = [(0, [0.0] * 64), (1, [0.0] * 64), (2, [1.0] * 64), (3, [1.0] * 64)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in hyperplane_lsh_pairs(emb, dim=64, threshold=0.9).collect()
+    }
+    assert pairs == {(2, 3)}  # zero-norm pairs dropped, real pair kept

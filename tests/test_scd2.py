@@ -126,6 +126,7 @@ def test_scd2_stream_matches_batch_rebuild(spark, tmp_path, scd_stream_dir):
         keys=["user_id"],
         order_col="ts",
         tracked_cols=["event_type"],
+        tiebreak_cols=["event_id"],  # same rule as the batch rebuild
         max_files_per_trigger=1,
     )
     streamed = spark.read.parquet(target).select(
@@ -146,3 +147,21 @@ def test_scd2_stream_matches_batch_rebuild(spark, tmp_path, scd_stream_dir):
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_scd2_merge_tiebreak_matches_batch_rule(spark, tmp_path):
+    """Same-(key, ts) conflicting changes resolve by tiebreak_cols desc
+    — the identical rule the q44 batch rebuild uses (event_id DESC), so
+    stream and batch histories agree even on same-timestamp conflicts."""
+    target = str(tmp_path / "dim")
+    b = spark.createDataFrame(
+        [(1, _ts(0), "view", 5), (1, _ts(0), "buy", 6)],
+        ["user_id", "ts", "event_type", "event_id"],
+    )
+    scd2_merge_batch(
+        b, target, ["user_id"], "ts", ["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 1
+    assert rows[0]["event_type"] == "buy"  # event_id 6 wins, not 'view' > 'buy'
