@@ -108,24 +108,55 @@ def merge_silver_batch(
     return batch.sparkSession.read.parquet(silver_path)
 
 
+# Product attributes whose changes open a new SCD2 version — the
+# reference's own history design names brand/category as the "what was
+# this product's brand last year" questions
+# (vincent_valentin/docs/architecture_notes.md:263-331).
+SCD2_TRACKED_PRODUCT_COLS = [
+    "product_name",
+    "brands",
+    "main_category",
+    "nutriscore_grade",
+]
+
+
 def run_incremental_pipeline(
     spark: SparkSession,
     csv_dir: str,
     work_dir: str,
+    maintain_product_history: bool = True,
 ) -> None:
     """Process all pending CSV drops (availableNow), maintaining
     ``{work_dir}/silver`` and ``{work_dir}/gold/<table>`` parquet stores.
     Re-invoke on a schedule for continuous incremental loads; the
-    checkpoint guarantees each file is processed exactly once."""
+    checkpoint guarantees each file is processed exactly once.
+
+    With ``maintain_product_history`` (default), each batch also feeds
+    the cleansed product changes into an SCD Type 2 history at
+    ``{work_dir}/gold/dim_product_history`` (operators/scd.py): one row
+    per (code, attribute-version) with effective_from/effective_to/
+    is_current over ``last_modified_t`` — the Type-2 answer to "what was
+    this product's brand last year" that the Type-1 keep-latest Silver
+    cannot give (the reference's designed-but-unbuilt history mode,
+    architecture_notes.md:263-331)."""
     silver_path = f"{work_dir}/silver"
 
     def process(batch: DataFrame, _batch_id: int) -> None:
+        from ..operators.scd import scd2_merge_batch
         from .events_stream import overwrite_parquet_atomically
 
         if not batch.head(1):
             return
         cleansed = build_silver(batch)
         merge_silver_batch(cleansed, silver_path)
+        if maintain_product_history:
+            scd2_merge_batch(
+                cleansed,
+                f"{work_dir}/gold/dim_product_history",
+                keys=["code"],
+                order_col="last_modified_t",
+                tracked_cols=SCD2_TRACKED_PRODUCT_COLS,
+            )
         gold = build_gold(batch.sparkSession.read.parquet(silver_path))
         for name, df in gold.items():
             overwrite_parquet_atomically(df, f"{work_dir}/gold/{name}")

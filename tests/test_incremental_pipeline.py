@@ -90,3 +90,24 @@ def test_salted_dedup_equals_plain(spark):
     a = sorted(map(tuple, plain.select(*cols).collect()))
     b = sorted(map(tuple, salted.select(*cols).collect()))
     assert a == b
+
+
+def test_product_history_tracks_versions(incremental):
+    """SCD2 dim_product_history on the CDC path: the updated product has
+    two versions (old one closed, new one current); untouched products
+    have one open version each."""
+    spark, _, work, _ = incremental
+    hist = spark.read.parquet(f"{work}/gold/dim_product_history")
+    by_code = {}
+    for r in hist.collect():
+        by_code.setdefault(r["code"], []).append(r)
+    assert set(by_code) == {"0001", "0002", "0003"}
+    v1, v2 = sorted(by_code["0001"], key=lambda r: r["version"])
+    assert v1["product_name"] == "first version"
+    assert not v1["is_current"]
+    assert v1["effective_to"] == v2["effective_from"] == 1800000000
+    assert v2["product_name"] == "updated version"
+    assert v2["is_current"] and v2["effective_to"] is None
+    for code in ("0002", "0003"):
+        (only,) = by_code[code]
+        assert only["is_current"] and only["version"] == 1
