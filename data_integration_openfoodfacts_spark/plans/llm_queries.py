@@ -543,6 +543,66 @@ FROM (
 """
 
 
+def q49_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (operators/curation.py): quality gate
+    (score >= 2) -> benchmark decontamination (the q46 setup) -> exact
+    dedup by md5(text), lowest doc_id wins -> deterministic 80/10/10
+    split. The full composition a training-data pipeline runs, verified
+    as ONE oracle query."""
+    from ..operators.curation import curate_training_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return curate_training_corpus(
+        corpus, benchmark, "doc_id", "text", min_quality=2
+    )
+
+
+Q49_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+bench AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 = 0),
+corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+contaminated AS (
+  SELECT c.doc_id
+  FROM corp c JOIN bench b ON c.shingle = b.shingle
+  GROUP BY c.doc_id
+  HAVING COUNT(DISTINCT c.shingle) >= 5
+),
+gated AS (
+  SELECT doc_id, text,
+         CAST(length(text) >= 100 AS BIGINT)
+         + CAST(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                / NULLIF(length(text), 0) <= 0.1 AS BIGINT)
+         + CAST(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> list_contains(['the','a','of','and','to','in'], lower(x)))) AS DOUBLE)
+                / NULLIF(len(string_split_regex(trim(text), '\\s+')), 0) <= 0.5 AS BIGINT)
+           AS quality_score
+  FROM documents WHERE doc_id % 50 <> 0
+),
+clean AS (
+  SELECT g.doc_id, g.text, g.quality_score
+  FROM gated g
+  ANTI JOIN contaminated c ON g.doc_id = c.doc_id
+  WHERE g.quality_score >= 2
+),
+deduped AS (
+  SELECT doc_id, quality_score FROM clean
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+)
+SELECT doc_id, quality_score, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, quality_score,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 100 AS bucket
+  FROM deduped
+)
+"""
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -558,6 +618,7 @@ LLM_QUERIES = {
     "q46_benchmark_decontamination": q46_benchmark_decontamination,
     "q47_knn_join": q47_knn_join,
     "q48_dataset_split": q48_dataset_split,
+    "q49_curate_corpus": q49_curate_corpus,
 }
 
 LLM_ORACLES = {
@@ -575,4 +636,5 @@ LLM_ORACLES = {
     "q46_benchmark_decontamination": Q46_ORACLE,
     "q47_knn_join": Q47_ORACLE,
     "q48_dataset_split": Q48_ORACLE,
+    "q49_curate_corpus": Q49_ORACLE,
 }

@@ -338,3 +338,37 @@ def test_hyperplane_lsh_survives_zero_vectors(spark):
         for r in hyperplane_lsh_pairs(emb, dim=64, threshold=0.9).collect()
     }
     assert pairs == {(2, 3)}  # zero-norm pairs dropped, real pair kept
+
+
+def test_curate_corpus_each_stage_filters(spark):
+    from data_integration_openfoodfacts_spark.operators.curation import (
+        curate_training_corpus,
+    )
+
+    good = (
+        "the analysis of spark query plans and the cost model shows that "
+        "broadcast joins of small tables to large facts avoid a shuffle "
+        "in most practical cases and keep latency low for reporting"
+    )
+    bench = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog every day")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, good),                              # survives
+            (2, good),                              # exact dup of 1 -> dropped
+            (3, "!!!"),                             # low quality -> dropped
+            (4, "prefix words then the quick brown fox jumps over the "
+                "lazy dog every day and more filler to pass the length "
+                "gate of one hundred characters easily for this row"),
+                                                    # contaminated -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in curate_training_corpus(
+        corpus, bench, "doc_id", "text", min_quality=2
+    ).collect()}
+    assert set(out) == {1}
+    assert out[1]["quality_score"] >= 2
+    assert out[1]["split"] in {"train", "val", "test"}
