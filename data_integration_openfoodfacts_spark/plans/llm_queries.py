@@ -603,6 +603,26 @@ FROM (
 """
 
 
+def q50_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking with overlap (size 200, stride 150) — the
+    pre-tokenization splitter of a context-bounded training pipeline.
+    Narrow per-row explode, no shuffle."""
+    from ..operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", size=200, stride=150)
+
+
+Q50_ORACLE = """
+SELECT doc_id,
+       CAST((u.s - 1) // 150 AS BIGINT) AS chunk_id,
+       substring(text, u.s, 200) AS chunk_text,
+       CAST(length(substring(text, u.s, 200)) AS BIGINT) AS chunk_len
+FROM documents,
+LATERAL (SELECT UNNEST(range(1, greatest(length(text), 1) + 1, 150)) AS s) u
+"""
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -619,6 +639,7 @@ LLM_QUERIES = {
     "q47_knn_join": q47_knn_join,
     "q48_dataset_split": q48_dataset_split,
     "q49_curate_corpus": q49_curate_corpus,
+    "q50_document_chunks": q50_document_chunks,
 }
 
 LLM_ORACLES = {
@@ -637,4 +658,5 @@ LLM_ORACLES = {
     "q47_knn_join": Q47_ORACLE,
     "q48_dataset_split": Q48_ORACLE,
     "q49_curate_corpus": Q49_ORACLE,
+    "q50_document_chunks": Q50_ORACLE,
 }

@@ -372,3 +372,25 @@ def test_curate_corpus_each_stage_filters(spark):
     assert set(out) == {1}
     assert out[1]["quality_score"] >= 2
     assert out[1]["split"] in {"train", "val", "test"}
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    from data_integration_openfoodfacts_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, "")], ["doc_id", "text"]
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["chunk_len"])
+        for r in chunk_documents(docs, "doc_id", "text", size=6, stride=4).collect()
+    }
+    # doc 1 (10 chars): starts 1, 5, 9 -> overlapping windows of 6
+    assert out[(1, 0)] == ("abcdef", 6)
+    assert out[(1, 1)] == ("efghij", 6)  # 2-char overlap with chunk 0
+    assert out[(1, 2)] == ("ij", 2)  # final short chunk
+    # short doc: single short chunk; empty doc: one empty chunk kept
+    assert out[(2, 0)] == ("xy", 2)
+    assert out[(3, 0)] == ("", 0)
+    assert len(out) == 5
