@@ -178,18 +178,22 @@ def hyperplane_lsh_candidates(
                 lambda acc, x: acc + x,
             )
             >= 0
-        )
-        .cast("int")
-        .cast("string")
+        ).cast("long")
         for plane in planes
     ]
+
+    def band_sig(b: int):
+        # pack the band's sign bits into one long (bit i of the band =
+        # plane b*r+i) — integer join keys shuffle far less than strings
+        sig = F.lit(0).cast("long")
+        for i in range(rows_per_band):
+            sig = sig + bits[b * rows_per_band + i] * (1 << i)
+        return sig
+
     band_sigs = F.array(
         *[
             F.struct(
-                F.lit(b).alias("band"),
-                F.concat(
-                    *bits[b * rows_per_band : (b + 1) * rows_per_band]
-                ).alias("sig"),
+                F.lit(b).alias("band"), band_sig(b).alias("sig")
             )
             for b in range(num_bands)
         ]

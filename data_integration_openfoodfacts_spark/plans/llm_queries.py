@@ -369,11 +369,13 @@ WITH planes(p, band, pv) AS (VALUES {rows}),
 bits AS (
   SELECT e.vec_id, pl.p, pl.band,
          CASE WHEN {_dot_sql('e.embedding', 'pl.pv')} >= 0
-              THEN '1' ELSE '0' END AS bit
+              THEN 1 ELSE 0 END AS bit
   FROM embeddings e, planes pl
 ),
 sig AS (
-  SELECT vec_id, band, string_agg(bit, '' ORDER BY p) AS sig
+  -- pack sign bits into one integer per band (bit i = plane band*r+i),
+  -- mirroring the engine's integer signatures exactly
+  SELECT vec_id, band, SUM(bit << (p % 2)) AS sig
   FROM bits GROUP BY vec_id, band
 ),
 cand AS (
