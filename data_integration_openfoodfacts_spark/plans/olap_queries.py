@@ -1,0 +1,156 @@
+"""OLAP operator breadth beyond the reference's surface: window-frame
+functions, pivot, and EXISTS-style semi-join shapes — the analytics any
+warehouse user expects, each with a DuckDB oracle.
+
+Determinism notes (see the oracle-parity rules in plans/llm_queries.py):
+windowed running sums accumulate in DECIMAL so segment-tree vs
+sequential accumulation order cannot produce last-ulp drift; every
+window order is a total order (unique key appended); divisions happen
+once, on exact inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet_source import load_table
+
+
+def q51_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame battery over lineitem per return flag: running
+    revenue (unbounded-preceding frame), 3-row moving sum, row_number
+    and ntile(4) — the WindowExec shapes (running/sliding/ranking) in
+    one pass. One hash shuffle on the partition key; frames are
+    per-partition sorted scans."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    # appending price makes every remaining tie between rows identical
+    # in all sum-relevant columns, so prefix sums are order-invariant
+    order = [F.col("l_orderkey"), F.col("l_linenumber"), F.col("price")]
+    w = Window.partitionBy("l_returnflag").orderBy(*order)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sliding = w.rowsBetween(-2, Window.currentRow)
+    rank_w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("price"), *order
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        # accumulate in DECIMAL (exact, order-insensitive), cast the
+        # final value to double for engine-neutral comparison
+        F.sum("price").over(running).cast("double").alias("running_revenue"),
+        F.sum("price").over(sliding).cast("double").alias("moving_sum3"),
+        F.row_number().over(rank_w).cast("long").alias("price_rank"),
+        F.ntile(4).over(rank_w).cast("long").alias("price_quartile"),
+    )
+
+
+Q51_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber,
+                        CAST(l_extendedprice AS DECIMAL(18,2))
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber,
+                        CAST(l_extendedprice AS DECIMAL(18,2))
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3,
+       CAST(ROW_NUMBER()
+         OVER (PARTITION BY l_returnflag
+               ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC,
+                        l_orderkey, l_linenumber) AS BIGINT) AS price_rank,
+       CAST(NTILE(4)
+         OVER (PARTITION BY l_returnflag
+               ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC,
+                        l_orderkey, l_linenumber) AS BIGINT) AS price_quartile
+FROM lineitem
+"""
+
+
+def q52_order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: orders per (month, status) with statuses as columns.
+    Spark's ``pivot`` with EXPLICIT values compiles to one pass of
+    conditional aggregation (no second distinct-values job and no
+    driver-side value collection — the scale-safe form)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.month(F.to_date("o_orderdate")).cast("long").alias("order_month"),
+            "o_orderstatus",
+        )
+        .groupBy("order_month")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "order_month",
+            F.coalesce("O", F.lit(0)).alias("open_cnt"),
+            F.coalesce("F", F.lit(0)).alias("filled_cnt"),
+            F.coalesce("P", F.lit(0)).alias("pending_cnt"),
+        )
+    )
+
+
+Q52_ORACLE = """
+SELECT CAST(MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS order_month,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_cnt,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS filled_cnt,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS pending_cnt
+FROM orders
+GROUP BY 1
+"""
+
+
+def q53_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order counts per priority for orders with at
+    least one late line (shipped > 30 days after order date) — the
+    EXISTS correlated subquery, planned as a left-semi hash join (the
+    scan-once, never-duplicate form)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .filter(
+            F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 30)
+        )
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(late, orders["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q53_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY
+)
+GROUP BY 1
+"""
+
+
+OLAP_QUERIES = {
+    "q51_window_battery": q51_window_battery,
+    "q52_order_status_pivot": q52_order_status_pivot,
+    "q53_late_shipment_priority": q53_late_shipment_priority,
+}
+
+OLAP_ORACLES = {
+    "q51_window_battery": Q51_ORACLE,
+    "q52_order_status_pivot": Q52_ORACLE,
+    "q53_late_shipment_priority": Q53_ORACLE,
+}

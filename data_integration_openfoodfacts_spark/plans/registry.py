@@ -16,6 +16,7 @@ from .analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES
 from .etl_queries import ETL_ORACLES, ETL_QUERIES
 from .llm_queries import LLM_ORACLES, LLM_QUERIES
 from .multimodal_queries import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
+from .olap_queries import OLAP_ORACLES, OLAP_QUERIES
 from .streaming_queries import STREAMING_ORACLES, STREAMING_QUERIES
 from .temporal_queries import TEMPORAL_ORACLES, TEMPORAL_QUERIES
 from .tpch_queries import TPCH_ORACLES, TPCH_QUERIES
@@ -28,6 +29,7 @@ QUERIES = {
     **MULTIMODAL_QUERIES,
     **TPCH_QUERIES,
     **TEMPORAL_QUERIES,
+    **OLAP_QUERIES,
 }
 ORACLES = {
     **ANALYTICS_ORACLES,
@@ -37,4 +39,5 @@ ORACLES = {
     **MULTIMODAL_ORACLES,
     **TPCH_ORACLES,
     **TEMPORAL_ORACLES,
+    **OLAP_ORACLES,
 }
