@@ -143,14 +143,84 @@ GROUP BY 1
 """
 
 
+def q54_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: parse the events ``props`` JSON column
+    with a TYPED schema (``from_json`` — single parse, pushdown-friendly,
+    vs per-field ``get_json_object`` which re-parses per extraction) and
+    aggregate the extracted field per event type."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events")
+    props_schema = StructType([StructField("k", LongType())])
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), props_schema).getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("nb_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+Q54_ORACLE = """
+SELECT event_type,
+       COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS nb_with_k,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY 1
+"""
+
+
+def q55_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long): lineitem's numeric measures melt into
+    (key, measure_name, value) rows — the inverse of q52's pivot, one
+    narrow per-row expansion (Spark ``unpivot``/``melt``, no shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+        F.col("l_tax").cast("double").alias("tax"),
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "measure",
+        "value",
+    )
+
+
+Q55_ORACLE = """
+SELECT l_orderkey, l_linenumber, m.measure, m.value
+FROM lineitem,
+LATERAL (
+  SELECT * FROM (VALUES
+    ('quantity', CAST(l_quantity AS DOUBLE)),
+    ('extendedprice', CAST(l_extendedprice AS DOUBLE)),
+    ('discount', CAST(l_discount AS DOUBLE)),
+    ('tax', CAST(l_tax AS DOUBLE))
+  ) AS t(measure, value)
+) m
+"""
+
+
 OLAP_QUERIES = {
     "q51_window_battery": q51_window_battery,
     "q52_order_status_pivot": q52_order_status_pivot,
     "q53_late_shipment_priority": q53_late_shipment_priority,
+    "q54_json_props": q54_json_props,
+    "q55_unpivot_measures": q55_unpivot_measures,
 }
 
 OLAP_ORACLES = {
     "q51_window_battery": Q51_ORACLE,
     "q52_order_status_pivot": Q52_ORACLE,
     "q53_late_shipment_priority": Q53_ORACLE,
+    "q54_json_props": Q54_ORACLE,
+    "q55_unpivot_measures": Q55_ORACLE,
 }

@@ -214,6 +214,58 @@ FROM vers
 """
 
 
+def q56_view_purchase_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval join (stream-stream join's batch twin): every purchase
+    matched to ALL of the same user's views in the preceding 30 minutes
+    (q36's as-of join keeps only the latest view; this keeps the full
+    attribution window). On streams the same operator is a watermarked
+    stream-stream inner join whose state is evicted past the gap bound
+    (see streaming/events_stream.interval_join + real-stream test)."""
+    from ..streaming.events_stream import interval_join
+
+    ev = load_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    j = interval_join(
+        p, v, "p_user", "v_user", "p_ts", "v_ts", max_gap="30 minutes"
+    )
+    return j.select(
+        "purchase_id",
+        "view_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    )
+
+
+Q56_ORACLE = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id,
+         make_timestamp(epoch_us(ts)) AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT event_id AS view_id, user_id,
+         make_timestamp(epoch_us(ts)) AS v_ts
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.purchase_id, v.view_id, p.user_id,
+       epoch_us(p.p_ts) - epoch_us(v.v_ts) AS gap_us
+FROM p JOIN v ON p.user_id = v.user_id
+  AND v.v_ts <= p.p_ts
+  AND p.p_ts <= v.v_ts + INTERVAL 30 MINUTE
+"""
+
+
 STREAMING_QUERIES = {
     "q27_windowed_event_stats": q27_windowed_event_stats,
     "q28_sessionized_events": q28_sessionized_events,
@@ -221,6 +273,7 @@ STREAMING_QUERIES = {
     "q39_user_value_ewma": q39_user_value_ewma,
     "q40_set_operations": q40_set_operations,
     "q44_scd2_user_history": q44_scd2_user_history,
+    "q56_view_purchase_interval_join": q56_view_purchase_interval_join,
 }
 
 STREAMING_ORACLES = {
@@ -230,4 +283,5 @@ STREAMING_ORACLES = {
     "q39_user_value_ewma": Q39_ORACLE,
     "q40_set_operations": Q40_ORACLE,
     "q44_scd2_user_history": Q44_ORACLE,
+    "q56_view_purchase_interval_join": Q56_ORACLE,
 }

@@ -270,3 +270,42 @@ def run_events_upsert_stream(
         .start()
         .awaitTermination()
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream (or batch) INTERVAL join: each left event matches
+    right events of the same key that precede it by at most ``max_gap``
+    (right_ts <= left_ts <= right_ts + max_gap, both bounds inclusive).
+
+    Batch/stream agnostic like the aggregations above. On streams this
+    is Spark's watermarked stream-stream inner join: BOTH sides get
+    event-time watermarks and the join condition time-bounds the match,
+    so join state is evicted once the watermark passes right_ts +
+    max_gap — without the time bound, stream-stream join state grows
+    forever (the 100 TB failure mode). Inner matches emit immediately;
+    the watermark only governs state cleanup and late-data drop.
+
+    Column names must not collide across sides (alias before joining);
+    both key columns are kept for the caller to project away.
+    """
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = (
+        right.withWatermark(right_ts, watermark)
+        if right.isStreaming
+        else right
+    )
+    cond = (
+        (l[left_key] == r[right_key])
+        & (r[right_ts] <= l[left_ts])
+        & (l[left_ts] <= r[right_ts] + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return l.join(r, cond, "inner")

@@ -134,3 +134,76 @@ def test_incremental_second_run_processes_nothing_new(spark, stream_dir, tmp_pat
     # second run with same checkpoint: no new files -> target unchanged
     run_events_upsert_stream(spark, stream_dir, target, ckpt)
     assert spark.read.parquet(target).count() == n1
+
+
+def test_interval_join_real_stream_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream inner join == the batch interval join
+    (q56 shape). Inner matches emit immediately; the watermark + time
+    bound only govern state eviction, so availableNow drains fully."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from data_integration_openfoodfacts_spark.streaming.events_stream import (
+        interval_join,
+    )
+
+    ev = load_events(spark, SF_DIR)
+    p_dir, v_dir = str(tmp_path / "p"), str(tmp_path / "v")
+    ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).coalesce(2).write.parquet(p_dir)
+    ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    ).coalesce(2).write.parquet(v_dir)
+
+    p_schema = StructType(
+        [
+            StructField("purchase_id", LongType()),
+            StructField("p_user", LongType()),
+            StructField("p_ts", TimestampType()),
+        ]
+    )
+    v_schema = StructType(
+        [
+            StructField("view_id", LongType()),
+            StructField("v_user", LongType()),
+            StructField("v_ts", TimestampType()),
+        ]
+    )
+    ps = spark.readStream.schema(p_schema).parquet(p_dir)
+    vs = spark.readStream.schema(v_schema).parquet(v_dir)
+    joined = interval_join(
+        ps, vs, "p_user", "v_user", "p_ts", "v_ts", max_gap="30 minutes"
+    ).select("purchase_id", "view_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["purchase_id"], r["view_id"])
+        for r in spark.table("ssj").collect()
+    }
+
+    from data_integration_openfoodfacts_spark.plans.streaming_queries import (
+        q56_view_purchase_interval_join,
+    )
+
+    batch = {
+        (r["purchase_id"], r["view_id"])
+        for r in q56_view_purchase_interval_join(spark, SF_DIR).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
