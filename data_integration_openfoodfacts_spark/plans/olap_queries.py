@@ -209,12 +209,89 @@ LATERAL (
 """
 
 
+def q57_rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: order counts and totals at (year, status),
+    (year), and grand-total levels in ONE aggregation pass — Spark
+    expands the grouping sets map-side (an Expand node feeding a single
+    hash aggregate), so the hierarchy costs one shuffle, not three
+    separate scans. GROUPING flags disambiguate subtotal NULLs from
+    genuine NULL keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.year(F.to_date("o_orderdate")).cast("long").alias("order_year"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("total_dec"),
+    )
+    return base.rollup("order_year", "o_orderstatus").agg(
+        F.grouping("order_year").cast("long").alias("g_year"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.count(F.lit(1)).alias("nb_orders"),
+        F.sum("total_dec").cast("double").alias("sum_total"),
+    )
+
+
+Q57_ORACLE = """
+SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) AS BIGINT) AS order_year,
+       o_orderstatus,
+       CAST(GROUPING(CAST(YEAR(CAST(o_orderdate AS DATE)) AS BIGINT)) AS BIGINT) AS g_year,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       COUNT(*) AS nb_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY ROLLUP(1, 2)
+"""
+
+
+def q58_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): share of one-month revenue
+    from a part class — fact⋈dim join where the date predicate pushes to
+    the lineitem scan and the part side broadcasts; the share is a single
+    division of exact decimal sums (cast double), so both engines emit
+    the identical IEEE quotient."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    promo = F.sum(
+        F.when(F.col("p_type") == "ECONOMY", rev)
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,6)")
+    ).cast("double")
+    total = F.sum(rev.cast("decimal(18,6)")).cast("double")
+    return j.agg(
+        promo.alias("promo_revenue"),
+        total.alias("total_revenue"),
+        (promo / total).alias("promo_share"),
+    )
+
+
+Q58_ORACLE = """
+SELECT CAST(SUM(CAST(CASE WHEN p.p_type = 'ECONOMY'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CAST(CASE WHEN p.p_type = 'ECONOMY'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS promo_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l.l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
 OLAP_QUERIES = {
     "q51_window_battery": q51_window_battery,
     "q52_order_status_pivot": q52_order_status_pivot,
     "q53_late_shipment_priority": q53_late_shipment_priority,
     "q54_json_props": q54_json_props,
     "q55_unpivot_measures": q55_unpivot_measures,
+    "q57_rollup_order_totals": q57_rollup_order_totals,
+    "q58_promo_revenue_share": q58_promo_revenue_share,
 }
 
 OLAP_ORACLES = {
@@ -223,4 +300,6 @@ OLAP_ORACLES = {
     "q53_late_shipment_priority": Q53_ORACLE,
     "q54_json_props": Q54_ORACLE,
     "q55_unpivot_measures": Q55_ORACLE,
+    "q57_rollup_order_totals": Q57_ORACLE,
+    "q58_promo_revenue_share": Q58_ORACLE,
 }
