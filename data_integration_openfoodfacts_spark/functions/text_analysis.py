@@ -90,3 +90,48 @@ def rolling_fingerprint(col: Column | str, mod: int = 1_000_000_007) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % mod,
     )
+
+
+def ws_tokens(col: Column | str) -> Column:
+    """Whitespace token array (DuckDB twin: string_split_regex(trim(x),
+    '\\s+')). Callers computing several repetition signals should
+    project this ONCE and feed the attribute to the helpers below —
+    higher-order functions re-evaluate captured expression trees per
+    element, so an un-materialized split inside a lambda turns O(n^2)
+    comparisons into O(n^3) regex work."""
+    return F.split(F.trim(_c(col)), "\\s+")
+
+
+def top_element_count(arr: Column) -> Column:
+    """Occurrence count of the most frequent array element (NULL for an
+    empty array) — the numerator of the Gopher-style "fraction of text
+    in the top word / 2-gram" repetition signals. Per-row expression:
+    O(distinct x n) comparisons against an attribute reference, zero
+    shuffle — at 100 TB this rides the scan stage.
+
+    DuckDB twin: list_max(list_transform(list_distinct(t),
+    w -> len(list_filter(t, x -> x = w))))."""
+    return F.array_max(
+        F.transform(
+            F.array_distinct(arr),
+            lambda w: F.size(F.filter(arr, lambda x: x == w)),
+        )
+    ).cast("long")
+
+
+def distinct_element_ratio(arr: Column) -> Column:
+    """distinct elements / total elements — low values flag boilerplate
+    and generated spam. Single IEEE division of two exact ints
+    (hash-stable across engines)."""
+    return F.size(F.array_distinct(arr)) / F.size(arr)
+
+
+def bigram_array(toks: Column) -> Column:
+    """Adjacent 2-grams of a token array (empty if < 2 tokens)."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

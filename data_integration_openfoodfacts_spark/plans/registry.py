@@ -17,6 +17,7 @@ from .etl_queries import ETL_ORACLES, ETL_QUERIES
 from .llm_queries import LLM_ORACLES, LLM_QUERIES
 from .multimodal_queries import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
 from .olap_queries import OLAP_ORACLES, OLAP_QUERIES
+from .sampling_queries import SAMPLING_ORACLES, SAMPLING_QUERIES
 from .streaming_queries import STREAMING_ORACLES, STREAMING_QUERIES
 from .temporal_queries import TEMPORAL_ORACLES, TEMPORAL_QUERIES
 from .tpch_queries import TPCH_ORACLES, TPCH_QUERIES
@@ -30,6 +31,7 @@ QUERIES = {
     **TPCH_QUERIES,
     **TEMPORAL_QUERIES,
     **OLAP_QUERIES,
+    **SAMPLING_QUERIES,
 }
 ORACLES = {
     **ANALYTICS_ORACLES,
@@ -40,4 +42,5 @@ ORACLES = {
     **TPCH_ORACLES,
     **TEMPORAL_ORACLES,
     **OLAP_ORACLES,
+    **SAMPLING_ORACLES,
 }

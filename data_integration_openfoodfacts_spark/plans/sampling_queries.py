@@ -1,0 +1,166 @@
+"""Deterministic sampling / sharding / repetition-signal queries
+(training-data pipeline surface, beyond the reference's own scope per
+the build brief — the reference notebook processes its full 418k
+extract with no sampling stage).
+
+Engine-parity invariants (same as llm_queries.py): all hash decisions
+are md5-derived via ``operators.similarity_dedup.md5_long`` whose
+DuckDB twin is ``CAST(concat('0x', substring(md5(x),1,15)) AS BIGINT)``;
+ratios are single IEEE divisions of exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text_analysis import (
+    bigram_array,
+    distinct_element_ratio,
+    top_element_count,
+    ws_tokens,
+)
+from ..operators.sampling import (
+    assign_shards,
+    deterministic_sample,
+    stratified_sample_exact,
+)
+from ..sources.parquet_source import load_table
+
+# DuckDB twin of operators.sampling.sample_bucket (salt = '').
+_BUCKET = (
+    "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 1000000"
+)
+# DuckDB twin of the raw md5_long value (shard assignment).
+_MD5_LONG = (
+    "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT)"
+)
+
+
+def q59_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% Bernoulli sample of documents by hashed doc_id
+    (operators/sampling.py::deterministic_sample): re-run-stable,
+    partition-layout independent, zero-shuffle. The selected id set is
+    the contract — it must survive repartitioning and engine swaps."""
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", rate=0.10).select(
+        "doc_id", "source", "lang"
+    )
+
+
+Q59_ORACLE = f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE {_BUCKET} < 100000
+"""
+
+
+def q60_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 documents per source stratum, chosen by hash order
+    (deterministic reservoir equivalent). One shuffle on ``source``;
+    the (hash, id) sort key is unique so the pick is total-order
+    stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample_exact(
+        docs, ["source"], "doc_id", k=20
+    ).select("doc_id", "source")
+
+
+Q60_ORACLE = f"""
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY {_BUCKET}, doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 20
+"""
+
+
+def q61_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: distinct
+    token ratio, top-token fraction, top-bigram fraction — all pure
+    per-row expressions (functions/text_analysis.py), zero shuffle, so
+    at 100 TB this is scan-bound."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Materialize the token/bigram arrays as projected attributes so the
+    # nested higher-order counters reference them cheaply (see
+    # functions/text_analysis.py::ws_tokens on why inlining is O(n^3)).
+    arrs = docs.select(
+        "doc_id",
+        ws_tokens("text").alias("t"),
+    ).withColumn("bg", bigram_array(F.col("t")))
+    t, bg = F.col("t"), F.col("bg")
+    return arrs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        distinct_element_ratio(t).alias("distinct_ratio"),
+        (top_element_count(t) / F.size(t)).alias("top_token_frac"),
+        top_element_count(bg).alias("top_bigram_count"),
+    )
+
+
+Q61_ORACLE = """
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_ratio,
+       CAST(list_max(list_transform(list_distinct(t),
+                w -> len(list_filter(t, x -> x = w)))) AS DOUBLE)
+         / len(t) AS top_token_frac,
+       CAST(list_max(list_transform(list_distinct(bg),
+                w -> len(list_filter(bg, x -> x = w)))) AS BIGINT)
+         AS top_bigram_count
+FROM (
+  SELECT doc_id, t,
+         CASE WHEN len(t) >= 2 THEN
+           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         ELSE [] END AS bg
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents)
+)
+"""
+
+
+def q62_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a stable shard in [0,16) and report
+    per-shard counts + id bounds — the balance audit a sharded
+    training-data writer runs before committing an epoch layout.
+    Shard assignment is per-row; the audit is one small agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = assign_shards(docs, "doc_id", n_shards=16)
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+Q62_ORACLE = f"""
+SELECT CAST({_MD5_LONG} % 16 AS INTEGER) AS shard,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id,
+       SUM(n_chars) AS sum_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+SAMPLING_QUERIES = {
+    "q59_deterministic_sample": q59_deterministic_sample,
+    "q60_stratified_sample": q60_stratified_sample,
+    "q61_repetition_signals": q61_repetition_signals,
+    "q62_shard_balance": q62_shard_balance,
+}
+
+SAMPLING_ORACLES = {
+    "q59_deterministic_sample": Q59_ORACLE,
+    "q60_stratified_sample": Q60_ORACLE,
+    "q61_repetition_signals": Q61_ORACLE,
+    "q62_shard_balance": Q62_ORACLE,
+}

@@ -1,0 +1,96 @@
+"""Sampling/sharding operators: determinism under repartitioning is the
+contract (the whole reason these exist instead of df.sample())."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_openfoodfacts_spark.operators.sampling import (
+    assign_shards,
+    deterministic_sample,
+    stratified_sample_exact,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_sample_stable_under_repartition(docs):
+    base = _ids(deterministic_sample(docs, "doc_id", 0.2))
+    shuffled = _ids(deterministic_sample(docs.repartition(7), "doc_id", 0.2))
+    assert base == shuffled
+    assert 0 < len(base) < docs.count()
+
+
+def test_sample_rate_roughly_honored(docs):
+    n = docs.count()
+    got = len(_ids(deterministic_sample(docs, "doc_id", 0.5)))
+    assert abs(got / n - 0.5) < 0.15
+
+
+def test_sample_salt_changes_selection(docs):
+    a = _ids(deterministic_sample(docs, "doc_id", 0.2, salt="a"))
+    b = _ids(deterministic_sample(docs, "doc_id", 0.2, salt="b"))
+    assert a != b
+
+
+def test_sample_rate_bounds(docs):
+    with pytest.raises(ValueError):
+        deterministic_sample(docs, "doc_id", 1.5)
+    assert deterministic_sample(docs, "doc_id", 0.0).count() == 0
+    assert deterministic_sample(docs, "doc_id", 1.0).count() == docs.count()
+
+
+def test_stratified_exact_k_per_stratum(docs):
+    out = stratified_sample_exact(docs, ["source"], "doc_id", k=5)
+    per = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    sizes = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {s: min(5, n) for s, n in sizes.items()}
+
+
+def test_stratified_stable_under_repartition(docs):
+    a = _ids(stratified_sample_exact(docs, ["source"], "doc_id", k=7))
+    b = _ids(stratified_sample_exact(docs.repartition(9), ["source"], "doc_id", k=7))
+    assert a == b
+
+
+def test_stratified_k_validation(docs):
+    with pytest.raises(ValueError):
+        stratified_sample_exact(docs, ["source"], "doc_id", k=0)
+
+
+def test_shards_in_range_and_stable(docs):
+    out = assign_shards(docs, "doc_id", n_shards=8)
+    stats = out.agg(
+        F.min("shard").alias("lo"),
+        F.max("shard").alias("hi"),
+        F.countDistinct("shard").alias("nd"),
+    ).first()
+    assert 0 <= stats.lo and stats.hi <= 7 and stats.nd == 8
+    a = sorted((r.doc_id, r.shard) for r in out.select("doc_id", "shard").collect())
+    b = sorted(
+        (r.doc_id, r.shard)
+        for r in assign_shards(docs.repartition(5), "doc_id", n_shards=8)
+        .select("doc_id", "shard")
+        .collect()
+    )
+    assert a == b
+
+
+def test_shards_validation(docs):
+    with pytest.raises(ValueError):
+        assign_shards(docs, "doc_id", n_shards=0)
