@@ -188,11 +188,204 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_quantity < 24
 """
 
+def q63_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count (left join so
+    zero-order customers land in the 0 bucket).
+
+    Scale: the join and the per-customer count share the c_custkey/
+    o_custkey hash partitioning, so Catalyst runs them in ONE shuffle;
+    the second agg groups the tiny (order-count, n) set."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+Q63_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+GROUP BY 1
+"""
+
+
+def q64_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: yearly revenue lost if small-quantity orders (below
+    20% of the part's average quantity) were not taken, for one brand +
+    size band.
+
+    Scale: the brand/size filter prunes part to ~1/50 and BROADCASTS it,
+    so lineitem is reduced before the per-part average — the agg and the
+    avg-join then share the l_partkey partitioning (one shuffle).
+    The 0.2*avg threshold uses exact-decimal sum / count (a single IEEE
+    division) so the comparison is bit-identical in both engines."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 15)
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    small = li.join(avg_qty, li.l_partkey == avg_qty.a_partkey).filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return small.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("nb_lines"),
+    )
+
+
+Q64_ORACLE = """
+WITH filtered AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#12' AND p.p_size <= 15
+),
+avgs AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           AS avg_qty
+  FROM filtered GROUP BY 1
+)
+SELECT CAST(SUM(CAST(f.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS nb_lines
+FROM filtered f JOIN avgs a ON f.l_partkey = a.l_partkey
+WHERE f.l_quantity < 0.2 * a.avg_qty
+"""
+
+
+def q65_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: top-100 customers whose single orders exceed 250 units.
+
+    Scale: the HAVING prefilter aggregates lineitem FIRST (map-side
+    partial sums shrink the shuffle), and only qualifying orderkeys
+    flow into the orders/customer joins; the exact-decimal sum makes
+    the >250 gate order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 250)
+    )
+    j = big.join(orders, big.l_orderkey == orders.o_orderkey).join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
+    return (
+        j.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q65_ORACLE = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+       o.o_totalprice,
+       CAST(s.sum_qty_dec AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty_dec
+  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250
+) s
+JOIN orders o ON s.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q66_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted (no phone column): per-nation count and total
+    balance of customers whose balance beats the positive-balance
+    average but who placed no order since 2000-06-01.
+
+    Scale: the global average is a one-row broadcast cross join (stays
+    declarative, no driver collect); the "no recent order" test is a
+    LEFT ANTI join against the date-filtered distinct custkeys —
+    Catalyst pushes the date filter to the orders scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01")
+    ).select("o_custkey")
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return (
+        dormant.join(F.broadcast(nation), dormant.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+Q66_ORACLE = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n.n_name AS nation,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+CROSS JOIN avg_bal a
+WHERE c.c_acctbal > a.avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-06-01'
+  )
+GROUP BY 1
+"""
+
+
 TPCH_QUERIES = {
     "q32_pricing_summary": q32_pricing_summary,
     "q33_shipping_priority": q33_shipping_priority,
     "q34_local_supplier_volume": q34_local_supplier_volume,
     "q35_forecast_revenue": q35_forecast_revenue,
+    "q63_customer_distribution": q63_customer_distribution,
+    "q64_small_quantity_revenue": q64_small_quantity_revenue,
+    "q65_large_volume_customers": q65_large_volume_customers,
+    "q66_dormant_rich_customers": q66_dormant_rich_customers,
 }
 
 TPCH_ORACLES = {
@@ -200,4 +393,8 @@ TPCH_ORACLES = {
     "q33_shipping_priority": Q33_ORACLE,
     "q34_local_supplier_volume": Q34_ORACLE,
     "q35_forecast_revenue": Q35_ORACLE,
+    "q63_customer_distribution": Q63_ORACLE,
+    "q64_small_quantity_revenue": Q64_ORACLE,
+    "q65_large_volume_customers": Q65_ORACLE,
+    "q66_dormant_rich_customers": Q66_ORACLE,
 }
