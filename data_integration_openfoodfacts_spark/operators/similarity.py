@@ -163,6 +163,11 @@ def hyperplane_lsh_candidates(
 
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
+    from .skew import spread_partitions
+
+    # a single-file scan would serialize the (CPU-heavy) sign-bit
+    # projection and the band join on one core; no-op at real scale
+    embeddings = spread_partitions(embeddings, id_col)
     num_planes = rows_per_band * num_bands
     planes = rademacher_hyperplanes(num_planes, dim)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))

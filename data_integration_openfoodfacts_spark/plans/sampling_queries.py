@@ -151,11 +151,108 @@ GROUP BY 1
 """
 
 
+def q67_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit (functions/pii.py): the corpus is salted with
+    deterministic synthetic PII (an email + SSN per doc derived from
+    doc_id — the testdata itself is PII-free, so the regexes must
+    actually fire to pass), then redacted; output is the scrubbed text
+    fingerprint + match count per document. Pure regexp chains,
+    codegen, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.pii import pii_match_count, redact_pii
+
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ssn 123-45-678"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("salted"),
+    )
+    return salted.select(
+        "doc_id",
+        F.md5(redact_pii("salted")).alias("redacted_md5"),
+        pii_match_count("salted").alias("n_pii"),
+    )
+
+
+def _q67_oracle() -> str:
+    from ..functions.pii import duckdb_count_sql, duckdb_redact_sql
+
+    salted = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com ssn 123-45-678' || CAST(doc_id % 10 AS VARCHAR) || "
+        "' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    )
+    return f"""
+SELECT doc_id,
+       md5({duckdb_redact_sql(salted)}) AS redacted_md5,
+       {duckdb_count_sql(salted)} AS n_pii
+FROM documents
+"""
+
+
+def q68_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/packing.py): documents
+    are sharded (md5, 8 shards), then packed into 2048-token bins per
+    shard by running-sum binning; output is the per-pack audit (docs,
+    token total). All shards pack in parallel — the only shuffle is the
+    shard hash partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text_analysis import ws_tokens
+    from ..operators.packing import pack_by_token_budget
+
+    with_toks = assign_shards(
+        docs.select("doc_id", ws_tokens("text").alias("t")),
+        "doc_id",
+        n_shards=8,
+    ).select("doc_id", "shard", F.size("t").cast("long").alias("n_tokens"))
+    packed = pack_by_token_budget(
+        with_toks, "doc_id", "n_tokens", budget=2048, partition_cols=["shard"]
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
+Q68_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST({_MD5_LONG} % 8 AS INTEGER) AS shard,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) / 2048.0) AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT shard, pack_id, COUNT(*) AS n_docs,
+       SUM(n_tokens) AS pack_tokens,
+       MIN(doc_id) AS first_doc_id
+FROM packed
+GROUP BY 1, 2
+"""
+
+
 SAMPLING_QUERIES = {
     "q59_deterministic_sample": q59_deterministic_sample,
     "q60_stratified_sample": q60_stratified_sample,
     "q61_repetition_signals": q61_repetition_signals,
     "q62_shard_balance": q62_shard_balance,
+    "q67_pii_redaction": q67_pii_redaction,
+    "q68_token_packing": q68_token_packing,
 }
 
 SAMPLING_ORACLES = {
@@ -163,4 +260,6 @@ SAMPLING_ORACLES = {
     "q60_stratified_sample": Q60_ORACLE,
     "q61_repetition_signals": Q61_ORACLE,
     "q62_shard_balance": Q62_ORACLE,
+    "q67_pii_redaction": _q67_oracle(),
+    "q68_token_packing": Q68_ORACLE,
 }
