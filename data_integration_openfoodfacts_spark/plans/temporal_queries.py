@@ -110,12 +110,128 @@ JOIN bands b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
 GROUP BY b.band
 """
 
+def q69_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: per event type, a complete daily spine
+    (min..max active date) with event counts (0 on silent days) and the
+    last-seen daily value sum carried forward — the standard
+    dashboard/feature-store densification.
+
+    Scale: the spine is built by exploding a per-type date ``sequence``
+    (a few thousand rows per type, never a driver loop); the forward
+    fill is one window per type ordered by day. Shuffles: daily agg +
+    window, both keyed on event_type."""
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+    )
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx")).alias("d"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(daily, ["event_type", "d"], "left")
+    return joined.select(
+        "event_type",
+        F.col("d").cast("string").alias("day"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.last("sum_value", ignorenulls=True)
+        .over(w)
+        .cast("double")
+        .alias("carried_sum"),
+    )
+
+
+Q69_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type, CAST(u.g AS DATE) AS d
+  FROM (SELECT event_type, MIN(d) AS mn, MAX(d) AS mx FROM daily GROUP BY 1) b,
+       LATERAL (SELECT UNNEST(generate_series(b.mn, b.mx, INTERVAL 1 DAY)) AS g) u
+)
+SELECT s.event_type,
+       CAST(s.d AS VARCHAR) AS day,
+       COALESCE(dl.n, 0) AS n_events,
+       CAST(last_value(dl.sum_value IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS carried_sum
+FROM spine s LEFT JOIN daily dl ON s.event_type = dl.event_type AND s.d = dl.d
+"""
+
+
+def q70_signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup -> view -> purchase): how many users
+    completed each stage IN ORDER (a later-stage event only counts if
+    it happened strictly after the user's previous qualifying stage).
+
+    Stage timestamps compare at full nanosecond precision (``ts_ns``
+    raw longs) so ties inside one microsecond can't diverge between
+    engines. One shuffle: the per-user min-conditional agg; the final
+    count is a scalar."""
+    ev = load_events(spark, sf_dir)
+
+    def first_ts(t: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == t, F.col("ts_ns")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view") > F.col("t_signup")
+    purchased = viewed & (F.col("t_purchase") > F.col("t_view"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.col("t_signup")).alias("n_signup"),
+        F.sum(viewed.cast("long")).alias("n_viewed_after_signup"),
+        F.sum(purchased.cast("long")).alias("n_purchased_after_view"),
+    )
+
+
+Q70_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) END) AS t_signup,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t_purchase
+  FROM events GROUP BY 1
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_signup) AS n_signup,
+       SUM(CAST(t_view > t_signup AS BIGINT)) AS n_viewed_after_signup,
+       SUM(CAST(t_view > t_signup AND t_purchase > t_view AS BIGINT))
+         AS n_purchased_after_view
+FROM per_user
+"""
+
+
 TEMPORAL_QUERIES = {
     "q36_asof_purchase_last_view": q36_asof_purchase_last_view,
     "q37_price_band_rollup": q37_price_band_rollup,
+    "q69_gap_filled_daily": q69_gap_filled_daily,
+    "q70_signup_funnel": q70_signup_funnel,
 }
 
 TEMPORAL_ORACLES = {
     "q36_asof_purchase_last_view": Q36_ORACLE,
     "q37_price_band_rollup": Q37_ORACLE,
+    "q69_gap_filled_daily": Q69_ORACLE,
+    "q70_signup_funnel": Q70_ORACLE,
 }

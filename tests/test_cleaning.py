@@ -86,3 +86,20 @@ def test_pushdown_filter_reaches_scan(spark):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+
+
+def test_ascii_fold_mapped_preserves_nfd_resistant(spark):
+    from data_integration_openfoodfacts_spark.functions.text_normalize import (
+        ascii_fold,
+        ascii_fold_mapped,
+    )
+
+    # NFD has no decomposition for these; reference behavior deletes them
+    assert _one(spark, "smørrebrød", ascii_fold(F.col("v"))) == "smrrebrd"
+    assert _one(spark, "smørrebrød", ascii_fold_mapped(F.col("v"))) == "smorrebrod"
+    assert _one(spark, "Æbleskiver straße", ascii_fold_mapped(F.col("v"))) == (
+        "AEbleskiver strasse"
+    )
+    # accented chars still fold identically in both variants
+    assert _one(spark, "Côte d'Or", ascii_fold_mapped(F.col("v"))) == "Cote d'Or"
+    assert _one(spark, None, ascii_fold_mapped(F.col("v"))) is None
