@@ -57,3 +57,52 @@ def curate_training_corpus(
     return deterministic_split(
         deduped, id_col, train_pct=train_pct, val_pct=val_pct, salt=salt
     ).select(id_col, "quality_score", "bucket", "split")
+
+
+def prepare_training_shards(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_distinct_ratio: float = 0.35,
+    budget: int = 2048,
+    n_shards: int = 8,
+    salt: str = "",
+) -> DataFrame:
+    """Stage 2 of corpus curation — from curated documents to
+    training-ready shards:
+
+    5. repetition gate — drop boilerplate/generated spam whose
+       distinct-token ratio falls below ``min_distinct_ratio`` (q61
+       signals; per-row, no shuffle);
+    6. PII scrub      — ``functions/pii.redact_pii`` + audit count
+       (q67; per-row regexp chain);
+    7. shard          — stable md5 shard in [0, n_shards) (q62);
+    8. pack           — token-budget running-sum packing per shard
+       (q68; one window per shard, parallel across shards).
+
+    Returns (id, clean_text, n_pii, n_tokens, shard, pack_id). The only
+    shuffle in the whole stage is the shard-window partition.
+    """
+    from ..functions.pii import pii_match_count, redact_pii
+    from ..functions.text_analysis import distinct_element_ratio, ws_tokens
+    from .packing import pack_by_token_budget
+    from .sampling import assign_shards
+
+    arrs = df.select(
+        id_col,
+        F.col(text_col).alias("__text"),
+        ws_tokens(text_col).alias("__t"),
+    )
+    gated = arrs.filter(
+        distinct_element_ratio(F.col("__t")) >= min_distinct_ratio
+    )
+    scrubbed = gated.select(
+        id_col,
+        redact_pii("__text").alias("clean_text"),
+        pii_match_count("__text").alias("n_pii"),
+        F.size("__t").cast("long").alias("n_tokens"),
+    )
+    sharded = assign_shards(scrubbed, id_col, n_shards=n_shards, salt=salt)
+    return pack_by_token_budget(
+        sharded, id_col, "n_tokens", budget, partition_cols=["shard"]
+    )

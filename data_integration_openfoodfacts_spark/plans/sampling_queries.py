@@ -246,6 +246,110 @@ GROUP BY 1, 2
 """
 
 
+def q71_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data pipeline, curation through packing
+    (operators/curation.py): quality gate -> decontaminate -> exact
+    dedup -> split (q49 stages), take the train split, then repetition
+    gate -> PII scrub -> shard -> token-pack (q59-q68 stages). One
+    oracle query proves the full composition; every stage is narrow or
+    single-shuffle."""
+    from ..operators.curation import (
+        curate_training_corpus,
+        prepare_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    curated = curate_training_corpus(
+        corpus, bench, "doc_id", "text"
+    ).filter(F.col("split") == "train")
+    train_docs = curated.select("doc_id").join(docs, "doc_id").select(
+        "doc_id", "text"
+    )
+    out = prepare_training_shards(train_docs, "doc_id", "text")
+    return out.select("doc_id", "shard", "pack_id", "n_tokens", "n_pii")
+
+
+# Q49's curation CTE stack (quality gate, decontaminate, dedup, split)
+# extended with the shard-prep stages. Stage thresholds mirror
+# operators/curation.py defaults; the PII count embeds the full
+# generated pattern chain (functions/pii.py) so the oracle mirrors
+# every pattern, not just the ones the fixtures exercise.
+_Q71_TEMPLATE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) u
+  WHERE len(t) >= 3
+),
+bench AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 = 0),
+corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+contaminated AS (
+  SELECT c.doc_id
+  FROM corp c JOIN bench b ON c.shingle = b.shingle
+  GROUP BY c.doc_id
+  HAVING COUNT(DISTINCT c.shingle) >= 5
+),
+gated AS (
+  SELECT doc_id, text,
+         CAST(length(text) >= 100 AS BIGINT)
+         + CAST(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                / NULLIF(length(text), 0) <= 0.1 AS BIGINT)
+         + CAST(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> list_contains(['the','a','of','and','to','in'], lower(x)))) AS DOUBLE)
+                / NULLIF(len(string_split_regex(trim(text), '\\s+')), 0) <= 0.5 AS BIGINT)
+           AS quality_score
+  FROM documents WHERE doc_id % 50 <> 0
+),
+clean AS (
+  SELECT g.doc_id, g.text
+  FROM gated g
+  ANTI JOIN contaminated c ON g.doc_id = c.doc_id
+  WHERE g.quality_score >= 2
+),
+deduped AS (
+  SELECT doc_id, text FROM clean
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+train AS (
+  SELECT doc_id, text FROM deduped
+  WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % 100 < 80
+),
+rep_gated AS (
+  SELECT doc_id, text, t FROM (
+    SELECT doc_id, text,
+           string_split_regex(trim(text), '\\s+') AS t
+    FROM train
+  )
+  WHERE CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.35
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         {pii_count} AS n_pii,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 8 AS shard
+  FROM rep_gated
+)
+SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+         PARTITION BY shard ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) / 2048.0) AS BIGINT) AS pack_id,
+       n_tokens,
+       n_pii
+FROM feat
+"""
+
+
+def _q71_oracle() -> str:
+    from ..functions.pii import duckdb_count_sql
+
+    return _Q71_TEMPLATE.format(pii_count=duckdb_count_sql("text"))
+
+
 SAMPLING_QUERIES = {
     "q59_deterministic_sample": q59_deterministic_sample,
     "q60_stratified_sample": q60_stratified_sample,
@@ -253,6 +357,7 @@ SAMPLING_QUERIES = {
     "q62_shard_balance": q62_shard_balance,
     "q67_pii_redaction": q67_pii_redaction,
     "q68_token_packing": q68_token_packing,
+    "q71_training_shards": q71_training_shards,
 }
 
 SAMPLING_ORACLES = {
@@ -262,4 +367,5 @@ SAMPLING_ORACLES = {
     "q62_shard_balance": Q62_ORACLE,
     "q67_pii_redaction": _q67_oracle(),
     "q68_token_packing": Q68_ORACLE,
+    "q71_training_shards": _q71_oracle(),
 }

@@ -81,3 +81,24 @@ def test_packing_budget_validation(spark):
     df = spark.createDataFrame([(1, 1)], ["doc_id", "n_tokens"])
     with pytest.raises(ValueError):
         pack_by_token_budget(df, "doc_id", "n_tokens", 0)
+
+
+def test_prepare_training_shards_composition(spark):
+    from data_integration_openfoodfacts_spark.operators.curation import (
+        prepare_training_shards,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    out = prepare_training_shards(docs, "doc_id", "text")
+    rows = out.collect()
+    assert 0 < len(rows) < docs.count()  # repetition gate dropped some
+    assert all(0 <= r.shard < 8 and r.pack_id >= 0 for r in rows)
+    assert all(r.n_pii == 0 for r in rows)  # corpus is PII-free
+    # packs are dense per shard (0..max with no holes)
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r.shard, set()).add(r.pack_id)
+    for packs in per_shard.values():
+        assert packs == set(range(max(packs) + 1))
