@@ -242,6 +242,37 @@ GROUP BY ROLLUP(1, 2)
 """
 
 
+def q72_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: order counts/totals across ALL subsets of
+    (orderpriority, orderstatus) — the full cross-classification a BI
+    layer asks for. Like ROLLUP (q57), Spark expands the 4 grouping
+    sets map-side into one Expand + single hash aggregate: one shuffle
+    for the whole lattice."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("total_dec"),
+    )
+    return base.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.count(F.lit(1)).alias("nb_orders"),
+        F.sum("total_dec").cast("double").alias("sum_total"),
+    )
+
+
+Q72_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       COUNT(*) AS nb_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY CUBE(1, 2)
+"""
+
+
 def q58_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promotion effect): share of one-month revenue
     from a part class — fact⋈dim join where the date predicate pushes to
@@ -291,6 +322,7 @@ OLAP_QUERIES = {
     "q54_json_props": q54_json_props,
     "q55_unpivot_measures": q55_unpivot_measures,
     "q57_rollup_order_totals": q57_rollup_order_totals,
+    "q72_cube_priority_status": q72_cube_priority_status,
     "q58_promo_revenue_share": q58_promo_revenue_share,
 }
 
@@ -301,5 +333,6 @@ OLAP_ORACLES = {
     "q54_json_props": Q54_ORACLE,
     "q55_unpivot_measures": Q55_ORACLE,
     "q57_rollup_order_totals": Q57_ORACLE,
+    "q72_cube_priority_status": Q72_ORACLE,
     "q58_promo_revenue_share": Q58_ORACLE,
 }
