@@ -32,6 +32,13 @@ def _make_ascii_fold():
         def fold(s):
             if s is None:
                 return None
+            # Fast path: NFKC→NFD→ascii-ignore is the identity on pure
+            # ASCII (every ASCII char is normalization-invariant), and
+            # str.isascii() is a single C-level scan — real-world text
+            # columns are mostly ASCII, so this skips the two normalize
+            # passes + encode/decode round trip for most rows.
+            if s.isascii():
+                return s
             return (
                 unicodedata.normalize("NFD", unicodedata.normalize("NFKC", s))
                 .encode("ascii", "ignore")
@@ -68,6 +75,8 @@ def _make_ascii_fold_mapped():
         def fold(s):
             if s is None:
                 return None
+            if s.isascii():  # identity on ASCII — see ascii_fold
+                return s
             return (
                 unicodedata.normalize(
                     "NFD", unicodedata.normalize("NFKC", s)

@@ -21,8 +21,9 @@ in SURVEY.md §3.1) with the architectural fixes §4 calls for:
 Scale posture: the only wide operations are the keep-latest window
 (hash shuffle on ``code``) and the dim distinct/aggregations. The small
 dims (brand/category/time) broadcast into their lookup joins;
-dim_product is product-cardinality, so the fact join on ``code`` is a
-regular shuffle join (AQE still broadcasts it while genuinely small).
+dim_product and the fact both derive from ONE product_sk-keyed Silver
+frame, so the star is assembled without any fact ⋈ dim_product join —
+no product-cardinality broadcast, no two-sided shuffle, at any scale.
 Surrogate keys default to the deterministic ``row_number`` mint for
 oracle parity; ``sk_strategy="hash"`` is the shuffle-free scale mode.
 The fact table write can be partitioned by ``year(last_modified_date)``
@@ -278,16 +279,28 @@ def build_gold(
 
     dim_country = build_dim_country(silver, sk_strategy=sk_strategy)
 
-    # dim_product: lookup joins J1/J2 — dims are small, broadcast them.
-    dim_product = add_surrogate_key(
-        silver.join(
+    # Mint product_sk ONCE on the deduped Silver (one row per ``code``
+    # after the W1 keep-latest pass), then derive BOTH dim_product and
+    # the fact from the same keyed frame. This removes the former
+    # fact ⋈ dim_product join outright — the round-1 plan either forced
+    # a product-cardinality broadcast (OOM at scale) or, without the
+    # hint, paid a full two-sided shuffle at every scale. No join means
+    # neither failure mode exists; the SK mapping is identical because
+    # row_number over the same unique ``code`` set yields the same keys.
+    keyed = add_surrogate_key(silver, "product_sk", ["code"], strategy=sk_strategy)
+
+    # dim_product: lookup joins J1/J2 — dims are genuinely small
+    # (distinct brands/categories, orders of magnitude below product
+    # cardinality), so broadcast hints are safe and correct here.
+    dim_product = (
+        keyed.join(
             F.broadcast(dim_brand),
-            silver["brands"] == dim_brand["brand_name"],
+            keyed["brands"] == dim_brand["brand_name"],
             "left",
         )
         .join(
             F.broadcast(dim_category),
-            silver["main_category"] == dim_category["category_name"],
+            keyed["main_category"] == dim_category["category_name"],
             "left",
         )
         .select(
@@ -296,21 +309,13 @@ def build_gold(
             "brand_sk",
             F.col("category_sk").alias("primary_category_sk"),
             F.col("countries_en").alias("countries_multi_name"),
-        ),
-        "product_sk",
-        ["code"],
-        strategy=sk_strategy,
+            "product_sk",
+        )
     )
 
-    # fact: J3 inner join on code + snapshot measures. dim_product has
-    # one row PER PRODUCT — the same cardinality as the fact — so it is
-    # deliberately NOT broadcast (a forced broadcast OOMs the moment the
-    # product table outgrows executor memory); AQE picks broadcast on
-    # its own while the table is actually small. At 100 TB, bucket both
-    # sides on ``code`` to make this a shuffle-free sort-merge join.
-    fact = silver.join(
-        dim_product.select("product_sk", "code"), "code", "inner"
-    ).select(
+    # fact: J3 snapshot measures keyed by the same product_sk — a narrow
+    # projection of the keyed Silver, no join (see above).
+    fact = keyed.select(
         "product_sk",
         F.col("last_modified_t").alias("time_sk"),
         *NUTRIENT_COLUMNS,

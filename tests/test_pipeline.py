@@ -140,11 +140,13 @@ def _executed_plan(df):
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_fact_dim_product_join_not_broadcast_forced(result):
-    """dim_product is product-cardinality; a forced broadcast OOMs at
-    scale. With broadcast thresholds disabled, any BroadcastHashJoin left
-    in the plan can only come from a hint — the fact join on code must
-    fall back to a shuffle join instead (round-2 fix, VERDICT #3)."""
+def test_fact_plan_has_no_product_join(result):
+    """dim_product is product-cardinality, so ANY fact ⋈ dim_product
+    join is a scale hazard: a forced broadcast OOMs past executor
+    memory, and an unhinted shuffle join pays a full two-sided exchange.
+    Since round 2 the fact derives from the same product_sk-keyed Silver
+    frame as dim_product, so its plan must contain NO join operator at
+    all (VERDICT #3, strengthened)."""
     spark = result.tables["fact_nutrition_snapshot"].sparkSession
     before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
@@ -156,11 +158,10 @@ def test_fact_dim_product_join_not_broadcast_forced(result):
 
         gold = build_gold(result.tables["silver_products"])
         plan = _executed_plan(gold["fact_nutrition_snapshot"])
-        assert "SortMergeJoin" in plan  # the code join shuffles
-        # no hinted broadcast of the product-cardinality side survives
-        # (Catalyst even prunes the small-dim lookup joins away here,
-        # since the fact only needs product_sk+code)
-        assert "BroadcastHashJoin" not in plan
+        for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+            assert join_op not in plan
+        # the SK mint (row_number default) is the plan's only wide op
+        assert "Window" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
