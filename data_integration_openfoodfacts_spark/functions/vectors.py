@@ -1,16 +1,32 @@
 """Vector math over ``array<float>`` embedding columns.
 
-All pure Column expressions built from higher-order functions
-(``zip_with`` + ``aggregate``) — they run JVM-side inside codegen, no
-Python boundary, so a brute-force similarity scan is shuffle-free and
-scales with executors. Inputs are cast to double element-wise first so
-accumulation happens in double precision (float32 accumulation drifts).
+Two tiers with IDENTICAL numerics:
+
+- Pure Column expressions built from higher-order functions
+  (``zip_with`` + ``aggregate``) — JVM-side, no Python boundary. Right
+  for per-vector work (norms, one-query scans): n folds total.
+- ``pair_dot_fold`` — an Arrow-batched pandas UDF for PAIR-scoring hot
+  paths (near-dup verify joins), where the fold runs once per candidate
+  pair (~n² candidates). Spark evaluates higher-order-function lambdas
+  interpreted per element (they are opaque to whole-stage codegen), so
+  at millions of pairs the HOF fold is the bottleneck; the UDF does the
+  same arithmetic as one vectorized numpy pass.
+
+Both tiers accumulate left-to-right in double precision:
+``np.cumsum`` applies IEEE rounding sequentially per element, which is
+bit-identical to the HOF fold and to DuckDB's ``list_reduce`` — so
+either tier hash-matches the oracle (pinned by
+tests/test_llm_ops.py::test_pair_dot_fold_bitexact).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
 def _as_double(col: Column | str) -> Column:
@@ -33,3 +49,52 @@ def cosine_similarity_expr(a: Column | str, b: Column | str) -> Column:
     return F.try_divide(
         dot_product_expr(a, b), l2_norm_expr(a) * l2_norm_expr(b)
     )
+
+
+# DoubleType() (not the DDL string "double"): the string form parses
+# via the active SparkContext, which breaks importing this module
+# before a session exists.
+@pandas_udf(DoubleType())
+def pair_dot_fold(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Left-to-right-fold dot product, vectorized over an Arrow batch.
+
+    Numerically identical to ``dot_product_expr`` (and to the DuckDB
+    oracle's ``list_reduce``): elements are cast float->double (exact)
+    and accumulated strictly left-to-right via ``np.cumsum``, which
+    rounds once per element exactly like the sequential fold. Use on
+    pair-join hot paths; inputs are expected non-null and equal-length
+    (embedding tables) — rows violating that fall back to the exact
+    per-row fold, mirroring zip_with's null-padding (unequal lengths
+    yield NULL).
+    """
+    n = len(a)
+    out = np.empty(n, dtype=np.float64)
+    arrs_a = a.to_numpy()
+    arrs_b = b.to_numpy()
+    lens_ok = True
+    try:
+        la = np.fromiter((len(x) for x in arrs_a), dtype=np.int64, count=n)
+        lb = np.fromiter((len(x) for x in arrs_b), dtype=np.int64, count=n)
+        lens_ok = n > 0 and la.min() == la.max() == lb.min() == lb.max()
+    except TypeError:  # a None slipped in
+        lens_ok = False
+    if lens_ok:
+        A = np.stack(arrs_a).astype(np.float64)
+        B = np.stack(arrs_b).astype(np.float64)
+        if A.shape[1] == 0:
+            out[:] = 0.0
+        else:
+            np.cumsum(A * B, axis=1, out=A)
+            out[:] = A[:, -1]
+        return pd.Series(out)
+    # slow path: ragged / null rows (never hit on embedding tables)
+    res: list[float | None] = []
+    for x, y in zip(arrs_a, arrs_b):
+        if x is None or y is None or len(x) != len(y):
+            res.append(None)
+            continue
+        acc = 0.0
+        for xi, yi in zip(x, y):
+            acc = acc + float(xi) * float(yi)
+        res.append(acc)
+    return pd.Series(res, dtype="float64")

@@ -161,14 +161,30 @@ def hyperplane_lsh_candidates(
     dropped before the pair join, bounding the worst-case bucket cost
     at a (documented) recall loss.
 
+    Dedup is SHUFFLE-FREE: a pair co-bucketed in several bands is
+    emitted only from its FIRST matching band. Every tagged row carries
+    all band signatures packed into one long; after the band equi-join,
+    ``XOR`` of the two packed longs localizes which bands match, and a
+    row survives only when its band is the minimum matching band. That
+    replaces the classic ``distinct()`` (a full shuffle of the
+    *multiplied* join output — bands x candidate pairs rows) with a
+    per-row bitmask filter applied inside the join stage.
+
+    Requires ``rows_per_band * num_bands <= 63`` (one long of packed
+    signatures — 16x2 and 8x8 configurations both fit).
+
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
     from .skew import spread_partitions
 
+    num_planes = rows_per_band * num_bands
+    if num_planes > 64:
+        raise ValueError(
+            "rows_per_band * num_bands must be <= 64 to pack signatures"
+        )
     # a single-file scan would serialize the (CPU-heavy) sign-bit
     # projection and the band join on one core; no-op at real scale
     embeddings = spread_partitions(embeddings, id_col)
-    num_planes = rows_per_band * num_bands
     planes = rademacher_hyperplanes(num_planes, dim)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bits = [
@@ -187,25 +203,39 @@ def hyperplane_lsh_candidates(
         for plane in planes
     ]
 
-    def band_sig(b: int):
-        # pack the band's sign bits into one long (bit i of the band =
-        # plane b*r+i) — integer join keys shuffle far less than strings
-        sig = F.lit(0).cast("long")
-        for i in range(rows_per_band):
-            sig = sig + bits[b * rows_per_band + i] * (1 << i)
-        return sig
-
+    # all sign bits packed into one long: plane i is bit i, so band b's
+    # signature occupies bits [b*rows_per_band, (b+1)*rows_per_band) —
+    # integer join keys shuffle far less than strings, and one packed
+    # long per row lets the pair join dedup bands without a shuffle
+    # shiftleft (static count), not multiplication by 2^i: bit 63 is
+    # the long's sign bit, fine for two's-complement bitwise ops but
+    # out of range as a Python literal
+    packed = F.lit(0).cast("long")
+    for i, bit in enumerate(bits):
+        packed = packed.bitwiseOR(F.shiftleft(bit, i))
+    mask = (1 << rows_per_band) - 1
+    with_sigs = embeddings.select(F.col(id_col), packed.alias("allsigs"))
     band_sigs = F.array(
         *[
             F.struct(
-                F.lit(b).alias("band"), band_sig(b).alias("sig")
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("allsigs"), b * rows_per_band)
+                .bitwiseAND(F.lit(mask))
+                .alias("sig"),
             )
             for b in range(num_bands)
         ]
     )
     tagged = (
-        embeddings.select(F.col(id_col), F.explode(band_sigs).alias("bs"))
-        .select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        with_sigs.select(
+            F.col(id_col), "allsigs", F.explode(band_sigs).alias("bs")
+        )
+        .select(
+            id_col,
+            F.col("bs.band").alias("band"),
+            F.col("bs.sig").alias("sig"),
+            "allsigs",
+        )
     )
     if max_bucket_size is not None:
         ok = (
@@ -215,13 +245,41 @@ def hyperplane_lsh_candidates(
             .select("band", "sig")
         )
         tagged = tagged.join(ok, ["band", "sig"])
-    a = tagged.select(F.col(id_col).alias("id_a"), "band", "sig")
-    b = tagged.select(F.col(id_col).alias("id_b"), "band", "sig")
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), "band", "sig",
+        F.col("allsigs").alias("__sa"),
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"), "band", "sig",
+        F.col("allsigs").alias("__sb"),
+    )
+    x = F.col("__sa").bitwiseXOR(F.col("__sb"))
+    # least() skips NULLs -> the minimum band whose signature group is
+    # identical for the pair; the joined band always matches, so this
+    # is never NULL. NOTE under max_bucket_size a pair's first matching
+    # band may have been dropped as oversized, suppressing the pair in
+    # that band AND here (emission requires band == first match over
+    # ALL bands) — same recall trade the cap already documents.
+    first_match = F.least(
+        *[
+            F.when(
+                # shiftleft, not a Python literal: the top band's mask
+                # overflows a signed 64-bit literal
+                x.bitwiseAND(
+                    F.shiftleft(
+                        F.lit(mask).cast("long"), bb * rows_per_band
+                    )
+                )
+                == 0,
+                F.lit(bb),
+            )
+            for bb in range(num_bands)
+        ]
+    )
     return (
         a.join(b, ["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("band") == first_match))
         .select("id_a", "id_b")
-        .distinct()
     )
 
 
@@ -251,6 +309,8 @@ def hyperplane_lsh_pairs(
         num_bands=num_bands,
         max_bucket_size=max_bucket_size,
     )
+    from ..functions.vectors import pair_dot_fold
+
     ea = embeddings.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
@@ -267,13 +327,16 @@ def hyperplane_lsh_pairs(
         .select(
             "id_a",
             "id_b",
+            # pair_dot_fold: vectorized Arrow batch, bit-identical to
+            # the HOF fold (the HOF lambda is interpreted per element —
+            # at candidate-pair cardinality it dominates the query).
             # try_divide: all-zero vectors share every LSH bucket (every
             # dot is 0.0 -> identical signatures) so they WILL reach the
             # verify as candidates; plain division would abort the job
             # under ANSI mode, try_divide yields NULL which the
             # threshold filter drops.
             F.try_divide(
-                dot_product_expr("__va", "__vb"),
+                pair_dot_fold("__va", "__vb"),
                 F.col("__na") * F.col("__nb"),
             ).alias("cosine"),
         )

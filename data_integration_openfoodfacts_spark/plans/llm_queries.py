@@ -291,9 +291,10 @@ def q26_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive form re-folds both norms per pair — 3x the work at n² scale),
     and the left side is repartitioned so the nested-loop join fans out
     across cores instead of inheriting the single input partition. The
-    per-vector norm is the same fold expression, so scores stay
+    per-pair dot is the vectorized cumsum fold (bit-identical to the
+    HOF fold and the oracle; see functions/vectors.py), so scores stay
     bit-identical to the oracle."""
-    from ..functions.vectors import dot_product_expr, l2_norm_expr
+    from ..functions.vectors import l2_norm_expr, pair_dot_fold
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", l2_norm_expr("embedding").alias("norm")
@@ -315,7 +316,7 @@ def q26_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # try_divide: zero-norm vectors yield NULL (dropped by the
         # threshold), not an ANSI DIVIDE_BY_ZERO job abort
         F.try_divide(
-            dot_product_expr("va", "vb"), F.col("na") * F.col("nb")
+            pair_dot_fold("va", "vb"), F.col("na") * F.col("nb")
         ).alias("cosine"),
     ).filter(F.col("cosine") >= 0.35)
 

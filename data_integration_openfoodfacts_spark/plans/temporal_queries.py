@@ -82,9 +82,14 @@ def q37_price_band_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "band string, lo double, hi double",
     )
+    # The band table is a local relation with UNKNOWN stats; without a
+    # hint Spark instead broadcasts the (known-small-at-toy-scale) fact
+    # side — building a fact-cardinality hash relation, exactly the
+    # plan that dies at 100x. The caller knows bands is tiny, so it
+    # says so; the hint survives the operator's explode/projection.
     joined = range_join_bucketed(
         li.select("l_extendedprice"),
-        bands,
+        F.broadcast(bands),
         value_col="l_extendedprice",
         lo_col="lo",
         hi_col="hi",

@@ -394,3 +394,68 @@ def test_chunk_documents_overlap_and_edges(spark):
     assert out[(2, 0)] == ("xy", 2)
     assert out[(3, 0)] == ("", 0)
     assert len(out) == 5
+
+
+def test_pair_dot_fold_bitexact(spark):
+    """pair_dot_fold (vectorized cumsum) must be BIT-identical to the
+    JVM HOF fold (and hence the DuckDB list_reduce oracle) — the whole
+    point of the UDF is speed without changing one ulp. Checks random
+    float32 vectors of several dims plus edge rows (empty arrays,
+    ragged lengths -> NULL like zip_with's null-padding)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_integration_openfoodfacts_spark.functions.vectors import (
+        dot_product_expr,
+        pair_dot_fold,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        d = rng.choice([1, 7, 64])
+        rows.append(
+            (
+                i,
+                [rng.uniform(-2, 2) for _ in range(d)],
+                [rng.uniform(-2, 2) for _ in range(d)],
+            )
+        )
+    rows.append((9001, [], []))
+    df = spark.createDataFrame(
+        rows, "id long, a array<float>, b array<float>"
+    )
+    mism = (
+        df.select(
+            "id",
+            dot_product_expr("a", "b").alias("hof"),
+            pair_dot_fold("a", "b").alias("udf"),
+        )
+        # empty arrays: both folds give exactly 0.0
+        .filter(~(F.col("hof") == F.col("udf")))
+        .count()
+    )
+    assert mism == 0
+
+    # uniform-dim frame: the whole Arrow batch takes the vectorized
+    # np.cumsum fast path (the mixed-dim frame above falls back)
+    uni = spark.createDataFrame(
+        [r for r in rows if len(r[1]) == 64],
+        "id long, a array<float>, b array<float>",
+    )
+    mism_fast = (
+        uni.select(
+            dot_product_expr("a", "b").alias("hof"),
+            pair_dot_fold("a", "b").alias("udf"),
+        )
+        .filter(~(F.col("hof") == F.col("udf")))
+        .count()
+    )
+    assert mism_fast == 0
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0], [1.0])], "id long, a array<float>, b array<float>"
+    )
+    out = ragged.select(pair_dot_fold("a", "b").alias("d")).first()
+    assert out["d"] is None
