@@ -22,8 +22,12 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
 
 from ..functions.vectors import cosine_similarity_expr, dot_product_expr
 
@@ -132,6 +136,42 @@ def rademacher_hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def _packed_signbits_udf(planes: list[list[float]]):
+    """Arrow-batched UDF: all hyperplane sign bits of a vector packed
+    into one long (plane i -> bit i).
+
+    Vectorized numpy with the same numerics as the interpreted HOF
+    fold it replaces: elementwise products accumulated strictly
+    left-to-right via ``np.cumsum`` (one IEEE rounding per element),
+    so each sign matches the oracle's ``list_reduce`` fold bit-for-bit
+    — and +-1.0 products are themselves exact. The HOF formulation
+    evaluated num_planes folds per row interpreted; this is one numpy
+    pass per Arrow batch.
+    """
+    P = np.asarray(planes, dtype=np.float64)  # (num_planes, dim)
+    weights = np.left_shift(
+        np.uint64(1), np.arange(P.shape[0], dtype=np.uint64)
+    )
+
+    @pandas_udf(LongType())
+    def packed_signbits(v: pd.Series) -> pd.Series:
+        n = len(v)
+        if n == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        A = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        # (n, planes, dim) products; cumsum along dim = left-to-right
+        # fold; last column = the dot products
+        prod = A[:, None, :] * P[None, :, :]
+        dots = np.cumsum(prod, axis=2)[:, :, -1]
+        bits = (dots >= 0).astype(np.uint64)
+        vals = (bits * weights).sum(axis=1, dtype=np.uint64)
+        # view, not astype: bit 63 set means the uint64 exceeds the
+        # signed range; reinterpret preserves the bit pattern
+        return pd.Series(vals.view(np.int64))
+
+    return packed_signbits
+
+
 def hyperplane_lsh_candidates(
     embeddings: DataFrame,
     dim: int,
@@ -144,10 +184,11 @@ def hyperplane_lsh_candidates(
     """Random-hyperplane LSH candidate pairs for embedding near-dup —
     the bucketed scale path behind the exact all-pairs baseline
     (plans/llm_queries.q26). Never quadratic: each vector computes
-    ``rows_per_band * num_bands`` sign bits in one narrow JVM-side
-    projection, explodes to ``num_bands`` (band, signature) rows, and
-    the only shuffle is the equi-join on (band, signature) — work is
-    proportional to bucket sizes, not n².
+    ``rows_per_band * num_bands`` sign bits in one vectorized Arrow
+    batch (:func:`_packed_signbits_udf` — bit-identical to the
+    interpreted HOF fold it replaces), explodes to ``num_bands``
+    (band, signature) rows, and the only shuffle is the equi-join on
+    (band, signature) — work is proportional to bucket sizes, not n².
 
     Tuning is threshold-driven: P[one plane agrees] = 1 - theta/pi, so
     a production near-dup threshold (cosine >= 0.9, p ~ 0.857) prunes
@@ -170,8 +211,9 @@ def hyperplane_lsh_candidates(
     *multiplied* join output — bands x candidate pairs rows) with a
     per-row bitmask filter applied inside the join stage.
 
-    Requires ``rows_per_band * num_bands <= 63`` (one long of packed
-    signatures — 16x2 and 8x8 configurations both fit).
+    Requires ``rows_per_band * num_bands <= 64`` (one long of packed
+    signatures — 16x2 and 8x8 configurations both fit; bit 63 is the
+    long's sign bit, which two's-complement bitwise ops handle fine).
 
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
@@ -186,35 +228,15 @@ def hyperplane_lsh_candidates(
     # projection and the band join on one core; no-op at real scale
     embeddings = spread_partitions(embeddings, id_col)
     planes = rademacher_hyperplanes(num_planes, dim)
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bits = [
-        (
-            F.aggregate(
-                F.zip_with(
-                    vec_d,
-                    F.array(*[F.lit(v) for v in plane]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0
-        ).cast("long")
-        for plane in planes
-    ]
-
+    mask = (1 << rows_per_band) - 1
     # all sign bits packed into one long: plane i is bit i, so band b's
     # signature occupies bits [b*rows_per_band, (b+1)*rows_per_band) —
     # integer join keys shuffle far less than strings, and one packed
     # long per row lets the pair join dedup bands without a shuffle
-    # shiftleft (static count), not multiplication by 2^i: bit 63 is
-    # the long's sign bit, fine for two's-complement bitwise ops but
-    # out of range as a Python literal
-    packed = F.lit(0).cast("long")
-    for i, bit in enumerate(bits):
-        packed = packed.bitwiseOR(F.shiftleft(bit, i))
-    mask = (1 << rows_per_band) - 1
-    with_sigs = embeddings.select(F.col(id_col), packed.alias("allsigs"))
+    with_sigs = embeddings.select(
+        F.col(id_col),
+        _packed_signbits_udf(planes)(F.col(vec_col)).alias("allsigs"),
+    )
     band_sigs = F.array(
         *[
             F.struct(
