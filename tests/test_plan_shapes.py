@@ -109,3 +109,22 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_q43_lsh_pair_dedup_has_no_distinct_shuffle(spark):
+    """The band join dedups pairs via the first-matching-band bitmask
+    filter INSIDE the join stage — a regression to distinct() would
+    re-shuffle the band-multiplied join output on (id_a, id_b)."""
+    plan = plan_of(spark, "q43_hyperplane_lsh_neardup_pairs")
+    assert "Exchange hashpartitioning(id_a" not in plan
+
+
+def test_q37_range_join_builds_on_band_side(spark):
+    """The bucketed range join must hash the (tiny, exploded) band
+    table, never the fact: the band relation is a local DataFrame with
+    unknown stats, and without the explicit hint Spark broadcasts the
+    known-small-at-toy-scale fact side instead — a fact-cardinality
+    hash relation, the exact plan that dies at 100x."""
+    plan = plan_of(spark, "q37_price_band_rollup")
+    assert "BroadcastHashJoin" in plan
+    assert "BuildRight" in plan and "BuildLeft" not in plan
