@@ -36,3 +36,18 @@ def test_long_chain_converges_within_default_iters(spark):
     n = 12
     got = _cc(spark, [(i, i + 1) for i in range(n)])
     assert set(got.values()) == {0}
+
+
+def test_chain_far_beyond_round_budget_converges(spark):
+    """A 300-link chain has diameter 300: min-label propagation would
+    need 300 rounds, large-star/small-star needs ~log n — this pins
+    the O(log n) convergence that makes unknown-diameter graphs safe."""
+    n = 300
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_self_loop_only_node_labels_itself(spark):
+    got = _cc(spark, [(1, 2), (7, 7)])
+    assert got == {1: 1, 2: 1, 7: 7}
