@@ -16,7 +16,11 @@ scale formulation for graphs whose diameter is unknown:
   (O(log² n) worst case) — unlike min-label propagation, which needs
   O(diameter) rounds and dies on long chains (a 10k-link near-dup
   chain is 10k rounds of shuffles vs ~14 here);
-- each round is a fixed set of hash shuffles keyed on node id;
+- each round is a fixed set of hash shuffles keyed on node id. The
+  per-round constant is higher than min-label propagation's (two star
+  steps vs one join), which shows on toy graphs where driver/stage
+  overhead dominates — the price of never being hostage to an unknown
+  diameter, which is the failure mode that matters at 100 TB;
 - ``localCheckpoint`` after each round cuts the exponentially growing
   lineage (the classic iterative-Spark trap);
 - the driver-side loop reads one scalar per round (the count of edges
@@ -34,7 +38,11 @@ from pyspark.sql import functions as F
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """(u,v) edge set -> large-star step: for each node u, connect all
-    strictly larger neighbours to min(N(u) ∪ {u})."""
+    strictly larger neighbours to min(N(u) ∪ {u}).
+
+    No ``distinct`` here: the small-star step that always follows ends
+    in one, and its group-by tolerates duplicate edges — one fewer
+    shuffle per round."""
     bidir = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = bidir.groupBy("u").agg(
         F.least(F.min("v"), F.first("u")).alias("m")
@@ -43,7 +51,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         bidir.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -97,15 +104,20 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e_count = e.count()
     for _ in range(max_iter):
         new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # set equality via one anti count + one cardinality check (both
-        # sides are distinct sets; counts carried, not recomputed)
-        new_count = new_e.count()
-        changed = new_e.exceptAll(e).count()
-        e, prev_count, e_count = new_e, e_count, new_count
-        if changed == 0 and new_count == prev_count:
+        # set equality in ONE job: tag old +1 / new -1, group, count
+        # groups that do not cancel (both sides are distinct sets)
+        changed = (
+            e.select("u", "v", F.lit(1).alias("t"))
+            .union(new_e.select("u", "v", F.lit(-1).alias("t")))
+            .groupBy("u", "v")
+            .agg(F.sum("t").alias("t"))
+            .filter(F.col("t") != 0)
+            .count()
+        )
+        e = new_e
+        if changed == 0:
             break
     else:
         raise RuntimeError(
