@@ -70,3 +70,83 @@ def dedup_exact(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     Use ``dedup_keep_latest`` when the survivor must be deterministic.
     """
     return df.dropDuplicates(list(keys))
+
+
+def dedup_exact_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_words: int = 10,
+) -> DataFrame:
+    """Corpus-wide EXACT-substring dedup at word-segment granularity —
+    the C4/RefinedWeb preprocessing step: any segment (window of
+    ``seg_words`` consecutive words; the final one may be shorter) that
+    appears anywhere earlier in the corpus is dropped, and each
+    document is reassembled from its surviving segments.
+
+    "Earlier" is the deterministic total order (doc id, segment index),
+    so the first occurrence corpus-wide survives — layout-independent,
+    unlike dropDuplicates' arbitrary winner.
+
+    Scale shape: tokenize + window-slice are narrow per-row transforms;
+    the only shuffles are (1) the keep-first window keyed BY SEGMENT
+    TEXT — the same key a 100 TB run hashes, hot segments (boilerplate)
+    are one group each — and (2) the per-document reassembly
+    aggregation. No joins, nothing quadratic.
+
+    Returns (id, text, n_segments, n_dropped) with ``text`` rebuilt
+    from kept segments joined by single spaces.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.struct(
+            i.alias("seg_idx"),
+            F.concat_ws(
+                " ", F.slice(toks, i * seg_words + 1, seg_words)
+            ).alias("seg"),
+        ),
+    )
+    exploded = (
+        df.select(
+            F.col(id_col), F.explode(segs).alias("s"), n_segs.alias("n_segments")
+        )
+        .select(
+            id_col, "n_segments", F.col("s.seg_idx").alias("seg_idx"),
+            F.col("s.seg").alias("seg"),
+        )
+    )
+    w = Window.partitionBy("seg").orderBy(F.col(id_col).asc(), F.col("seg_idx").asc())
+    kept = (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__keep", F.col("__rn") == 1)
+    )
+    return (
+        kept.groupBy(F.col(id_col), F.col("n_segments"))
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct("seg_idx", "seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ).alias(text_col),
+            (F.col("n_segments") - F.sum(F.col("__keep").cast("long")))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .select(
+            id_col,
+            text_col,
+            F.col("n_segments").cast("long").alias("n_segments"),
+            "n_dropped",
+        )
+    )

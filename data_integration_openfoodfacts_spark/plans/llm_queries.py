@@ -626,6 +626,49 @@ LATERAL (SELECT UNNEST(range(1, greatest(length(text), 1) + 1, 150)) AS s) u
 """
 
 
+def q73_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style corpus-wide exact-substring dedup at 10-word
+    segment granularity: later occurrences of any segment are dropped
+    and documents are rebuilt from their surviving segments. See
+    operators/dedup.py::dedup_exact_segments for the scale shape
+    (keep-first window keyed by segment text; no joins)."""
+    from ..operators.dedup import dedup_exact_segments
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact_segments(docs, "doc_id", "text", seg_words=10)
+
+
+Q73_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         CAST(u.i AS INT) AS seg_idx,
+         array_to_string(t[(u.i*10+1):(u.i*10+10)], ' ') AS seg,
+         CAST(ceil(len(t) / 10.0) AS INT) AS nseg
+  FROM toks,
+       LATERAL (SELECT UNNEST(generate_series(0,
+                  CAST(ceil(len(t) / 10.0) AS INT) - 1)) AS i) u
+),
+marked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1
+           AS keep
+  FROM segs
+)
+SELECT doc_id,
+       COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+                  FILTER (WHERE keep), '') AS text,
+       CAST(MAX(nseg) AS BIGINT) AS n_segments,
+       CAST(MAX(nseg) - COUNT(*) FILTER (WHERE keep) AS BIGINT)
+         AS n_dropped
+FROM marked
+GROUP BY doc_id
+"""
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -643,6 +686,7 @@ LLM_QUERIES = {
     "q48_dataset_split": q48_dataset_split,
     "q49_curate_corpus": q49_curate_corpus,
     "q50_document_chunks": q50_document_chunks,
+    "q73_segment_dedup": q73_segment_dedup,
 }
 
 LLM_ORACLES = {
@@ -662,4 +706,5 @@ LLM_ORACLES = {
     "q48_dataset_split": Q48_ORACLE,
     "q49_curate_corpus": Q49_ORACLE,
     "q50_document_chunks": Q50_ORACLE,
+    "q73_segment_dedup": Q73_ORACLE,
 }

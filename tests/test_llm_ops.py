@@ -459,3 +459,39 @@ def test_pair_dot_fold_bitexact(spark):
     )
     out = ragged.select(pair_dot_fold("a", "b").alias("d")).first()
     assert out["d"] is None
+
+
+def test_segment_dedup_drops_repeats_and_rebuilds(spark):
+    from data_integration_openfoodfacts_spark.operators.dedup import (
+        dedup_exact_segments,
+    )
+
+    a = " ".join(f"w{i}" for i in range(10))       # segment A
+    b = " ".join(f"x{i}" for i in range(10))       # segment B
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a} {b}"),          # doc 1: A B  (both first occurrences)
+            (2, f"{b} tail words"),   # doc 2: B (dup, dropped) + short tail
+            (3, a),                   # doc 3: A only (dup) -> empty text
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_segments"], r["n_dropped"])
+        for r in dedup_exact_segments(docs, "doc_id", "text").collect()
+    }
+    assert out[1] == (f"{a} {b}", 2, 0)
+    assert out[2] == ("tail words", 2, 1)
+    assert out[3] == ("", 1, 1)
+
+
+def test_segment_dedup_dedups_within_one_document(spark):
+    from data_integration_openfoodfacts_spark.operators.dedup import (
+        dedup_exact_segments,
+    )
+
+    seg = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame([(5, f"{seg} {seg}")], ["doc_id", "text"])
+    row = dedup_exact_segments(docs, "doc_id", "text").first()
+    assert row["text"] == seg
+    assert (row["n_segments"], row["n_dropped"]) == (2, 1)
