@@ -669,6 +669,68 @@ GROUP BY doc_id
 """
 
 
+def q74_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization + reconstruction error —
+    the 4x storage tier for 100 TB embedding columns (see
+    functions/vectors.py::quantize_int8_expr for the engine-neutral
+    half-up rounding). Emits codes as a comma-joined string (hashable
+    cross-engine) plus the per-vector max absolute reconstruction
+    error; everything is narrow per-row expressions, no shuffle."""
+    from ..functions.vectors import dequantize_int8_expr, quantize_int8_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        quantize_int8_expr("embedding").alias("qz"),
+    ).select(
+        "vec_id",
+        "v",
+        F.col("qz.scale").alias("scale"),
+        F.col("qz.q").alias("q"),
+    )
+    deq = dequantize_int8_expr(F.col("scale"), F.col("q"))
+    return qz.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(
+            ",", F.transform(F.col("q"), lambda x: x.cast("string"))
+        ).alias("q_str"),
+        F.array_max(
+            F.zip_with(
+                deq,
+                F.transform(F.col("v"), lambda x: x.cast("double")),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("max_abs_err"),
+    )
+
+
+Q74_ORACLE = """
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x ->
+           greatest(-127.0, least(127.0,
+             floor(CASE WHEN scale = 0 THEN 0.0
+                        ELSE x / scale * 127.0 END + 0.5)))) AS q
+  FROM qz
+)
+SELECT vec_id, scale,
+       array_to_string(list_transform(q, x -> CAST(CAST(x AS INTEGER)
+                                                   AS VARCHAR)), ',') AS q_str,
+       list_max(list_transform(range(1, len(v) + 1),
+                i -> abs(q[i] * scale / 127.0 - v[i]))) AS max_abs_err
+FROM codes
+"""
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -687,6 +749,7 @@ LLM_QUERIES = {
     "q49_curate_corpus": q49_curate_corpus,
     "q50_document_chunks": q50_document_chunks,
     "q73_segment_dedup": q73_segment_dedup,
+    "q74_embedding_quantization": q74_embedding_quantization,
 }
 
 LLM_ORACLES = {
@@ -707,4 +770,5 @@ LLM_ORACLES = {
     "q49_curate_corpus": Q49_ORACLE,
     "q50_document_chunks": Q50_ORACLE,
     "q73_segment_dedup": Q73_ORACLE,
+    "q74_embedding_quantization": Q74_ORACLE,
 }

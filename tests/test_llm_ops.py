@@ -495,3 +495,43 @@ def test_segment_dedup_dedups_within_one_document(spark):
     row = dedup_exact_segments(docs, "doc_id", "text").first()
     assert row["text"] == seg
     assert (row["n_segments"], row["n_dropped"]) == (2, 1)
+
+
+def test_int8_quantization_round_trip_and_edges(spark):
+    from data_integration_openfoodfacts_spark.functions.vectors import (
+        dequantize_int8_expr,
+        quantize_int8_expr,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, -1.0, 0.5, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector -> scale 0, codes 0
+            (3, [2.5]),                  # single element -> code 127
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in emb.select(
+            "vec_id",
+            quantize_int8_expr("embedding").alias("qz"),
+        )
+        .select(
+            "vec_id",
+            F.col("qz.scale").alias("scale"),
+            F.col("qz.q").alias("q"),
+            dequantize_int8_expr(F.col("qz.scale"), F.col("qz.q")).alias("d"),
+        )
+        .collect()
+    }
+    assert out[1]["scale"] == 1.0
+    assert out[1]["q"] == [127, -127, 64, 0]  # 0.5*127+0.5 = 64.0 exactly
+    assert out[2]["scale"] == 0.0 and out[2]["q"] == [0, 0, 0, 0]
+    assert out[3]["q"] == [127] and out[3]["d"] == [2.5]
+    # reconstruction error bounded by scale/254 + half-ulp slack
+    err = max(
+        abs(d - v)
+        for d, v in zip(out[1]["d"], [1.0, -1.0, 0.5, 0.0])
+    )
+    assert err <= 1.0 / 254 + 1e-12
