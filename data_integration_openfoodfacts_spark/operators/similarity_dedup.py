@@ -379,3 +379,85 @@ def benchmark_contamination(
         )
         .filter(F.col("shared_shingles") >= min_shared)
     )
+
+
+def dedup_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental corpus dedup: the continuous-pipeline shape — dedup a
+    NEW batch of documents against an already-deduplicated ``corpus``
+    without ever rescanning corpus x corpus.
+
+    Two stages, both candidate-bounded:
+
+    1. within-batch: :func:`dedup_near_duplicates` on the batch alone;
+    2. batch-vs-corpus: MinHash band signatures for both sides, one
+       (band, sig) equi-join for candidates, exact-Jaccard verify
+       anchored to the candidate pairs. Work is proportional to the
+       batch plus its candidates; the corpus contributes only its band
+       signatures — which a production deployment PRECOMPUTES once and
+       stores as the dedup index (this function recomputes them so the
+       API stays stateless; swap in a signature table to go fully
+       incremental).
+
+    Semantics (documented, deliberate): the corpus is immutable.
+    A batch doc near-dup of any corpus doc is dropped; a batch "bridge"
+    doc similar to two corpus docs that are NOT similar to each other
+    is dropped without retroactively merging those corpus docs —
+    unlike a full re-dedup of the union, which would re-cluster
+    through the bridge. Requires globally unique ids across both
+    inputs.
+
+    Returns the batch documents to KEEP (batch schema unchanged).
+    """
+    kept = dedup_near_duplicates(
+        batch, id_col, text_col, n, threshold,
+        use_lsh=True, max_bucket_size=max_bucket_size,
+    )
+    kept_bands = minhash_band_signatures(
+        kept, id_col, text_col, n, num_hashes, band_size
+    )
+    corpus_bands = minhash_band_signatures(
+        corpus, id_col, text_col, n, num_hashes, band_size
+    )
+    if max_bucket_size is not None:
+        both = kept_bands.union(corpus_bands)
+        small = (
+            both.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .filter(F.col("m") <= max_bucket_size)
+            .select("band", "sig")
+        )
+        kept_bands = kept_bands.join(small, ["band", "sig"], "left_semi")
+        corpus_bands = corpus_bands.join(small, ["band", "sig"], "left_semi")
+    cand = (
+        kept_bands.select(F.col(id_col).alias("id_a"), "band", "sig")
+        .join(
+            corpus_bands.select(F.col(id_col).alias("id_b"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = word_shingles(
+        kept.select(id_col, text_col).unionByName(
+            corpus.select(id_col, text_col)
+        ),
+        id_col,
+        text_col,
+        n,
+    )
+    dropped = (
+        verify_candidate_pairs(sh, cand, id_col, threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return kept.join(dropped, id_col, "left_anti")
