@@ -105,7 +105,9 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence-check count below is the
+        # action that materializes it — one job per round, not two
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # set equality in ONE job: tag old +1 / new -1, group, count
         # groups that do not cancel (both sides are distinct sets)
         changed = (
