@@ -38,7 +38,13 @@ def main() -> None:
 
     spark = get_spark(
         "bench",
-        extra_conf={"spark.sql.warehouse.dir": "/tmp/benchwh"},
+        extra_conf={
+            "spark.sql.warehouse.dir": "/tmp/benchwh",
+            # Progress bars + long per-query keys overflowed the
+            # driver's output-tail capture in round 2 (BENCH_r02
+            # recorded parsed:null) — keep stdout to the one JSON line.
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -49,6 +55,8 @@ def main() -> None:
     # Two runs per query, min reported: standard steady-state
     # methodology — run 1 pays first-touch costs (codegen compile, file
     # listing) that a resident service amortizes away.
+    # Short keys ("q17" not "q17_run_metrics") keep the emitted JSON
+    # line compact enough for the driver's tail capture at 74 queries.
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in QUERIES.items():
@@ -57,7 +65,7 @@ def main() -> None:
             t0 = time.time()
             run_query(fn(spark, sf_dir))
             best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        timings[name.split("_", 1)[0]] = round(best, 2)
         total += best
 
     # Baseline-comparable figure: the reference's only published number
@@ -92,19 +100,20 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — bench must still emit its line
         pass
 
-    print(
-        json.dumps(
-            {
-                "metric": "engine_query_suite_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "pipeline_e2e_418k_sec": pipeline_sec,
-                "baseline_pipeline_e2e_418k_sec": 393,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "engine_query_suite_wall",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "pipeline_e2e_418k_sec": pipeline_sec,
+            "baseline_pipeline_e2e_418k_sec": 393,
+        },
+        separators=(",", ":"),
     )
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

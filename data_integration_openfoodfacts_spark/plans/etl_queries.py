@@ -15,7 +15,7 @@ from ..operators.cleaning import clean_text_chain, impute_with_default
 from ..operators.dedup import dedup_keep_latest
 from ..operators.keys import add_surrogate_key
 from ..operators.validation import bounded_expr
-from ..sources.parquet_source import load_table
+from ..sources.parquet_source import load_events, load_table
 
 
 def q7_dim_time(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,13 +53,14 @@ def q8_events_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-latest dedup per user — THE canonical reference dedup (W1,
     pipeline_etl.ipynb:425-429): window row_number over (key, ts desc),
     with event_id as the deterministic tiebreaker the reference lacks."""
-    events = load_table(spark, sf_dir, "events")
-    # Order on microsecond-truncated ts: the raw column is nanosecond
-    # precision, which micro-precision engines (the oracle) can't see.
+    events = load_events(spark, sf_dir)
+    # Order on the micro-precision normalized ts (load_events) — the
+    # same granularity the oracle engine sees — with event_id breaking
+    # same-microsecond ties deterministically.
     latest = dedup_keep_latest(
         events,
         keys=["user_id"],
-        order_by=[F.expr("ts div 1000").desc(), F.col("event_id").desc()],
+        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
     )
     return latest.select("user_id", "event_id", "event_type", "value")
 
@@ -270,7 +271,7 @@ def q17_run_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q17_ORACLE = """
 SELECT COUNT(*) AS nb_rows,
        COUNT(DISTINCT user_id) AS nb_users,
-       SUM(CAST(value > 100 AS BIGINT)) AS nb_high_value,
+       CAST(SUM(CAST(value > 100 AS BIGINT)) AS BIGINT) AS nb_high_value,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events
 """
@@ -279,8 +280,8 @@ def q30_unixtime_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 alternate date path (pipeline_etl.ipynb:497): unix seconds ->
     from_unixtime -> date, session timezone pinned UTC. Counts events
     per derived calendar date."""
-    events = load_table(spark, sf_dir, "events")
-    secs = F.expr("ts div 1000000000")
+    events = load_events(spark, sf_dir)
+    secs = F.expr("ts_ns div 1000000000")
     date_s = F.from_unixtime(secs).cast("date").cast("string")
     return (
         events.select(date_s.alias("event_date"))
@@ -290,7 +291,7 @@ def q30_unixtime_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q30_ORACLE = """
-SELECT CAST(CAST(to_timestamp(epoch(ts)) AS DATE) AS VARCHAR) AS event_date,
+SELECT CAST(CAST(to_timestamp(epoch_ns(ts) // 1000000000) AS DATE) AS VARCHAR) AS event_date,
        COUNT(*) AS nb_events
 FROM events
 GROUP BY 1

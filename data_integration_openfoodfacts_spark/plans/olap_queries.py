@@ -99,9 +99,9 @@ def q52_order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q52_ORACLE = """
 SELECT CAST(MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS order_month,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_cnt,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS filled_cnt,
-       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS pending_cnt
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_cnt,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS filled_cnt,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_cnt
 FROM orders
 GROUP BY 1
 """
@@ -167,7 +167,7 @@ def q54_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q54_ORACLE = """
 SELECT event_type,
        COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS nb_with_k,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events

@@ -145,7 +145,7 @@ SELECT CAST({_MD5_LONG} % 16 AS INTEGER) AS shard,
        COUNT(*) AS n_docs,
        MIN(doc_id) AS min_doc_id,
        MAX(doc_id) AS max_doc_id,
-       SUM(n_chars) AS sum_chars
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 GROUP BY 1
 """
@@ -239,7 +239,7 @@ packed AS (
   FROM toks
 )
 SELECT shard, pack_id, COUNT(*) AS n_docs,
-       SUM(n_tokens) AS pack_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
        MIN(doc_id) AS first_doc_id
 FROM packed
 GROUP BY 1, 2

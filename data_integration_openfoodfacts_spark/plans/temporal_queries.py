@@ -220,8 +220,8 @@ WITH per_user AS (
 )
 SELECT COUNT(*) AS n_users,
        COUNT(t_signup) AS n_signup,
-       SUM(CAST(t_view > t_signup AS BIGINT)) AS n_viewed_after_signup,
-       SUM(CAST(t_view > t_signup AND t_purchase > t_view AS BIGINT))
+       CAST(SUM(CAST(t_view > t_signup AS BIGINT)) AS BIGINT) AS n_viewed_after_signup,
+       CAST(SUM(CAST(t_view > t_signup AND t_purchase > t_view AS BIGINT)) AS BIGINT)
          AS n_purchased_after_view
 FROM per_user
 """

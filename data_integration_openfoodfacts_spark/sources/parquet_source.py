@@ -35,23 +35,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # math"). Pin UTC — runtime-settable, idempotent.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which the vectorized
-        # Spark reader rejects; read the raw int64 nanos as long.
+        # Some testdata generations store events.ts as TIMESTAMP(NANOS),
+        # which the vectorized reader rejects; this conf makes those read
+        # as raw int64 nanos and is a no-op for micro-precision files.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` as a proper TimestampType (microsecond
-    precision, nanos truncated — matches every micro-precision engine,
-    e.g. the DuckDB oracle) plus the raw nanos in ``ts_ns``."""
+    """events with ``ts`` normalized to TimestampType (microsecond
+    precision — matches the DuckDB oracle) plus epoch nanos in
+    ``ts_ns``, regardless of the physical parquet type.
+
+    The driver's generator has shipped events.ts both as TIMESTAMP(NANOS)
+    (read as int64 nanos, see load_table) and as plain timestamp[us]
+    (read as TIMESTAMP_NTZ). Every engine operator goes through this
+    adapter so the physical encoding is invisible downstream — the same
+    posture a 100 TB lake needs when files span writer versions.
+    """
     from pyspark.sql import functions as F
 
     ev = load_table(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as raw int64 nanos
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+        ts_ns = F.col("ts")
+    else:  # timestamp[us] / timestamp_ntz[us]; session tz pinned UTC
+        ts = F.col("ts").cast("timestamp")
+        ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
     return ev.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        F.col("ts").alias("ts_ns"),
+        ts.alias("ts"),
+        ts_ns.cast("long").alias("ts_ns"),
         "user_id",
         "event_type",
         "value",

@@ -92,6 +92,29 @@ def main() -> int:
             )
             failures += 1
             continue
+        # Dtype-KIND parity (int vs float vs obj). The driver's value
+        # hash is sensitive to it even when printed values agree:
+        # DuckDB SUM over integer types returns HUGEINT, which pandas
+        # renders float64 — the round-1/2 q17 "hash mismatch" was this,
+        # masked locally by the %.10g float canonicalization below.
+        # Fix the oracle with CAST(SUM(...) AS BIGINT), never the repo
+        # side.
+        kind = lambda d: {"i": "int", "u": "int", "f": "float",
+                          "b": "bool", "M": "ts"}.get(d.kind, "obj")
+        kind_bad = [
+            c for c in sdf.columns
+            if kind(sdf[c].dtype) != kind(ddf[c].dtype)
+        ]
+        if kind_bad:
+            print(
+                f"FAIL {name}: dtype kind mismatch on {kind_bad}: "
+                + ", ".join(
+                    f"{c}: spark={sdf[c].dtype} duck={ddf[c].dtype}"
+                    for c in kind_bad
+                )
+            )
+            failures += 1
+            continue
         a, b = normalize(sdf), normalize(ddf)
         if a != b:
             bad = [(x, y) for x, y in zip(a, b) if x != y][:3]
