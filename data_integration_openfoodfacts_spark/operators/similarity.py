@@ -364,3 +364,72 @@ def hyperplane_lsh_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every vector to its nearest centroid, then mark as duplicate any
+    vector whose cluster contains a LOWER-id vector with cosine >=
+    ``threshold``. Returns (vec_id, centroid_id, kept).
+
+    Scale posture: the quadratic pair scan is confined WITHIN clusters —
+    with k ~ sqrt(n) clusters the expected pair count is ~n^1.5, not
+    n^2, and the pair join shuffles on centroid_id so each cluster's
+    scan is one task. Centroids are an input DataFrame: the test
+    harness derives them deterministically from the data (so the
+    DuckDB oracle can reproduce them); a production corpus passes
+    pyspark.ml KMeans centers instead. Norms are computed once per
+    vector before the pair join; per-pair dots use the Arrow-batched
+    fold (bit-identical to the HOF fold and the oracle's list_reduce,
+    see functions/vectors.py).
+    """
+    from ..functions.vectors import l2_norm_expr, pair_dot_fold
+
+    assigned = assign_to_centroids(embeddings, centroids, id_col, vec_col)
+    e = (
+        embeddings.join(assigned, id_col)
+        .select(
+            id_col,
+            "centroid_id",
+            F.col(vec_col).alias("__v"),
+            l2_norm_expr(vec_col).alias("__n"),
+        )
+    )
+    a = e.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = e.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    dup_ids = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            # try_divide: zero-norm vectors yield NULL, dropped by the
+            # threshold instead of aborting the job under ANSI mode
+            F.try_divide(
+                pair_dot_fold("__va", "__vb"),
+                F.col("__na") * F.col("__nb"),
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return e.join(dup_ids.withColumn("__dup", F.lit(True)), id_col, "left").select(
+        id_col,
+        "centroid_id",
+        F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"),
+    )

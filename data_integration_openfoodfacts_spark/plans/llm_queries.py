@@ -731,6 +731,90 @@ FROM codes
 """
 
 
+def q75_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-then-prune semantic dedup over the
+    embedding corpus: centroids = vectors 0..7 (deterministic, so the
+    oracle reproduces them; production passes KMeans centers), within
+    each cluster any vector with a lower-id neighbour at cosine >= 0.35
+    is dropped. One row per vector: (vec_id, centroid_id, kept)."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return semantic_dedup(emb, centroids, threshold=0.35)
+
+
+Q75_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_dot_sql('e.embedding', 'c.cv')}
+         / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+            * sqrt({_dot_sql('c.cv', 'c.cv')})) AS cs
+  FROM embeddings e, cents c
+),
+best AS (
+  SELECT vec_id, centroid_id FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id ASC) = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM embeddings a
+  JOIN best ba ON ba.vec_id = a.vec_id
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  JOIN best bb ON bb.vec_id = b.vec_id AND bb.centroid_id = ba.centroid_id
+  WHERE {_dot_sql('a.embedding', 'b.embedding')}
+        / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+           * sqrt({_dot_sql('b.embedding', 'b.embedding')})) >= 0.35
+)
+SELECT e.vec_id, b.centroid_id,
+       e.vec_id NOT IN (SELECT vec_id FROM dups) AS kept
+FROM embeddings e JOIN best b ON b.vec_id = e.vec_id
+"""
+
+
+def q76_language_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group heavy hitters: top-5 tokens per language by frequency
+    (corpus vocabulary profiling). Partial (map-side) aggregation
+    absorbs the explode fan-out before the (lang, word) shuffle; the
+    per-group top-k is a rank window over the already-aggregated counts
+    — cardinality #langs x #distinct-words, not corpus size."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("nb_occurrences"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("nb_occurrences"), F.asc("word")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+Q76_ORACLE = """
+WITH counts AS (
+  SELECT d.lang, w.word, COUNT(*) AS nb_occurrences
+  FROM documents d, LATERAL (SELECT UNNEST(string_split(d.text, ' ')) AS word) w
+  GROUP BY d.lang, w.word
+)
+SELECT lang, word, nb_occurrences,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY nb_occurrences DESC, word ASC) AS BIGINT) AS rank
+FROM counts
+QUALIFY rank <= 5
+"""
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -750,6 +834,8 @@ LLM_QUERIES = {
     "q50_document_chunks": q50_document_chunks,
     "q73_segment_dedup": q73_segment_dedup,
     "q74_embedding_quantization": q74_embedding_quantization,
+    "q75_semantic_dedup": q75_semantic_dedup,
+    "q76_language_heavy_hitters": q76_language_heavy_hitters,
 }
 
 LLM_ORACLES = {
@@ -771,4 +857,6 @@ LLM_ORACLES = {
     "q50_document_chunks": Q50_ORACLE,
     "q73_segment_dedup": Q73_ORACLE,
     "q74_embedding_quantization": Q74_ORACLE,
+    "q75_semantic_dedup": Q75_ORACLE,
+    "q76_language_heavy_hitters": Q76_ORACLE,
 }

@@ -106,10 +106,10 @@ _PRIORITY = [
     "q25_ivf_topk",
     "q73_segment_dedup",
     "q74_embedding_quantization",
+    "q75_semantic_dedup",
+    "q76_language_heavy_hitters",
     "q46_benchmark_decontamination",
-    "q47_knn_join",
     "q49_curate_corpus",
-    "q29_byte_histogram",
 ]
 
 QUERIES = {k: _ALL_QUERIES[k] for k in _PRIORITY}

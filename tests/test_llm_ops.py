@@ -535,3 +535,34 @@ def test_int8_quantization_round_trip_and_edges(spark):
         for d, v in zip(out[1]["d"], [1.0, -1.0, 0.5, 0.0])
     )
     assert err <= 1.0 / 254 + 1e-12
+
+
+def test_semantic_dedup_prunes_within_cluster_only(spark):
+    from data_integration_openfoodfacts_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),       # cluster c0, kept (lowest id)
+            (1, [0.99, 0.1]),      # c0, near-dup of 0 -> dropped
+            (2, [0.0, 1.0]),       # c1, kept
+            (3, [0.1, 0.99]),      # c1, near-dup of 2 -> dropped
+            (4, [-1.0, 0.05]),     # c1 (cos 0.05 beats c0's -1), far from 2
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, centroid_vec array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["centroid_id"], r["kept"])
+        for r in semantic_dedup(emb, cents, threshold=0.9).collect()
+    }
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)
+    assert out[2] == (1, True)
+    assert out[3] == (1, False)
+    # vec 4 shares cluster c1 with 2/3 but is nowhere near them: kept.
+    assert out[4] == (1, True)
