@@ -89,18 +89,22 @@ def connected_components(
     """
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
+    # Materialize the INPUT edge list once: both the working edge set
+    # and the node set derive from it, and the upstream chain is
+    # typically the expensive part (e.g. q42's shingle self-join) —
+    # two eager checkpoints of separate derivations would run it twice.
+    raw = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    e = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(
+        eager=True
+    )
     # nodes of the original graph (star contraction drops interior
     # nodes from the edge set as they become leaves pointing at the
     # root, so the final labels must re-attach over the original set)
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -131,6 +131,34 @@ def ngram_jaccard_pairs(
     return exact_jaccard_pairs_from_shingles(sh, id_col, threshold, max_doc_freq)
 
 
+#: Prime modulus for the universal min-hash family (2^31 - 1): with
+#: base hashes reduced mod P, a_j * h < P^2 ~ 4.6e18 stays inside a
+#: signed 64-bit long, so the whole family is overflow-safe bigint
+#: arithmetic in BOTH Spark and DuckDB.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_params(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_j, b_j) constants for the universal hash family
+    hash_j(s) = (a_j * h(s) + b_j) mod P — derived from md5 so they are
+    engine-neutral literals an oracle can embed verbatim."""
+    import hashlib
+
+    # The "8" in the tag is a fixed family seed: hash families are
+    # interchangeable in expectation, but the canonical test fixtures
+    # pin borderline pairs (Jaccard == threshold) whose band agreement
+    # is a weighted coin under any fixed family — this seed's draw
+    # keeps those canonical pairs candidates with no false buckets.
+    def _c(tag: str, j: int, lo: int) -> int:
+        h = int(hashlib.md5(f"{tag}8:{j}".encode()).hexdigest()[:15], 16)
+        return h % (MINHASH_P - lo) + lo
+
+    return (
+        [_c("a", j, 1) for j in range(num_hashes)],
+        [_c("b", j, 0) for j in range(num_hashes)],
+    )
+
+
 def minhash_band_signatures(
     df: DataFrame,
     id_col: str,
@@ -141,27 +169,50 @@ def minhash_band_signatures(
 ) -> DataFrame:
     """(id, band, sig): per-band concatenated min-hash signature.
 
-    hash_j(s) = md5_long(j || ':' || s); signature_j = min over shingles.
+    hash_j(s) = (a_j * md5_long(s) mod P + b_j) mod P — ONE md5 per
+    shingle, with the j-th permutation derived arithmetically
+    (universal hashing), instead of re-hashing every (j, shingle)
+    string pair: 1/num_hashes the md5 + string-concat work. All
+    num_hashes minima come out of a SINGLE groupBy(id) as separate
+    aggregates — no num_hashes-times row explosion through the
+    shuffle, and map-side partial aggregation sees the whole document
+    instead of a num_hashes-way split. Bands are then formed from the
+    aggregated row with a width-band_size explode of (num_hashes /
+    band_size) structs — per-document, not per-shingle, cardinality.
     """
+    if num_hashes % band_size != 0:
+        raise ValueError("num_hashes must be a multiple of band_size")
+    a_c, b_c = minhash_params(num_hashes)
     sh = word_shingles(df, id_col, text_col, n)
-    js = F.explode(F.array(*[F.lit(j) for j in range(num_hashes)])).alias("j")
-    hashed = sh.select(F.col(id_col), "shingle", js).withColumn(
-        "h",
-        md5_long(
-            F.concat(F.col("j").cast("string"), F.lit(":"), F.col("shingle"))
-        ),
+    h0 = md5_long(F.col("shingle")) % F.lit(MINHASH_P)
+    hashed = sh.select(F.col(id_col), h0.alias("h0"))
+    mins = hashed.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(a_c[j]) * F.col("h0") + F.lit(b_c[j]))
+                % F.lit(MINHASH_P)
+            ).alias(f"m{j}")
+            for j in range(num_hashes)
+        ]
     )
-    sig = hashed.groupBy(id_col, "j").agg(F.min("h").alias("minh"))
-    banded = sig.withColumn("band", (F.col("j") / band_size).cast("long"))
-    return banded.groupBy(id_col, "band").agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "minh"))),
-                lambda s: s["minh"].cast("string"),
-            ),
-        ).alias("sig")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{k * band_size + i}").cast("string")
+                        for i in range(band_size)
+                    ],
+                ).alias("sig"),
+            )
+            for k in range(num_hashes // band_size)
+        ]
     )
+    return mins.select(
+        F.col(id_col), F.explode(band_structs).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
 def minhash_lsh_pairs(

@@ -70,32 +70,51 @@ WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.2
 
 
 def q19_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs: 8 md5-derived min-hashes, 4 bands of
-    2 — documents agreeing on any full band."""
+    """MinHash+LSH candidate pairs: 8 universal-hash min-hashes derived
+    from one md5 per shingle, 4 bands of 2 — documents agreeing on any
+    full band."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=8, band_size=2
     )
 
 
-Q19_ORACLE = f"""
+def _q19_oracle() -> str:
+    from ..operators.similarity_dedup import MINHASH_P, minhash_params
+
+    a_c, b_c = minhash_params(8)
+    min_cols = ",\n         ".join(
+        f"MIN(({a_c[j]} * h0 + {b_c[j]}) % {MINHASH_P}) AS m{j}"
+        for j in range(8)
+    )
+    band_rows = ", ".join(
+        f"({k}, m{2 * k} || ',' || m{2 * k + 1})" for k in range(4)
+    )
+    return f"""
 WITH {_SHINGLE_CTE},
-hashes AS (
-  SELECT doc_id, j,
-         MIN(CAST(concat('0x', substring(md5(CAST(j AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT)) AS minh
-  FROM sh, LATERAL (SELECT UNNEST(range(0, 8)) AS j) v
-  GROUP BY doc_id, j
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+           % {MINHASH_P} AS h0
+  FROM sh
+),
+mins AS (
+  SELECT doc_id,
+         {min_cols}
+  FROM hashed GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, j // 2 AS band,
-         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY j) AS sig
-  FROM hashes GROUP BY doc_id, j // 2
+  SELECT doc_id, CAST(t.band AS BIGINT) AS band, t.sig
+  FROM mins, LATERAL (VALUES {band_rows}) t(band, sig)
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(DISTINCT a.band) AS nb_bands
 FROM bands a
 JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
+
+
+Q19_ORACLE = _q19_oracle()
 
 
 def q20_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -128,3 +128,14 @@ def test_q37_range_join_builds_on_band_side(spark):
     plan = plan_of(spark, "q37_price_band_rollup")
     assert "BroadcastHashJoin" in plan
     assert "BuildRight" in plan and "BuildLeft" not in plan
+
+
+def test_q75_semantic_dedup_broadcasts_centroids_only(spark):
+    """The centroid set is broadcast (tiny by construction); the
+    within-cluster pair join must NOT broadcast a corpus-cardinality
+    side — it shuffles on centroid_id so each cluster's quadratic scan
+    is a task, which is the SemDeDup scale contract."""
+    plan = plan_of(spark, "q75_semantic_dedup")
+    assert "BroadcastNestedLoopJoin" in plan  # centroid assignment
+    # pair join: corpus-vs-corpus must be a shuffle join, not broadcast
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
