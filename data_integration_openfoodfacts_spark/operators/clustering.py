@@ -1,0 +1,56 @@
+"""Embedding-space clustering: real centroids for the IVF / SemDeDup
+operators.
+
+``ivf_topk`` and ``semantic_dedup`` (operators/similarity.py) take
+centroids as an input DataFrame; the oracle-checked queries derive them
+deterministically from the data so DuckDB can reproduce them. This
+module supplies the PRODUCTION centroid source: distributed KMeans
+(pyspark.ml — Lloyd's with k-means|| init), which is iterative and
+therefore not SQL-expressible — queries built on it take the driver's
+rows-only check, by design.
+
+Scale posture: KMeans over N vectors is one narrow pass per iteration
+(assignment is a broadcast of k centers, the update a single
+groupBy-mean shuffle keyed on cluster id); k ~ sqrt(N) keeps the
+downstream SemDeDup within-cluster scans ~N^1.5 total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fit_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit k centroids over an ``array<float>`` embedding column with
+    pyspark.ml KMeans. Returns (centroid_id, centroid_vec) shaped for
+    ``ivf_topk`` / ``assign_to_centroids`` / ``semantic_dedup``.
+
+    The fixed ``seed`` makes the fit deterministic for a given input
+    and Spark version — stable across reruns, NOT reproducible by a
+    non-Spark engine (hence rows-only verification).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(vecs)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        centers, "centroid_id long, centroid_vec array<float>"
+    )

@@ -834,6 +834,21 @@ QUALIFY rank <= 5
 """
 
 
+def q77_kmeans_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shaped semantic dedup: centroids come from a real
+    distributed KMeans fit (operators/clustering.py) instead of the
+    oracle-reproducible harness centroids of q75. KMeans is iterative —
+    not SQL-expressible — so this entry takes the driver's rows-only
+    check; q75 carries the hash-checked semantics of the downstream
+    prune."""
+    from ..operators.clustering import fit_centroids
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = fit_centroids(emb, k=8, max_iter=10, seed=42)
+    return semantic_dedup(emb, centroids, threshold=0.35)
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -855,6 +870,7 @@ LLM_QUERIES = {
     "q74_embedding_quantization": q74_embedding_quantization,
     "q75_semantic_dedup": q75_semantic_dedup,
     "q76_language_heavy_hitters": q76_language_heavy_hitters,
+    "q77_kmeans_semantic_dedup": q77_kmeans_semantic_dedup,
 }
 
 LLM_ORACLES = {

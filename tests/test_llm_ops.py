@@ -566,3 +566,26 @@ def test_semantic_dedup_prunes_within_cluster_only(spark):
     assert out[3] == (1, False)
     # vec 4 shares cluster c1 with 2/3 but is nowhere near them: kept.
     assert out[4] == (1, True)
+
+
+def test_kmeans_centroids_shape_and_dedup(spark):
+    from data_integration_openfoodfacts_spark.operators.clustering import (
+        fit_centroids,
+    )
+    from data_integration_openfoodfacts_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from data_integration_openfoodfacts_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = fit_centroids(emb, k=4, max_iter=5)
+    rows = cents.collect()
+    assert len(rows) == 4
+    assert {r["centroid_id"] for r in rows} == {0, 1, 2, 3}
+    assert all(len(r["centroid_vec"]) == 64 for r in rows)
+    out = semantic_dedup(emb, cents, threshold=0.35)
+    n = emb.count()
+    assert out.count() == n  # one verdict per vector
+    assert out.filter("kept").count() >= 1
