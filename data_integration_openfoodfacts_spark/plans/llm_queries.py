@@ -849,6 +849,49 @@ def q77_kmeans_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, centroids, threshold=0.35)
 
 
+def q78_bigram_prob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style LM quality scoring (operators/lm_scoring.py):
+    every document scored by the corpus's own add-one-smoothed bigram
+    model, in fixed point so both engines hash-match (libm ln is not
+    cross-engine bit-stable; floor(scale*p) is)."""
+    from ..operators.lm_scoring import bigram_probability_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_probability_scores(docs, "doc_id", "text")
+
+
+Q78_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, LATERAL (SELECT UNNEST(range(1, len(t))) AS i) u
+  WHERE len(t) >= 2
+),
+unigrams AS (SELECT UNNEST(t) AS w1 FROM toks),
+uni AS (SELECT w1, COUNT(*) AS c1 FROM unigrams GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT w1) AS v FROM unigrams),
+big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+scored AS (
+  SELECT p.doc_id,
+         CAST(FLOOR(1000000.0 * (b.c12 + 1.0) / (u.c1 + v.v)) AS BIGINT) AS pm
+  FROM pairs p
+  JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+  JOIN uni u ON u.w1 = p.w1, vocab v
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(pm) AS BIGINT) AS sum_prob_micros,
+         MIN(pm) AS min_prob_micros
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       COALESCE(a.sum_prob_micros, 0) AS sum_prob_micros,
+       COALESCE(a.min_prob_micros, -1) AS min_prob_micros
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -871,6 +914,7 @@ LLM_QUERIES = {
     "q75_semantic_dedup": q75_semantic_dedup,
     "q76_language_heavy_hitters": q76_language_heavy_hitters,
     "q77_kmeans_semantic_dedup": q77_kmeans_semantic_dedup,
+    "q78_bigram_prob_scores": q78_bigram_prob_scores,
 }
 
 LLM_ORACLES = {
@@ -894,4 +938,5 @@ LLM_ORACLES = {
     "q74_embedding_quantization": Q74_ORACLE,
     "q75_semantic_dedup": Q75_ORACLE,
     "q76_language_heavy_hitters": Q76_ORACLE,
+    "q78_bigram_prob_scores": Q78_ORACLE,
 }

@@ -108,7 +108,7 @@ _PRIORITY = [
     "q74_embedding_quantization",
     "q75_semantic_dedup",
     "q76_language_heavy_hitters",
-    "q46_benchmark_decontamination",
+    "q78_bigram_prob_scores",
     "q49_curate_corpus",
 ]
 

@@ -589,3 +589,34 @@ def test_kmeans_centroids_shape_and_dedup(spark):
     n = emb.count()
     assert out.count() == n  # one verdict per vector
     assert out.filter("kept").count() >= 1
+
+
+def test_bigram_prob_scores_edges(spark):
+    from data_integration_openfoodfacts_spark.operators.lm_scoring import (
+        bigram_probability_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),       # bigrams: (the,cat) (cat,sat)
+            (2, "the cat sat"),       # identical -> same score
+            (3, "one"),               # no bigrams -> sentinel row
+            (4, ""),                  # empty -> sentinel row
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in bigram_probability_scores(docs, "doc_id", "text").collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_bigrams"] == 2
+    assert out[1] == {**out[2], "doc_id": 1}
+    for d in (3, 4):
+        assert out[d]["n_bigrams"] == 0
+        assert out[d]["sum_prob_micros"] == 0
+        assert out[d]["min_prob_micros"] == -1
+    # both (the,cat) and (cat,sat) occur twice; vocab=5 ("" counts),
+    # c1(the)=2, c1(cat)=2 -> p = (2+1)/(2+5); scale 1e6 floor = 428571
+    assert out[1]["sum_prob_micros"] == 2 * 428571
+    assert out[1]["min_prob_micros"] == 428571
