@@ -315,7 +315,96 @@ WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
 """
 
 
+def q79_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond the ROLLUP/CUBE specializations,
+    q57/q72): the two *non-hierarchical* aggregation grains an order
+    dashboard wants — (status) and (priority) — in ONE pass. Same
+    Expand-then-single-hash-aggregate physical shape: one shuffle for
+    N grains, vs N separate scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__q79_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               COUNT(*) AS nb_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS sum_total
+        FROM __q79_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+Q79_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       COUNT(*) AS nb_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+def q80_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy dedup: candidate part-name pairs within a
+    cheap BLOCK (same first word + same size), verified by Levenshtein
+    distance <= 4 — the classic blocking + edit-distance pattern for
+    entity resolution at scale. The block key bounds the quadratic
+    pair scan to block-local work (one equi-join shuffle on the block
+    key), exactly like LSH bands bound the shingle scan; Levenshtein
+    runs per candidate pair only, JVM-side."""
+    part = load_table(spark, sf_dir, "part")
+    base = part.select(
+        "p_partkey",
+        F.col("p_name").alias("name"),
+        F.concat_ws(
+            "|",
+            F.split(F.col("p_name"), " ").getItem(0),
+            F.col("p_size").cast("string"),
+        ).alias("block"),
+    )
+    a = base.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("name").alias("name_a"),
+        "block",
+    )
+    b = base.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("name").alias("name_b"),
+        "block",
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("distance"),
+        )
+        .filter(F.col("distance") <= 4)
+    )
+
+
+Q80_ORACLE = """
+WITH base AS (
+  SELECT p_partkey,
+         p_name AS name,
+         string_split(p_name, ' ')[1] || '|' || CAST(p_size AS VARCHAR) AS block
+  FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS distance
+FROM base a JOIN base b ON a.block = b.block AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.name, b.name) <= 4
+"""
+
+
 OLAP_QUERIES = {
+    "q79_grouping_sets": q79_grouping_sets,
+    "q80_blocked_fuzzy_match": q80_blocked_fuzzy_match,
     "q51_window_battery": q51_window_battery,
     "q52_order_status_pivot": q52_order_status_pivot,
     "q53_late_shipment_priority": q53_late_shipment_priority,
@@ -327,6 +416,8 @@ OLAP_QUERIES = {
 }
 
 OLAP_ORACLES = {
+    "q79_grouping_sets": Q79_ORACLE,
+    "q80_blocked_fuzzy_match": Q80_ORACLE,
     "q51_window_battery": Q51_ORACLE,
     "q52_order_status_pivot": Q52_ORACLE,
     "q53_late_shipment_priority": Q53_ORACLE,

@@ -95,21 +95,19 @@ _PRIORITY = [
     "q10_orphan_events",
     "q13_bounded_event_values",
     "q1_brand_return_ratio",
-    "q14_derived_measures",
     "q41_price_percentiles",
     "q45_dim_country",
     "q19_minhash_lsh_pairs",
     "q42_duplicate_clusters",
     "q43_hyperplane_lsh_neardup_pairs",
     "q26_embedding_neardup_pairs",
-    "q24_cosine_topk",
     "q25_ivf_topk",
     "q73_segment_dedup",
-    "q74_embedding_quantization",
     "q75_semantic_dedup",
     "q76_language_heavy_hitters",
     "q78_bigram_prob_scores",
-    "q49_curate_corpus",
+    "q79_grouping_sets",
+    "q80_blocked_fuzzy_match",
 ]
 
 QUERIES = {k: _ALL_QUERIES[k] for k in _PRIORITY}
