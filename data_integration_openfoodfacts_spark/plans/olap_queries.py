@@ -402,9 +402,84 @@ WHERE levenshtein(a.name, b.name) <= 4
 """
 
 
+def q81_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/diff.py): diff orders against
+    a synthetic next-day version (1/97 of keys deleted, 1/89 with a
+    flipped status, one new key) and report every non-identical key.
+    One full-outer hash join on the key over (key, md5 fingerprint)
+    projections — each side shuffles once, no broadcast assumption."""
+    from ..operators.diff import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders
+    new = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 89 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(999999999, 1, "O", 0.0, None, "1-URGENT")],
+                orders.schema,
+            )
+        )
+    )
+    diff = table_diff(
+        old,
+        new,
+        keys=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_orderpriority", "o_custkey"],
+    )
+    return diff.filter(F.col("status") != "same")
+
+
+Q81_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(31),
+             COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0) || '<null>'),
+             COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0) || '<null>'),
+             COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || '<null>'))) AS fp_old
+  FROM orders
+),
+new AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(31),
+             COALESCE(CAST(CASE WHEN o_orderkey % 89 = 0 THEN 'X'
+                                ELSE o_orderstatus END AS VARCHAR),
+                      chr(0) || '<null>'),
+             COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0) || '<null>'),
+             COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || '<null>'))) AS fp_new
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT 999999999,
+         md5(concat_ws(chr(31), 'O', '1-URGENT', '1'))
+),
+joined AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.fp_old, n.fp_new
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN fp_old IS NULL THEN 'added'
+            WHEN fp_new IS NULL THEN 'removed'
+            WHEN fp_old <> fp_new THEN 'changed'
+            ELSE 'same' END AS status
+FROM joined
+WHERE (CASE WHEN fp_old IS NULL THEN 'added'
+            WHEN fp_new IS NULL THEN 'removed'
+            WHEN fp_old <> fp_new THEN 'changed'
+            ELSE 'same' END) <> 'same'
+"""
+
+
 OLAP_QUERIES = {
     "q79_grouping_sets": q79_grouping_sets,
     "q80_blocked_fuzzy_match": q80_blocked_fuzzy_match,
+    "q81_table_diff": q81_table_diff,
     "q51_window_battery": q51_window_battery,
     "q52_order_status_pivot": q52_order_status_pivot,
     "q53_late_shipment_priority": q53_late_shipment_priority,
@@ -417,6 +492,7 @@ OLAP_QUERIES = {
 
 OLAP_ORACLES = {
     "q79_grouping_sets": Q79_ORACLE,
+    "q81_table_diff": Q81_ORACLE,
     "q80_blocked_fuzzy_match": Q80_ORACLE,
     "q51_window_battery": Q51_ORACLE,
     "q52_order_status_pivot": Q52_ORACLE,
