@@ -140,3 +140,54 @@ def connected_components(
         "node", F.col("node").alias("component")
     )
     return labels.union(lonely)
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list — the
+    density signal behind community/spam detection on near-duplicate
+    graphs (a clique of templated docs shows up as a triangle-heavy
+    component long before CC merges it).
+
+    Scale formulation: orient every edge low-id -> high-id, then count
+    each triangle exactly once as u<v<w via TWO hash equi-joins
+    (e1(u,v) ⋈ e2(v,w) ⋈ e3(u,w)) — the standard MapReduce triangle
+    enumeration. No node ever sees more than its oriented adjacency;
+    skew on high-degree hubs is capped because orientation assigns each
+    edge to its lower-id endpoint (a hub's triangles split across its
+    lower neighbours). Returns (node, n_triangles) for every node in
+    the edge set (0 for triangle-free nodes).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e12 = e.select(F.col("u").alias("a"), F.col("v").alias("b")).join(
+        e.select(F.col("u").alias("b"), F.col("v").alias("c")), "b"
+    )
+    tri = e12.join(
+        e.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"]
+    )
+    per_node = (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+    )

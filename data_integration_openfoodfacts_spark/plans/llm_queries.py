@@ -452,6 +452,49 @@ SELECT n AS doc_id, MIN(m) AS component FROM walk GROUP BY n
 """
 
 
+def q82_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph density per document: triangle counts over the 3-gram
+    Jaccard near-dup graph (threshold 0.2) — triangle-heavy nodes mark
+    templated/boilerplate cliques worth pruning as a family rather than
+    pairwise (operators/graph.py::triangle_counts)."""
+    from ..operators.graph import triangle_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    return triangle_counts(pairs.select("id_a", "id_b"), "id_a", "id_b")
+
+
+Q82_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a AS u, id_b AS v FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.2
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.v
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+per_node AS (
+  SELECT node, COUNT(*) AS c
+  FROM (SELECT UNNEST([a, b, c]) AS node FROM tri)
+  GROUP BY node
+),
+nodes AS (SELECT u AS node FROM pairs UNION SELECT v FROM pairs)
+SELECT n.node, COALESCE(p.c, 0) AS n_triangles
+FROM nodes n LEFT JOIN per_node p ON p.node = n.node
+"""
+
+
 def q46_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: corpus docs sharing >= 5 distinct
     3-gram shingles with any 'benchmark' doc (stand-in benchmark set:
@@ -915,6 +958,7 @@ LLM_QUERIES = {
     "q76_language_heavy_hitters": q76_language_heavy_hitters,
     "q77_kmeans_semantic_dedup": q77_kmeans_semantic_dedup,
     "q78_bigram_prob_scores": q78_bigram_prob_scores,
+    "q82_triangle_counts": q82_triangle_counts,
 }
 
 LLM_ORACLES = {
@@ -939,4 +983,5 @@ LLM_ORACLES = {
     "q75_semantic_dedup": Q75_ORACLE,
     "q76_language_heavy_hitters": Q76_ORACLE,
     "q78_bigram_prob_scores": Q78_ORACLE,
+    "q82_triangle_counts": Q82_ORACLE,
 }

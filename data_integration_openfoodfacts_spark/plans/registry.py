@@ -101,13 +101,13 @@ _PRIORITY = [
     "q42_duplicate_clusters",
     "q43_hyperplane_lsh_neardup_pairs",
     "q26_embedding_neardup_pairs",
-    "q25_ivf_topk",
     "q75_semantic_dedup",
     "q76_language_heavy_hitters",
     "q78_bigram_prob_scores",
     "q79_grouping_sets",
     "q80_blocked_fuzzy_match",
     "q81_table_diff",
+    "q82_triangle_counts",
 ]
 
 QUERIES = {k: _ALL_QUERIES[k] for k in _PRIORITY}

@@ -51,3 +51,30 @@ def test_chain_far_beyond_round_budget_converges(spark):
 def test_self_loop_only_node_labels_itself(spark):
     got = _cc(spark, [(1, 2), (7, 7)])
     assert got == {1: 1, 2: 1, 7: 7}
+
+
+def test_triangle_counts_known_graph(spark):
+    from data_integration_openfoodfacts_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # triangle 1-2-3, pendant 3-4, and a 4-clique 5-6-7-8
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4)] + [
+        (a, b) for a in range(5, 9) for b in range(a + 1, 9)
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    # 4-clique: C(3,2)=3 triangles per node; pendant node 4: none
+    assert out == {1: 1, 2: 1, 3: 1, 4: 0, 5: 3, 6: 3, 7: 3, 8: 3}
+
+
+def test_triangle_counts_orientation_invariant(spark):
+    from data_integration_openfoodfacts_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    fwd = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    rev = spark.createDataFrame([(2, 1), (3, 2), (1, 3)], ["src", "dst"])
+    a = sorted(map(tuple, triangle_counts(fwd).collect()))
+    b = sorted(map(tuple, triangle_counts(rev).collect()))
+    assert a == b == [(1, 1), (2, 1), (3, 1)]
