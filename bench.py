@@ -67,6 +67,9 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name.split("_", 1)[0]] = round(best, 2)
         total += best
+    # qN prefixes must stay unique or a collision silently drops a
+    # query's timing from the emitted map while total still includes it
+    assert len(timings) == len(QUERIES), "duplicate qN bench key prefix"
 
     # Baseline-comparable figure: the reference's only published number
     # is its 418k-row end-to-end ETL (BASELINE.md: 393-580s). Run the

@@ -39,10 +39,14 @@ class ChunkTextUDTF:
     def eval(self, text: str, size: int = 200, stride: int = 150):
         if size is None or stride is None or size <= 0 or stride <= 0:
             raise ValueError("size and stride must be positive")
-        t = text if text is not None else ""
-        starts = range(0, max(len(t), 1), stride)
+        if text is None:
+            # parity with chunk_documents: substr/length of NULL are
+            # NULL, one chunk row survives via greatest(length, 1)
+            yield 0, None, None
+            return
+        starts = range(0, max(len(text), 1), stride)
         for i, s in enumerate(starts):
-            chunk = t[s : s + size]
+            chunk = text[s : s + size]
             yield i, chunk, len(chunk)
 
 

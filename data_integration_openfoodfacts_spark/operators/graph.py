@@ -159,6 +159,10 @@ def triangle_counts(
     lower neighbours). Returns (node, n_triangles) for every node in
     the edge set (0 for triangle-free nodes).
     """
+    # Materialize the oriented edge set ONCE: e is referenced three
+    # times by the triangle joins and twice by the node union — without
+    # the checkpoint the (typically expensive) upstream pair-generation
+    # chain re-executes per reference.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -166,6 +170,7 @@ def triangle_counts(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     e12 = e.select(F.col("u").alias("a"), F.col("v").alias("b")).join(
         e.select(F.col("u").alias("b"), F.col("v").alias("c")), "b"

@@ -69,11 +69,20 @@ def assign_to_centroids(
     """IVF list assignment: each vector -> its max-cosine centroid
     (ties broken by lowest centroid id). Broadcast nested-loop over the
     small centroid set, then a per-vector argmax — no shuffle of the
-    big side beyond the final aggregation, which AQE keeps local."""
+    big side beyond the final aggregation, which AQE keeps local.
+
+    Zero-norm vectors (padding rows, empty docs) score NULL against
+    every centroid (try_divide); NULL is coalesced to -2.0 — below any
+    real cosine — so the argmax deterministically assigns them to the
+    lowest centroid id instead of dropping to a NULL assignment that
+    would diverge from the SQL-oracle formulation (where NULL scores
+    tie and the id tiebreak picks centroid 0)."""
     scored = embeddings.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col(centroid_id_col),
-        cosine_similarity_expr(vec_col, centroid_vec_col).alias("c"),
+        F.coalesce(
+            cosine_similarity_expr(vec_col, centroid_vec_col), F.lit(-2.0)
+        ).alias("c"),
     )
     best = scored.groupBy(id_col).agg(
         F.max_by(
@@ -392,6 +401,10 @@ def semantic_dedup(
     from ..functions.vectors import l2_norm_expr, pair_dot_fold
 
     assigned = assign_to_centroids(embeddings, centroids, id_col, vec_col)
+    # Materialize the assignment+norm pass ONCE: e feeds the final left
+    # join plus BOTH sides of the pair join — without the checkpoint the
+    # full-corpus centroid scan and argmax execute three times (the same
+    # shared-upstream recompute connected_components fixes the same way).
     e = (
         embeddings.join(assigned, id_col)
         .select(
@@ -400,6 +413,7 @@ def semantic_dedup(
             F.col(vec_col).alias("__v"),
             l2_norm_expr(vec_col).alias("__n"),
         )
+        .localCheckpoint(eager=True)
     )
     a = e.select(
         F.col("centroid_id"),

@@ -274,9 +274,9 @@ WITH cents AS (
 ),
 scored AS (
   SELECT e.vec_id, c.centroid_id,
-         {_dot_sql('e.embedding', 'c.cv')}
-         / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
-            * sqrt({_dot_sql('c.cv', 'c.cv')})) AS cs
+         COALESCE({_dot_sql('e.embedding', 'c.cv')}
+         / NULLIF(sqrt({_dot_sql('e.embedding', 'e.embedding')})
+            * sqrt({_dot_sql('c.cv', 'c.cv')}), 0.0), -2.0) AS cs
   FROM embeddings e, cents c
 ),
 best AS (
@@ -815,9 +815,9 @@ WITH cents AS (
 ),
 scored AS (
   SELECT e.vec_id, c.centroid_id,
-         {_dot_sql('e.embedding', 'c.cv')}
-         / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
-            * sqrt({_dot_sql('c.cv', 'c.cv')})) AS cs
+         COALESCE({_dot_sql('e.embedding', 'c.cv')}
+         / NULLIF(sqrt({_dot_sql('e.embedding', 'e.embedding')})
+            * sqrt({_dot_sql('c.cv', 'c.cv')}), 0.0), -2.0) AS cs
   FROM embeddings e, cents c
 ),
 best AS (

@@ -51,7 +51,8 @@ _ALL_ORACLES = {
 # round-2 gate never reached, (b) q17 (fixed oracle cast this round),
 # and (c) the events-table queries re-verified after the testdata
 # schema change — so consecutive rounds' CORRECTNESS files jointly
-# cover all 74. Keys themselves are stable (see STABILITY above);
+# cover the whole registry. Keys themselves are stable (see STABILITY
+# above);
 # only the iteration order is tuned.
 _PRIORITY = [
     # round-2 unchecked (registry positions 51-74 last round)

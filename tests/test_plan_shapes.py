@@ -134,8 +134,31 @@ def test_q75_semantic_dedup_broadcasts_centroids_only(spark):
     """The centroid set is broadcast (tiny by construction); the
     within-cluster pair join must NOT broadcast a corpus-cardinality
     side — it shuffles on centroid_id so each cluster's quadratic scan
-    is a task, which is the SemDeDup scale contract."""
+    is a task, which is the SemDeDup scale contract. The assignment
+    pass is checkpointed (it feeds three consumers), so its broadcast
+    shape is asserted on the assignment plan and the pair-join shape on
+    the final plan."""
+    from pyspark.sql import functions as F
+
+    from data_integration_openfoodfacts_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+    from data_integration_openfoodfacts_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    assign_plan = (
+        assign_to_centroids(emb, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in assign_plan  # tiny centroid side
     plan = plan_of(spark, "q75_semantic_dedup")
-    assert "BroadcastNestedLoopJoin" in plan  # centroid assignment
     # pair join: corpus-vs-corpus must be a shuffle join, not broadcast
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

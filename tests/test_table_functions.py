@@ -16,7 +16,8 @@ from data_integration_openfoodfacts_spark.operators.chunking import (
 def test_udtf_matches_declarative_chunker(spark):
     register_table_functions(spark)
     df = spark.createDataFrame(
-        [(1, "a" * 450), (2, "short"), (3, "")], ["doc_id", "text"]
+        [(1, "a" * 450), (2, "short"), (3, ""), (4, None)],
+        "doc_id long, text string",
     )
     df.createOrReplaceTempView("udtf_docs")
     via_udtf = spark.sql(
@@ -27,7 +28,8 @@ def test_udtf_matches_declarative_chunker(spark):
     a = {tuple(r) for r in via_udtf.collect()}
     b = {tuple(r) for r in declarative.collect()}
     assert a == b
-    assert len(a) == 3 + 1 + 1  # 450 chars -> 3 windows; short -> 1; empty -> 1
+    # 450 chars -> 3 windows; short -> 1; empty -> 1; NULL -> 1 parity row
+    assert len(a) == 3 + 1 + 1 + 1
 
 
 def test_grouped_agg_median_matches_builtin(spark):
