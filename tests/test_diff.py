@@ -26,3 +26,34 @@ def test_null_not_conflated_with_empty(spark):
     new = spark.createDataFrame([(1, "", "x")], "k long, v string, w string")
     out = table_diff(old, new, ["k"], ["v", "w"]).collect()
     assert out[0]["status"] == "changed"
+
+
+def test_diff_self_is_all_same(spark):
+    from data_integration_openfoodfacts_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    out = table_diff(orders, orders, ["o_orderkey"], cols)
+    assert out.filter("status != 'same'").count() == 0
+    assert out.count() == orders.count()
+
+
+def test_diff_counts_are_symmetric(spark):
+    """removed(old,new) == added(new,old) and changed is symmetric."""
+    old = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(i, f"v{i}" if i % 3 else "MOD") for i in range(5, 25)],
+        "k long, v string",
+    )
+    def counts(a, b):
+        rows = table_diff(a, b, ["k"], ["v"]).groupBy("status").count().collect()
+        return {r["status"]: r["count"] for r in rows}
+
+    f, r = counts(old, new), counts(new, old)
+    assert f.get("removed", 0) == r.get("added", 0)
+    assert f.get("added", 0) == r.get("removed", 0)
+    assert f.get("changed", 0) == r.get("changed", 0)

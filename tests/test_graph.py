@@ -78,3 +78,32 @@ def test_triangle_counts_orientation_invariant(spark):
     a = sorted(map(tuple, triangle_counts(fwd).collect()))
     b = sorted(map(tuple, triangle_counts(rev).collect()))
     assert a == b == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_triangle_counts_sum_is_three_per_triangle(spark):
+    """Invariant: sum of per-node counts == 3 * number of triangles
+    (each triangle contributes once to each of its three corners) —
+    checked on a pseudo-random graph."""
+    import random
+
+    from data_integration_openfoodfacts_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    rng = random.Random(7)
+    edges = list({tuple(sorted(rng.sample(range(30), 2))) for _ in range(120)})
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = triangle_counts(df).collect()
+    total = sum(r["n_triangles"] for r in out)
+    # independent exact count via adjacency sets
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = sum(
+        1
+        for u, v in edges
+        for w in adj[u] & adj[v]
+        if u < v < w
+    )
+    assert total == 3 * tri
