@@ -52,8 +52,12 @@ _ALL_ORACLES = {
 # and (c) the events-table queries re-verified after the testdata
 # schema change — so consecutive rounds' CORRECTNESS files jointly
 # cover the whole registry. Keys themselves are stable (see STABILITY
-# above);
-# only the iteration order is tuned.
+# above); only the iteration order is tuned.
+#
+# _PRIORITY is the STATIC order; _gate_order() below additionally
+# auto-rotates per round by reading the committed CORRECTNESS_r*.json
+# records, so least-recently-verified queries always reach the window
+# without hand-editing this list every round.
 _PRIORITY = [
     # round-2 unchecked (registry positions 51-74 last round)
     "q35_forecast_revenue",
@@ -111,7 +115,66 @@ _PRIORITY = [
     "q82_triangle_counts",
 ]
 
-QUERIES = {k: _ALL_QUERIES[k] for k in _PRIORITY}
+def _load_correctness_records() -> dict[int, dict]:
+    """{round: parsed CORRECTNESS_r{N}.json} from the repo root."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    out: dict[int, dict] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        with open(path) as fh:
+            data = json.load(fh)
+        if isinstance(data, dict):
+            out[int(m.group(1))] = data
+    return out
+
+
+def _gate_order(records: dict[int, dict] | None = None) -> list[str]:
+    """Registry iteration order maximizing cross-round gate coverage.
+
+    Sort key per query: (round it was last hash-verified green — 0 if
+    never or if its last record was red, so unverified/failed queries
+    come first), then the static ``_PRIORITY`` index as a deterministic
+    tiebreak. Reads the committed ``CORRECTNESS_r*.json`` records; any
+    IO/parse problem falls back to the static order.
+    """
+    static_index = {k: i for i, k in enumerate(_PRIORITY)}
+    for i, k in enumerate(sorted(_ALL_QUERIES)):
+        static_index.setdefault(k, len(_PRIORITY) + i)
+    last_green: dict[str, int] = {}
+    try:
+        if records is None:
+            records = _load_correctness_records()
+        for rnd in sorted(records):
+            for key, rec in records[rnd].items():
+                if not isinstance(rec, dict):
+                    continue
+                green = bool(rec.get("hash_match")) or (
+                    # rows-only entries have no hash; count rows_match
+                    key not in _ALL_ORACLES and bool(rec.get("rows_match"))
+                )
+                # later rounds overwrite earlier; a red record resets
+                last_green[key] = rnd if green else 0
+    except Exception:  # noqa: BLE001 — never let ordering break the gate
+        return list(_PRIORITY) + [
+            k for k in sorted(_ALL_QUERIES) if k not in _PRIORITY
+        ]
+    return sorted(
+        _ALL_QUERIES,
+        key=lambda k: (last_green.get(k, 0), static_index.get(k, 1 << 20)),
+    )
+
+
+_ORDER = [k for k in _gate_order() if k in _ALL_QUERIES]
+QUERIES = {k: _ALL_QUERIES[k] for k in _ORDER}
 QUERIES.update(_ALL_QUERIES)
-ORACLES = {k: _ALL_ORACLES[k] for k in _PRIORITY if k in _ALL_ORACLES}
+ORACLES = {k: _ALL_ORACLES[k] for k in _ORDER if k in _ALL_ORACLES}
 ORACLES.update(_ALL_ORACLES)
