@@ -476,10 +476,59 @@ WHERE (CASE WHEN fp_old IS NULL THEN 'added'
 """
 
 
+def q84_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature discretization: bin every order into its total-price
+    quartile. The exact quartile boundaries come from ONE aggregation
+    (Spark ``percentile`` == DuckDB ``quantile_cont``, bit-exact per
+    q41); the 3-value boundary row then broadcasts into a narrow CASE
+    per row — no second sort, no shuffle of the fact side. At 100 TB
+    swap the boundary pass to approx_percentile, same shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.percentile("o_totalprice", 0.25).alias("q1"),
+        F.percentile("o_totalprice", 0.5).alias("q2"),
+        F.percentile("o_totalprice", 0.75).alias("q3"),
+    )
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("o_totalprice") <= F.col("q1"), F.lit(1))
+        .when(F.col("o_totalprice") <= F.col("q2"), F.lit(2))
+        .when(F.col("o_totalprice") <= F.col("q3"), F.lit(3))
+        .otherwise(F.lit(4))
+        .cast("long")
+        .alias("price_bin"),
+        "o_totalprice",
+    )
+    return binned.groupBy("price_bin").agg(
+        F.count(F.lit(1)).alias("nb_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+Q84_ORACLE = """
+WITH bounds AS (
+  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.5) AS q2,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders
+)
+SELECT CASE WHEN o_totalprice <= q1 THEN 1
+            WHEN o_totalprice <= q2 THEN 2
+            WHEN o_totalprice <= q3 THEN 3
+            ELSE 4 END AS price_bin,
+       COUNT(*) AS nb_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders, bounds
+GROUP BY 1
+"""
+
+
 OLAP_QUERIES = {
     "q79_grouping_sets": q79_grouping_sets,
     "q80_blocked_fuzzy_match": q80_blocked_fuzzy_match,
     "q81_table_diff": q81_table_diff,
+    "q84_quantile_binning": q84_quantile_binning,
     "q51_window_battery": q51_window_battery,
     "q52_order_status_pivot": q52_order_status_pivot,
     "q53_late_shipment_priority": q53_late_shipment_priority,
@@ -493,6 +542,7 @@ OLAP_QUERIES = {
 OLAP_ORACLES = {
     "q79_grouping_sets": Q79_ORACLE,
     "q81_table_diff": Q81_ORACLE,
+    "q84_quantile_binning": Q84_ORACLE,
     "q80_blocked_fuzzy_match": Q80_ORACLE,
     "q51_window_battery": Q51_ORACLE,
     "q52_order_status_pivot": Q52_ORACLE,

@@ -227,11 +227,53 @@ FROM per_user
 """
 
 
+def q83_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: the user-journey transition matrix —
+    counts of consecutive (prev_event_type -> event_type) steps per
+    user timeline. One lag window over (user, time) + one grouped
+    count; output cardinality is #event_types², independent of event
+    volume. The (ts, event_id) ordering is collision-free, so the lag
+    is deterministic on both engines."""
+    ev = load_events(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        "event_type",
+    ).filter(F.col("prev_type").isNotNull())
+    return (
+        steps.groupBy("prev_type", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+Q83_ORACLE = """
+WITH steps AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type
+  FROM events
+)
+SELECT prev_type, event_type,
+       COUNT(*) AS n_steps,
+       COUNT(DISTINCT user_id) AS n_users
+FROM steps WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 TEMPORAL_QUERIES = {
     "q36_asof_purchase_last_view": q36_asof_purchase_last_view,
     "q37_price_band_rollup": q37_price_band_rollup,
     "q69_gap_filled_daily": q69_gap_filled_daily,
     "q70_signup_funnel": q70_signup_funnel,
+    "q83_event_transitions": q83_event_transitions,
 }
 
 TEMPORAL_ORACLES = {
@@ -239,4 +281,5 @@ TEMPORAL_ORACLES = {
     "q37_price_band_rollup": Q37_ORACLE,
     "q69_gap_filled_daily": Q69_ORACLE,
     "q70_signup_funnel": Q70_ORACLE,
+    "q83_event_transitions": Q83_ORACLE,
 }
