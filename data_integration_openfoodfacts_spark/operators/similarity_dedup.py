@@ -512,3 +512,95 @@ def dedup_incremental(
         .distinct()
     )
     return kept.join(dropped, id_col, "left_anti")
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """EXACT Jaccard pairs via prefix filtering (SSJoin / Bayardo
+    "all-pairs" lineage) — the deterministic scale alternative to the
+    open shingle self-join, with no LSH probability to tune.
+
+    Principle: order every document's shingles by a GLOBAL total order
+    (document frequency asc, shingle asc — rare first). If
+    J(A,B) >= t, then |A∩B| >= ceil(t*|A|), and the smallest shared
+    shingle must sit inside each side's first |x| - ceil(t*|x|) + 1
+    shingles — so joining only those PREFIXES finds every true pair.
+    Rare-first ordering makes prefix buckets small (the hot stopword
+    shingles land at the end, outside every prefix), which is exactly
+    the hot-bucket problem the exact self-join suffers.
+
+    Cost model: freq count (one shuffle), per-doc rank window (one
+    shuffle on id), prefix equi-join on shingle (bounded buckets),
+    then the candidate-bounded exact verify — work proportional to
+    candidates, like the LSH path, but with recall 1.0 by construction.
+    Output columns match :func:`exact_jaccard_pairs_from_shingles`.
+    """
+    from pyspark.sql.window import Window
+
+    sh = word_shingles(df, id_col, text_col, n).cache()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    w = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    pref = (
+        sh.join(freq, "shingle")
+        .withColumn("__pos", F.row_number().over(w))
+        .join(sizes, id_col)
+        .filter(
+            F.col("__pos")
+            <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+        )
+        .select(id_col, "shingle", "__sz")
+    )
+    a = pref.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("__sz").alias("__sza")
+    )
+    b = pref.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("__sz").alias("__szb")
+    )
+    # Length filter (the second PPJoin prune): J(A,B) >= t forces
+    # t*|B| <= |A| and t*|A| <= |B| — kills cross-size candidates the
+    # shared-prefix-shingle test alone lets through.
+    candidates = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("__sza") >= F.ceil(F.lit(threshold) * F.col("__szb")))
+            & (F.col("__szb") >= F.ceil(F.lit(threshold) * F.col("__sza")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # Pair-bounded exact verify (NOT an open self-join over candidate
+    # docs' shingles — that would re-pay the quadratic co-shingled cost
+    # the prefix filter exists to avoid): intersections come from
+    # joining the candidate PAIRS to each side's shingles.
+    full_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    full_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        candidates.join(full_a, "id_a")
+        .join(full_b, ["shingle", "id_b"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("size_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("size_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
+    )

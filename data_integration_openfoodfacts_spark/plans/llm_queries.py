@@ -452,6 +452,42 @@ SELECT n AS doc_id, MIN(m) AS component FROM walk GROUP BY n
 """
 
 
+def q85_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard pairs via prefix filtering (SSJoin lineage) — the
+    deterministic scale alternative to both the open shingle self-join
+    (q18) and probabilistic LSH (q19): only each document's rare-first
+    prefix enters the candidate join, and candidates get the exact
+    candidate-bounded verify, recall 1.0 by construction. Runs at the
+    high threshold (0.5) the technique is built for — prefix length is
+    |d|·(1-t)+1, so at t=0.2 the "prefix" is 80% of the document and
+    the filter buys nothing (q18's capped self-join is the right tool
+    there), while at t>=0.5 most of every document stays out of the
+    candidate join."""
+    from ..operators.similarity_dedup import prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+Q85_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, common, sa.sz AS size_a, sb.sz AS size_b,
+       CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+"""
+
+
 def q82_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph density per document: triangle counts over the 3-gram
     Jaccard near-dup graph (threshold 0.2) — triangle-heavy nodes mark
@@ -959,6 +995,7 @@ LLM_QUERIES = {
     "q77_kmeans_semantic_dedup": q77_kmeans_semantic_dedup,
     "q78_bigram_prob_scores": q78_bigram_prob_scores,
     "q82_triangle_counts": q82_triangle_counts,
+    "q85_prefix_filter_jaccard": q85_prefix_filter_jaccard,
 }
 
 LLM_ORACLES = {
@@ -984,4 +1021,5 @@ LLM_ORACLES = {
     "q76_language_heavy_hitters": Q76_ORACLE,
     "q78_bigram_prob_scores": Q78_ORACLE,
     "q82_triangle_counts": Q82_ORACLE,
+    "q85_prefix_filter_jaccard": Q85_ORACLE,
 }

@@ -620,3 +620,31 @@ def test_bigram_prob_scores_edges(spark):
     # c1(the)=2, c1(cat)=2 -> p = (2+1)/(2+5); scale 1e6 floor = 428571
     assert out[1]["sum_prob_micros"] == 2 * 428571
     assert out[1]["min_prob_micros"] == 428571
+
+
+def test_prefix_filter_equals_exact_jaccard(spark):
+    from data_integration_openfoodfacts_spark.operators.similarity_dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    corpus = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),   # ~0.57 vs 1
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+        (4, "one two three four five six seven eight"),
+        (5, "totally different words everywhere here now then soon"),
+    ] + [(i, f"u{i} v{i} w{i} x{i} y{i} z{i}") for i in range(6, 30)]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    exact = {
+        (r["id_a"], r["id_b"], r["common"], r["jaccard"])
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"], r["common"], r["jaccard"])
+        for r in prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", 3, 0.5
+        ).collect()
+    }
+    assert pref == exact
+    assert (1, 3) in {(x[0], x[1]) for x in pref}  # the exact dup pair
