@@ -540,21 +540,32 @@ def prefix_filter_jaccard_pairs(
     candidates, like the LSH path, but with recall 1.0 by construction.
     Output columns match :func:`exact_jaccard_pairs_from_shingles`.
     """
-    from pyspark.sql.window import Window
-
     sh = word_shingles(df, id_col, text_col, n).cache()
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
-    w = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    # Per-doc rare-first prefix in ONE aggregation: sort_array over the
+    # collected (df, shingle) structs replaces a row_number window —
+    # one shuffle on the doc id instead of two, and the slice happens
+    # on the ~shingles-per-doc array, never a second pass over rows.
+    pref_len = (
+        F.size("__arr")
+        - F.ceil(F.lit(threshold) * F.size("__arr")).cast("int")
+        + F.lit(1)
+    )
     pref = (
         sh.join(freq, "shingle")
-        .withColumn("__pos", F.row_number().over(w))
-        .join(sizes, id_col)
-        .filter(
-            F.col("__pos")
-            <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__df", "shingle"))
+            ).alias("__arr")
         )
-        .select(id_col, "shingle", "__sz")
+        .select(
+            id_col,
+            F.size("__arr").cast("long").alias("__sz"),
+            F.explode(F.slice("__arr", 1, pref_len)).alias("__s"),
+        )
+        .select(id_col, F.col("__s.shingle").alias("shingle"), "__sz")
     )
     a = pref.select(
         F.col(id_col).alias("id_a"), "shingle", F.col("__sz").alias("__sza")
