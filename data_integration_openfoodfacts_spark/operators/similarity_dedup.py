@@ -50,6 +50,47 @@ def word_shingles(
     )
 
 
+def _pair_common(sh: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Exact intersection counts for given candidate pairs, computed by
+    joining the PAIR list to each side's shingles — work proportional
+    to candidates, never an open shingle self-join."""
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, ["shingle", "id_b"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+
+
+def _jaccard_tail(
+    common: DataFrame, sizes: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """(id_a, id_b, common) + (id, sz) -> the canonical output columns
+    (id_a, id_b, common, size_a, size_b, jaccard) filtered >= threshold.
+    The single place the jaccard arithmetic lives — every exact path
+    (open self-join, capped, prefix-filtered) ends here."""
+    return (
+        common.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("size_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("size_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
+    )
+
+
 def exact_jaccard_pairs_from_shingles(
     sh: DataFrame, id_col: str, threshold: float, max_doc_freq: int | None = None
 ) -> DataFrame:
@@ -83,12 +124,7 @@ def exact_jaccard_pairs_from_shingles(
         )
         # recount intersections over the FULL shingle table so jaccard
         # is exact even when hot shingles were excluded from generation
-        common = (
-            pairs.join(a, "id_a")
-            .join(b, ["shingle", "id_b"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("common"))
-        )
+        common = _pair_common(sh, pairs, id_col)
     else:
         common = (
             a.join(b, "shingle")
@@ -96,17 +132,7 @@ def exact_jaccard_pairs_from_shingles(
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("common"))
         )
-    return (
-        common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("size_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("size_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("common").cast("double")
-            / (F.col("size_a") + F.col("size_b") - F.col("common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
-    )
+    return _jaccard_tail(common, sizes, id_col, threshold)
 
 
 def ngram_jaccard_pairs(
@@ -588,30 +614,9 @@ def prefix_filter_jaccard_pairs(
     )
     # Pair-bounded exact verify (NOT an open self-join over candidate
     # docs' shingles — that would re-pay the quadratic co-shingled cost
-    # the prefix filter exists to avoid): intersections come from
-    # joining the candidate PAIRS to each side's shingles.
-    full_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    full_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    common = (
-        candidates.join(full_a, "id_a")
-        .join(full_b, ["shingle", "id_b"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    return (
-        common.join(
-            sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("size_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("size_b")),
-            "id_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.col("common").cast("double")
-            / (F.col("size_a") + F.col("size_b") - F.col("common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
+    # the prefix filter exists to avoid): the shared helpers join the
+    # candidate PAIRS to each side's shingles.
+    common = _pair_common(sh, candidates, id_col)
+    return _jaccard_tail(
+        common, sizes.withColumnRenamed("__sz", "sz"), id_col, threshold
     )

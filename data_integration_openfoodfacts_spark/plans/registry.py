@@ -115,8 +115,20 @@ _PRIORITY = [
     "q82_triangle_counts",
 ]
 
+#: Hand-promotion lever: queries listed here sort as if never verified,
+#: so a round that changes a green query's semantics (code, oracle, or
+#: testdata) can FORCE it back into the gate window without touching
+#: the committed correctness records. Clear it once re-verified.
+_FORCE_GATE: set[str] = set()
+
+
 def _load_correctness_records() -> dict[int, dict]:
-    """{round: parsed CORRECTNESS_r{N}.json} from the repo root."""
+    """{round: parsed CORRECTNESS_r{N}.json} from the repo root.
+
+    Each file parses in isolation — one truncated/corrupt record (e.g.
+    a driver crash mid-write) is skipped without poisoning the others,
+    so rotation degrades gracefully instead of falling back wholesale.
+    """
     import glob
     import json
     import os
@@ -130,8 +142,11 @@ def _load_correctness_records() -> dict[int, dict]:
         m = re.search(r"_r(\d+)\.json$", path)
         if not m:
             continue
-        with open(path) as fh:
-            data = json.load(fh)
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except Exception:  # noqa: BLE001 — skip the one bad file
+            continue
         if isinstance(data, dict):
             out[int(m.group(1))] = data
     return out
@@ -141,10 +156,11 @@ def _gate_order(records: dict[int, dict] | None = None) -> list[str]:
     """Registry iteration order maximizing cross-round gate coverage.
 
     Sort key per query: (round it was last hash-verified green — 0 if
-    never or if its last record was red, so unverified/failed queries
-    come first), then the static ``_PRIORITY`` index as a deterministic
-    tiebreak. Reads the committed ``CORRECTNESS_r*.json`` records; any
-    IO/parse problem falls back to the static order.
+    never verified, if its last record was red, or if it is in
+    ``_FORCE_GATE`` — so those come first), then the static
+    ``_PRIORITY`` index as a deterministic tiebreak. Reads the committed
+    ``CORRECTNESS_r*.json`` records; any residual problem falls back to
+    the static order.
     """
     static_index = {k: i for i, k in enumerate(_PRIORITY)}
     for i, k in enumerate(sorted(_ALL_QUERIES)):
@@ -163,6 +179,8 @@ def _gate_order(records: dict[int, dict] | None = None) -> list[str]:
                 )
                 # later rounds overwrite earlier; a red record resets
                 last_green[key] = rnd if green else 0
+        for key in _FORCE_GATE:
+            last_green[key] = 0
     except Exception:  # noqa: BLE001 — never let ordering break the gate
         return list(_PRIORITY) + [
             k for k in sorted(_ALL_QUERIES) if k not in _PRIORITY
@@ -175,6 +193,4 @@ def _gate_order(records: dict[int, dict] | None = None) -> list[str]:
 
 _ORDER = [k for k in _gate_order() if k in _ALL_QUERIES]
 QUERIES = {k: _ALL_QUERIES[k] for k in _ORDER}
-QUERIES.update(_ALL_QUERIES)
 ORACLES = {k: _ALL_ORACLES[k] for k in _ORDER if k in _ALL_ORACLES}
-ORACLES.update(_ALL_ORACLES)

@@ -52,9 +52,53 @@ def test_fallback_is_static_priority(monkeypatch):
 def test_live_order_covers_all_queries():
     assert set(registry.QUERIES) == set(registry._ALL_QUERIES)
     assert set(registry.ORACLES) == set(registry._ALL_ORACLES)
-    # current round: everything un-verified-in-r02 (incl. all new
-    # queries) must sit inside the 50-entry window
-    window = list(registry.QUERIES)[:50]
-    for q in ("q75_semantic_dedup", "q78_bigram_prob_scores",
-              "q82_triangle_counts", "q17_run_metrics"):
-        assert q in window
+    # Stable across rounds: every query the LIVE records have never
+    # seen green must sit inside the 50-entry gate window (as long as
+    # fewer than 50 such queries exist). Asserting specific names here
+    # would break the moment the next round's record lands — which is
+    # the rotation working, not failing.
+    records = registry._load_correctness_records()
+    order = registry._gate_order(records)
+    greens = set()
+    for rnd in sorted(records):
+        for key, rec in records[rnd].items():
+            if isinstance(rec, dict) and (
+                rec.get("hash_match")
+                or (key not in registry._ALL_ORACLES and rec.get("rows_match"))
+            ):
+                greens.add(key)
+            else:
+                greens.discard(key)
+    unverified = [k for k in registry._ALL_QUERIES if k not in greens]
+    window = set(order[:50])
+    for q in unverified[: 50]:
+        assert q in window, q
+
+
+def test_force_gate_overrides_green_record(monkeypatch):
+    all_keys = sorted(registry._ALL_QUERIES)
+    records = {2: {k: {"hash_match": True} for k in all_keys}}
+    target = all_keys[-1]
+    monkeypatch.setattr(registry, "_FORCE_GATE", {target})
+    order = registry._gate_order(records)
+    assert order[0] == target
+
+
+def test_corrupt_record_file_is_isolated(tmp_path, monkeypatch):
+    import json
+
+    good = {k: {"hash_match": True} for k in sorted(registry._ALL_QUERIES)[:10]}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(good))
+    (tmp_path / "CORRECTNESS_r02.json").write_text('{"truncated')
+    import glob as glob_mod
+
+    real_glob = glob_mod.glob
+    monkeypatch.setattr(
+        glob_mod,
+        "glob",
+        lambda pat: real_glob(str(tmp_path / "CORRECTNESS_r*.json"))
+        if "CORRECTNESS_r" in pat
+        else real_glob(pat),
+    )
+    records = registry._load_correctness_records()
+    assert list(records) == [1]  # r02 skipped, r01 intact
