@@ -349,42 +349,24 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 
 
 def q80_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Record-linkage fuzzy dedup: candidate part-name pairs within a
-    cheap BLOCK (same first word + same size), verified by Levenshtein
-    distance <= 4 — the classic blocking + edit-distance pattern for
-    entity resolution at scale. The block key bounds the quadratic
-    pair scan to block-local work (one equi-join shuffle on the block
-    key), exactly like LSH bands bound the shingle scan; Levenshtein
-    runs per candidate pair only, JVM-side."""
+    """Record-linkage fuzzy dedup (operators/linkage.py): candidate
+    part-name pairs within a cheap BLOCK (same first word + same size),
+    verified by Levenshtein distance <= 4 — the classic blocking +
+    edit-distance pattern for entity resolution at scale. The block key
+    bounds the quadratic pair scan to block-local work exactly like LSH
+    bands bound the shingle scan; the operator's ``max_block_size`` cap
+    handles degenerate blocks (uncapped here for exact oracle parity —
+    the testdata has no pathological block)."""
+    from ..operators.linkage import blocked_fuzzy_pairs
+
     part = load_table(spark, sf_dir, "part")
-    base = part.select(
-        "p_partkey",
-        F.col("p_name").alias("name"),
-        F.concat_ws(
-            "|",
-            F.split(F.col("p_name"), " ").getItem(0),
-            F.col("p_size").cast("string"),
-        ).alias("block"),
+    block = F.concat_ws(
+        "|",
+        F.split(F.col("p_name"), " ").getItem(0),
+        F.col("p_size").cast("string"),
     )
-    a = base.select(
-        F.col("p_partkey").alias("key_a"),
-        F.col("name").alias("name_a"),
-        "block",
-    )
-    b = base.select(
-        F.col("p_partkey").alias("key_b"),
-        F.col("name").alias("name_b"),
-        "block",
-    )
-    return (
-        a.join(b, "block")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select(
-            "key_a",
-            "key_b",
-            F.levenshtein("name_a", "name_b").cast("long").alias("distance"),
-        )
-        .filter(F.col("distance") <= 4)
+    return blocked_fuzzy_pairs(
+        part, "p_partkey", "p_name", block, max_distance=4
     )
 
 
