@@ -506,11 +506,46 @@ GROUP BY 1
 """
 
 
+def q86_cheapest_order_per_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2 shape): each customer's
+    cheapest order(s), written as the correlated form so Catalyst's
+    decorrelation rewrite (subquery -> aggregate + join on the
+    correlation key) is exercised — the physical plan is ONE grouped
+    min plus one equi-join, not a per-row subquery execution."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__q86_orders")
+    return spark.sql(
+        """
+        SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+        FROM __q86_orders o
+        WHERE o.o_totalprice = (
+            SELECT MIN(o2.o_totalprice)
+            FROM __q86_orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+Q86_ORACLE = """
+SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice = (
+    SELECT MIN(o2.o_totalprice)
+    FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
 OLAP_QUERIES = {
     "q79_grouping_sets": q79_grouping_sets,
     "q80_blocked_fuzzy_match": q80_blocked_fuzzy_match,
     "q81_table_diff": q81_table_diff,
     "q84_quantile_binning": q84_quantile_binning,
+    "q86_cheapest_order_per_customer": q86_cheapest_order_per_customer,
     "q51_window_battery": q51_window_battery,
     "q52_order_status_pivot": q52_order_status_pivot,
     "q53_late_shipment_priority": q53_late_shipment_priority,
@@ -525,6 +560,7 @@ OLAP_ORACLES = {
     "q79_grouping_sets": Q79_ORACLE,
     "q81_table_diff": Q81_ORACLE,
     "q84_quantile_binning": Q84_ORACLE,
+    "q86_cheapest_order_per_customer": Q86_ORACLE,
     "q80_blocked_fuzzy_match": Q80_ORACLE,
     "q51_window_battery": Q51_ORACLE,
     "q52_order_status_pivot": Q52_ORACLE,

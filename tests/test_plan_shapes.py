@@ -162,3 +162,13 @@ def test_q75_semantic_dedup_broadcasts_centroids_only(spark):
     plan = plan_of(spark, "q75_semantic_dedup")
     # pair join: corpus-vs-corpus must be a shuffle join, not broadcast
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_q86_correlated_subquery_decorrelates(spark):
+    """The correlated scalar subquery must decorrelate to one grouped
+    aggregate + equi-join — a per-row subquery execution node in the
+    physical plan would be quadratic at scale."""
+    plan = plan_of(spark, "q86_cheapest_order_per_customer")
+    assert "Subquery" not in plan
+    assert "HashAggregate" in plan
+    assert "Join" in plan
