@@ -19,6 +19,7 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -68,6 +69,77 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         update_totals,
         outputStructType=RUNNING_TOTALS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+TRANSITIONS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("prev_type", StringType()),
+        StructField("event_type", StringType()),
+        StructField("n_steps", LongType()),
+    ]
+)
+
+_LAST_EVENT_STATE = StructType(
+    [
+        StructField("last_ts_ns", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def user_transitions_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the q83 transition matrix: per-user
+    (prev_type -> event_type) step counts, emitted per micro-batch.
+
+    The lag that batch mode gets from a window function needs STATE
+    here — the last event of each user must survive across micro-batch
+    boundaries, or every batch boundary silently drops one transition
+    per active user. State = (last_ts_ns, last_event_id, last_type);
+    within a batch events sort by the collision-free (ts_ns, event_id)
+    before pairing, matching the batch ordering exactly. Downstream, a
+    grouped sum over (prev_type, event_type) aggregates the per-user
+    steps into the matrix; equivalence with batch is pinned by test.
+    """
+
+    # Nested so cloudpickle ships it by value (workers don't import us).
+    def update_transitions(key, pdf_iter, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            last_ts, last_id, last_type = state.get
+        else:
+            last_ts, last_id, last_type = None, None, None
+        rows: dict[tuple[str, str], int] = {}
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts_ns", "event_id"])
+            for ts_ns, eid, etype in zip(
+                pdf["ts_ns"], pdf["event_id"], pdf["event_type"]
+            ):
+                if last_type is not None:
+                    k = (last_type, etype)
+                    rows[k] = rows.get(k, 0) + 1
+                last_ts, last_id, last_type = int(ts_ns), int(eid), etype
+        if last_type is not None:
+            state.update((last_ts, last_id, last_type))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(rows),
+                "prev_type": [k[0] for k in rows],
+                "event_type": [k[1] for k in rows],
+                "n_steps": list(rows.values()),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_transitions,
+        outputStructType=TRANSITIONS_SCHEMA,
+        stateStructType=_LAST_EVENT_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

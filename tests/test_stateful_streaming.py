@@ -70,3 +70,50 @@ def test_state_accumulates_across_batches(spark, two_drop_dir):
     # at least one user must have been updated in both batches
     per_batch = spark.table("totals").groupBy("user_id").count()
     assert per_batch.filter("count >= 2").count() > 0
+
+
+def test_transitions_stream_equals_batch(spark, two_drop_dir):
+    """The per-user last-event STATE must bridge micro-batch
+    boundaries: the transition crossing the two drops only exists if
+    state carried the first drop's final event."""
+    from data_integration_openfoodfacts_spark.streaming.stateful import (
+        user_transitions_stream,
+    )
+
+    stream = read_events_stream(spark, two_drop_dir, max_files_per_trigger=1)
+    with_ns = stream.withColumn(
+        "ts_ns", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    )
+    q = (
+        user_transitions_stream(with_ns)
+        .writeStream.format("memory")
+        .queryName("transitions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["prev_type"], r["event_type"]): r["n"]
+        for r in spark.table("transitions")
+        .groupBy("prev_type", "event_type")
+        .agg(F.sum("n_steps").alias("n"))
+        .collect()
+    }
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, SF_DIR)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    truth = {
+        (r["prev_type"], r["event_type"]): r["n"]
+        for r in ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            "event_type",
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == truth
