@@ -540,12 +540,59 @@ WHERE o.o_totalprice = (
 """
 
 
+def q87_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): match
+    events on the nullable JSON field ``props.k`` so NULL keys pair
+    with NULL keys — the semantic a plain equi-join silently drops
+    (NULL = NULL is never true). Counts matched pairs per key class.
+    Null-safe equality stays a hashable join key in Spark (NULLs hash
+    to one partition — skew-capped here by pre-aggregating each side to
+    distinct keys + counts before the join, so the NULL group is one
+    row, not a row explosion)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events")
+    props_schema = StructType([StructField("k", LongType())])
+    keyed = ev.select(
+        F.from_json(F.col("props"), props_schema).getField("k").alias("k"),
+    )
+    counts_a = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("na"))
+    counts_b = keyed.groupBy(F.col("k").alias("kb")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    return (
+        counts_a.join(counts_b, F.col("k").eqNullSafe(F.col("kb")))
+        .select(
+            F.coalesce(F.col("k").cast("string"), F.lit("<null>")).alias(
+                "key_class"
+            ),
+            (F.col("na") * F.col("nb")).alias("n_pairs"),
+        )
+        .groupBy("key_class")
+        .agg(F.sum("n_pairs").cast("long").alias("n_pairs"))
+    )
+
+
+Q87_ORACLE = """
+WITH keyed AS (
+  SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+),
+ca AS (SELECT k, COUNT(*) AS na FROM keyed GROUP BY k),
+cb AS (SELECT k AS kb, COUNT(*) AS nb FROM keyed GROUP BY k)
+SELECT COALESCE(CAST(k AS VARCHAR), '<null>') AS key_class,
+       CAST(SUM(na * nb) AS BIGINT) AS n_pairs
+FROM ca JOIN cb ON k IS NOT DISTINCT FROM kb
+GROUP BY 1
+"""
+
+
 OLAP_QUERIES = {
     "q79_grouping_sets": q79_grouping_sets,
     "q80_blocked_fuzzy_match": q80_blocked_fuzzy_match,
     "q81_table_diff": q81_table_diff,
     "q84_quantile_binning": q84_quantile_binning,
     "q86_cheapest_order_per_customer": q86_cheapest_order_per_customer,
+    "q87_null_safe_join": q87_null_safe_join,
     "q51_window_battery": q51_window_battery,
     "q52_order_status_pivot": q52_order_status_pivot,
     "q53_late_shipment_priority": q53_late_shipment_priority,
@@ -561,6 +608,7 @@ OLAP_ORACLES = {
     "q81_table_diff": Q81_ORACLE,
     "q84_quantile_binning": Q84_ORACLE,
     "q86_cheapest_order_per_customer": Q86_ORACLE,
+    "q87_null_safe_join": Q87_ORACLE,
     "q80_blocked_fuzzy_match": Q80_ORACLE,
     "q51_window_battery": Q51_ORACLE,
     "q52_order_status_pivot": Q52_ORACLE,
