@@ -540,6 +540,19 @@ def dedup_incremental(
     return kept.join(dropped, id_col, "left_anti")
 
 
+def _ceil_mul(t: float, col):
+    """``ceil(t * col)`` robust to IEEE rounding.
+
+    In doubles 0.2 * 15 = 3.0000000000000004, whose plain ceil (4)
+    shortens the PPJoin prefix and over-tightens the length filter —
+    silently dropping true pairs with Jaccard exactly == threshold and
+    breaking the documented recall-1.0 contract. Subtracting an epsilon
+    far below 1 ULP-at-1e6 (product rounding error is ~1e-10 for sizes
+    up to 1e6) restores the mathematically-exact integer bound.
+    """
+    return F.ceil(F.lit(t) * col - F.lit(1e-9))
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -566,7 +579,12 @@ def prefix_filter_jaccard_pairs(
     candidates, like the LSH path, but with recall 1.0 by construction.
     Output columns match :func:`exact_jaccard_pairs_from_shingles`.
     """
-    sh = word_shingles(df, id_col, text_col, n).cache()
+    # localCheckpoint (not cache): sh feeds four consumers, but the
+    # operator can't unpersist a cache before the lazily-returned result
+    # materializes. Eager localCheckpoint materializes once and the
+    # backing RDD is released by the ContextCleaner when the frame is
+    # GC'd — no per-call storage accumulation across a long session.
+    sh = word_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     # Per-doc rare-first prefix in ONE aggregation: sort_array over the
@@ -574,8 +592,7 @@ def prefix_filter_jaccard_pairs(
     # one shuffle on the doc id instead of two, and the slice happens
     # on the ~shingles-per-doc array, never a second pass over rows.
     pref_len = (
-        F.size("__arr")
-        - F.ceil(F.lit(threshold) * F.size("__arr")).cast("int")
+        F.size("__arr") - _ceil_mul(threshold, F.size("__arr")).cast("int")
         + F.lit(1)
     )
     pref = (
@@ -606,8 +623,8 @@ def prefix_filter_jaccard_pairs(
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            (F.col("__sza") >= F.ceil(F.lit(threshold) * F.col("__szb")))
-            & (F.col("__szb") >= F.ceil(F.lit(threshold) * F.col("__sza")))
+            (F.col("__sza") >= _ceil_mul(threshold, F.col("__szb")))
+            & (F.col("__szb") >= _ceil_mul(threshold, F.col("__sza")))
         )
         .select("id_a", "id_b")
         .distinct()

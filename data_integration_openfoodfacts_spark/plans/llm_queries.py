@@ -301,7 +301,17 @@ LIMIT 10
 """
 
 
-def q26_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: q26 guard: the exact all-pairs baseline is O(n²) BY DESIGN and must
+#: never be invoked at corpus scale — above this row count the operator
+#: refuses and points to the bucketed scale path (q43,
+#: operators/similarity.py::hyperplane_lsh_pairs, pinned equivalent).
+#: 100k rows ≈ 5e9 pairs ≈ the most a single-node debug run should see.
+ALLPAIRS_MAX_ROWS = 100_000
+
+
+def q26_embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str, max_rows: int = ALLPAIRS_MAX_ROWS
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.35) via
     self-join. Exact all-pairs baseline; the LSH/IVF bucketed variants
     above are the scale path.
@@ -312,12 +322,24 @@ def q26_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     across cores instead of inheriting the single input partition. The
     per-pair dot is the vectorized cumsum fold (bit-identical to the
     HOF fold and the oracle; see functions/vectors.py), so scores stay
-    bit-identical to the oracle."""
+    bit-identical to the oracle.
+
+    Raises ``ValueError`` when the table exceeds ``max_rows`` — the
+    cartesian baseline broadcast-OOMs the cluster at real scale, and
+    the LSH path (q43) is the supported answer there."""
     from ..functions.vectors import l2_norm_expr, pair_dot_fold
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", l2_norm_expr("embedding").alias("norm")
     )
+    n_rows = emb.count()  # parquet metadata count — cheap at any scale
+    if n_rows > max_rows:
+        raise ValueError(
+            f"q26 exact all-pairs baseline refused: {n_rows} rows > "
+            f"max_rows={max_rows} (O(n²) cross join + full-table "
+            "broadcast). Use hyperplane_lsh_pairs (q43) — the bucketed "
+            "scale path, pinned equivalent at test scale."
+        )
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),

@@ -115,80 +115,52 @@ _PRIORITY = [
     "q82_triangle_counts",
 ]
 
-#: Hand-promotion lever: queries listed here sort as if never verified,
-#: so a round that changes a green query's semantics (code, oracle, or
-#: testdata) can FORCE it back into the gate window without touching
-#: the committed correctness records. Clear it once re-verified.
+#: Hand-promotion lever consumed by ``tools/update_gate_state.py``:
+#: queries listed here rank as if never verified when the committed
+#: order snapshot is regenerated, so a round that changes a green
+#: query's semantics can FORCE it back into the gate window. Usually
+#: unnecessary — the snapshot tool fingerprints each query's code +
+#: oracle text and auto-forces anything that drifted since its last
+#: locally-verified green run. Clear after re-verification.
 _FORCE_GATE: set[str] = set()
 
 
-def _load_correctness_records() -> dict[int, dict]:
-    """{round: parsed CORRECTNESS_r{N}.json} from the repo root.
-
-    Each file parses in isolation — one truncated/corrupt record (e.g.
-    a driver crash mid-write) is skipped without poisoning the others,
-    so rotation degrades gracefully instead of falling back wholesale.
-    """
-    import glob
-    import json
-    import os
-    import re
-
-    root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    out: dict[int, dict] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        m = re.search(r"_r(\d+)\.json$", path)
-        if not m:
-            continue
-        try:
-            with open(path) as fh:
-                data = json.load(fh)
-        except Exception:  # noqa: BLE001 — skip the one bad file
-            continue
-        if isinstance(data, dict):
-            out[int(m.group(1))] = data
-    return out
-
-
-def _gate_order(records: dict[int, dict] | None = None) -> list[str]:
+def _gate_order() -> list[str]:
     """Registry iteration order maximizing cross-round gate coverage.
 
-    Sort key per query: (round it was last hash-verified green — 0 if
-    never verified, if its last record was red, or if it is in
-    ``_FORCE_GATE`` — so those come first), then the static
-    ``_PRIORITY`` index as a deterministic tiebreak. Reads the committed
-    ``CORRECTNESS_r*.json`` records; any residual problem falls back to
-    the static order.
+    Round-4 redesign (r03 ADVICE): the order is read from the COMMITTED
+    snapshot ``plans/gate_state.json`` — written once per round by
+    ``tools/update_gate_state.py``, which ranks code-churned / forced /
+    never-green queries first, then least-recently-driver-green (see
+    ``tools/gate_state.py``). Import time therefore reads only the
+    committed tree: reproducible across checkouts, no working-tree
+    CORRECTNESS_r*.json globbing, no filesystem-state dependence.
+
+    Queries added AFTER the snapshot was generated sort FIRST (they are
+    by definition never-verified and must enter the 50-entry window);
+    a missing/corrupt snapshot falls back to the static ``_PRIORITY``.
     """
+    import json
+    import os
+
+    snap = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "gate_state.json")
     static_index = {k: i for i, k in enumerate(_PRIORITY)}
     for i, k in enumerate(sorted(_ALL_QUERIES)):
         static_index.setdefault(k, len(_PRIORITY) + i)
-    last_green: dict[str, int] = {}
     try:
-        if records is None:
-            records = _load_correctness_records()
-        for rnd in sorted(records):
-            for key, rec in records[rnd].items():
-                if not isinstance(rec, dict):
-                    continue
-                green = bool(rec.get("hash_match")) or (
-                    # rows-only entries have no hash; count rows_match
-                    key not in _ALL_ORACLES and bool(rec.get("rows_match"))
-                )
-                # later rounds overwrite earlier; a red record resets
-                last_green[key] = rnd if green else 0
-        for key in _FORCE_GATE:
-            last_green[key] = 0
+        with open(snap) as fh:
+            order = json.load(fh)["order"]
+        known = [k for k in order if k in _ALL_QUERIES]
+        new = sorted(
+            (k for k in _ALL_QUERIES if k not in set(order)),
+            key=static_index.__getitem__,
+        )
+        if known:
+            return new + known
     except Exception:  # noqa: BLE001 — never let ordering break the gate
-        return list(_PRIORITY) + [
-            k for k in sorted(_ALL_QUERIES) if k not in _PRIORITY
-        ]
-    return sorted(
-        _ALL_QUERIES,
-        key=lambda k: (last_green.get(k, 0), static_index.get(k, 1 << 20)),
-    )
+        pass
+    return sorted(_ALL_QUERIES, key=static_index.__getitem__)
 
 
 _ORDER = [k for k in _gate_order() if k in _ALL_QUERIES]

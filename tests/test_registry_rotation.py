@@ -1,64 +1,136 @@
-"""Gate-window rotation: least-recently-verified queries must reach the
-driver's 50-entry correctness window without hand-editing _PRIORITY."""
+"""Gate-window rotation (round-4 redesign): the committed
+``plans/gate_state.json`` snapshot drives registry order; the snapshot
+tool ranks code-churned / forced / never-green queries first so they
+reach the driver's 50-entry correctness window."""
 
 from __future__ import annotations
 
+import json
+
 from data_integration_openfoodfacts_spark.plans import registry
+from tools import gate_state
+
+
+def _records(green_by_round):
+    return {
+        rnd: {k: {"hash_match": True} for k in keys}
+        for rnd, keys in green_by_round.items()
+    }
+
+
+def _fps(keys):
+    return {k: f"fp-{k}" for k in keys}
+
+
+def _verified(keys, fps):
+    return {k: {"fingerprint": fps[k]} for k in keys}
+
+
+ALL = sorted(registry._ALL_QUERIES)
 
 
 def test_never_verified_come_first():
-    all_keys = set(registry._ALL_QUERIES)
-    verified = sorted(all_keys)[:40]
-    records = {
-        2: {k: {"rows_match": True, "hash_match": True} for k in verified}
-    }
-    order = registry._gate_order(records)
-    unverified = [k for k in order if k not in verified]
+    fps = _fps(ALL)
+    green = ALL[:40]
+    order = gate_state.compute_order(
+        fps, _verified(green, fps), _records({2: green}), set(), ALL
+    )
+    unverified = [k for k in order if k not in set(green)]
     assert order[: len(unverified)] == unverified
 
 
 def test_red_record_resets_to_front():
-    all_keys = sorted(registry._ALL_QUERIES)
-    records = {
-        2: {k: {"hash_match": True} for k in all_keys},
-        3: {all_keys[10]: {"hash_match": False}},
-    }
-    order = registry._gate_order(records)
-    assert order[0] == all_keys[10]
+    fps = _fps(ALL)
+    records = _records({2: ALL})
+    records[3] = {ALL[10]: {"hash_match": False}}
+    order = gate_state.compute_order(
+        fps, _verified(ALL, fps), records, set(), ALL
+    )
+    assert order[0] == ALL[10]
 
 
 def test_older_rounds_rotate_before_newer():
-    all_keys = sorted(registry._ALL_QUERIES)
-    old, new = all_keys[: len(all_keys) // 2], all_keys[len(all_keys) // 2 :]
-    records = {
-        2: {k: {"hash_match": True} for k in old},
-        3: {k: {"hash_match": True} for k in new},
-    }
-    order = registry._gate_order(records)
+    fps = _fps(ALL)
+    old, new = ALL[: len(ALL) // 2], ALL[len(ALL) // 2 :]
+    order = gate_state.compute_order(
+        fps, _verified(ALL, fps), _records({2: old, 3: new}), set(), ALL
+    )
     pos = {k: i for i, k in enumerate(order)}
     assert max(pos[k] for k in old) < min(pos[k] for k in new)
 
 
-def test_fallback_is_static_priority(monkeypatch):
-    def boom():
-        raise OSError("no fs")
+def test_fingerprint_drift_forces_regate():
+    """The r03 stale-green scenario: a query green in an old round whose
+    implementing code changed afterward must outrank ALL intact greens —
+    even newer ones."""
+    fps = _fps(ALL)
+    verified = _verified(ALL, fps)
+    drifted = ALL[-1]
+    verified[drifted] = {"fingerprint": "stale-hash"}
+    order = gate_state.compute_order(
+        fps, verified, _records({2: ALL[:40], 3: ALL[40:]}), set(), ALL
+    )
+    assert order[0] == drifted
 
-    monkeypatch.setattr(registry, "_load_correctness_records", boom)
-    order = registry._gate_order(None)
-    assert order[: len(registry._PRIORITY)] == registry._PRIORITY
-    assert set(order) == set(registry._ALL_QUERIES)
+
+def test_force_gate_overrides_green_record():
+    fps = _fps(ALL)
+    target = ALL[-1]
+    order = gate_state.compute_order(
+        fps, _verified(ALL, fps), _records({2: ALL}), {target}, ALL
+    )
+    assert order[0] == target
 
 
-def test_live_order_covers_all_queries():
+def test_module_closure_catches_operator_refactor():
+    """plans/llm_queries.py queries must fingerprint over
+    operators/similarity_dedup.py (transitively) — the exact file whose
+    refactor the r03 VERDICT flagged as invisible to age-only rotation."""
+    f = gate_state._resolve_file(["plans", "llm_queries"])
+    closure = {p.name for p in gate_state.module_closure(f)}
+    assert "similarity_dedup.py" in closure
+    assert "similarity.py" in closure
+    assert "vectors.py" in closure  # function-local import resolved too
+
+
+def test_fingerprint_changes_with_oracle_text(tmp_path):
+    f = gate_state._resolve_file(["plans", "llm_queries"])
+    assert gate_state.query_fingerprint(f, "SELECT 1") != gate_state.query_fingerprint(
+        f, "SELECT 2"
+    )
+
+
+def test_registry_reads_committed_snapshot():
+    """Live order == committed snapshot order (new keys, if any, first).
+    Reproducible from the committed tree alone — no CORRECTNESS globbing
+    at import time (r03 ADVICE)."""
+    snap = json.loads(gate_state.STATE_PATH.read_text())["order"]
+    known = [k for k in snap if k in registry._ALL_QUERIES]
+    new = [k for k in registry.QUERIES if k not in set(snap)]
+    assert list(registry.QUERIES) == new + known
     assert set(registry.QUERIES) == set(registry._ALL_QUERIES)
     assert set(registry.ORACLES) == set(registry._ALL_ORACLES)
-    # Stable across rounds: every query the LIVE records have never
-    # seen green must sit inside the 50-entry gate window (as long as
-    # fewer than 50 such queries exist). Asserting specific names here
-    # would break the moment the next round's record lands — which is
-    # the rotation working, not failing.
-    records = registry._load_correctness_records()
-    order = registry._gate_order(records)
+
+
+def test_new_queries_enter_window_first():
+    """A query added after the snapshot was generated sorts ahead of
+    every snapshotted key, so it cannot miss the 50-entry gate."""
+    order = registry._gate_order()
+    snap = set(json.loads(gate_state.STATE_PATH.read_text())["order"])
+    seen_snapshotted = False
+    for k in order:
+        if k in snap:
+            seen_snapshotted = True
+        else:
+            assert not seen_snapshotted, f"new key {k} after snapshotted keys"
+
+
+def test_all_tier0_queries_inside_window():
+    """Everything the driver records have never seen green (plus any
+    code-drifted query) must sit inside the first 50 registry entries."""
+    fps = gate_state.current_fingerprints()
+    state = gate_state.load_state()
+    records = gate_state.load_driver_records()
     greens = set()
     for rnd in sorted(records):
         for key, rec in records[rnd].items():
@@ -69,36 +141,13 @@ def test_live_order_covers_all_queries():
                 greens.add(key)
             else:
                 greens.discard(key)
-    unverified = [k for k in registry._ALL_QUERIES if k not in greens]
-    window = set(order[:50])
-    for q in unverified[: 50]:
+    tier0 = [
+        k
+        for k in registry._ALL_QUERIES
+        if k not in greens
+        or state.get("verified", {}).get(k, {}).get("fingerprint") != fps.get(k)
+    ]
+    window = set(list(registry.QUERIES)[:50])
+    assert len(tier0) <= 50, "more churned/unverified queries than the window holds"
+    for q in tier0:
         assert q in window, q
-
-
-def test_force_gate_overrides_green_record(monkeypatch):
-    all_keys = sorted(registry._ALL_QUERIES)
-    records = {2: {k: {"hash_match": True} for k in all_keys}}
-    target = all_keys[-1]
-    monkeypatch.setattr(registry, "_FORCE_GATE", {target})
-    order = registry._gate_order(records)
-    assert order[0] == target
-
-
-def test_corrupt_record_file_is_isolated(tmp_path, monkeypatch):
-    import json
-
-    good = {k: {"hash_match": True} for k in sorted(registry._ALL_QUERIES)[:10]}
-    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(good))
-    (tmp_path / "CORRECTNESS_r02.json").write_text('{"truncated')
-    import glob as glob_mod
-
-    real_glob = glob_mod.glob
-    monkeypatch.setattr(
-        glob_mod,
-        "glob",
-        lambda pat: real_glob(str(tmp_path / "CORRECTNESS_r*.json"))
-        if "CORRECTNESS_r" in pat
-        else real_glob(pat),
-    )
-    records = registry._load_correctness_records()
-    assert list(records) == [1]  # r02 skipped, r01 intact

@@ -4,17 +4,25 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at the given scale factor, then compares row count, column
 names/ordering-insensitive schema, and exact sorted values.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--record] [sf_dir] [query ...]
+
+``--record`` updates ``plans/gate_state.json``: every PASS (and
+rows-only SKIP with >0 rows) stores the query's CURRENT code+oracle
+fingerprint as "locally verified", which ``tools/update_gate_state.py``
+uses to keep churned-but-unverified queries at the front of the
+driver's 50-entry gate window. Record a FULL run (no query filter) once
+per round after the last code change, then regenerate the order.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -45,8 +53,10 @@ def normalize(df):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--record"]
+    record = "--record" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from data_integration_openfoodfacts_spark.session import get_spark
@@ -61,6 +71,7 @@ def main() -> int:
         print(f"ERROR: unknown query name(s): {sorted(unknown)}")
         return 2
     failures = 0
+    greens: list[str] = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -73,6 +84,8 @@ def main() -> int:
             continue
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows-only: {len(sdf)} rows)")
+            if len(sdf) > 0:
+                greens.append(name)
             continue
         try:
             ddf = con.execute(oracles[name]).df()
@@ -122,6 +135,17 @@ def main() -> int:
             failures += 1
             continue
         print(f"PASS {name} ({len(sdf)} rows, {dt:.1f}s)")
+        greens.append(name)
+    if record and greens:
+        from tools import gate_state
+
+        fps = gate_state.current_fingerprints()
+        state = gate_state.load_state()
+        verified = state.setdefault("verified", {})
+        for name in greens:
+            verified[name] = {"fingerprint": fps[name], "sf": sf_dir}
+        gate_state.save_state(state)
+        print(f"recorded {len(greens)} green fingerprints -> {gate_state.STATE_PATH}")
     return 1 if failures else 0
 
 
