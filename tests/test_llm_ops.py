@@ -691,3 +691,19 @@ def test_prefix_filter_boundary_jaccard_inexact_threshold(spark):
     }
     assert pref == exact
     assert pref == {(1, 2, 0.2)}
+
+
+def test_q88_kmeans_invariants_hold(spark):
+    """The property-based oracle for the KMeans fit (q77's centroids):
+    no empty clusters, every center at the mean of its members, within-
+    cluster distance below cross-cluster (VERDICT r03 #3)."""
+    from data_integration_openfoodfacts_spark.plans.llm_queries import (
+        q88_kmeans_invariants,
+    )
+
+    row = q88_kmeans_invariants(spark, SF_DIR).first()
+    assert row["n_vectors"] == 500
+    assert row["k_centroids"] == 8
+    assert row["n_empty_clusters"] == 0
+    assert row["n_drifted_centroids"] == 0
+    assert row["within_lt_cross"] is True
