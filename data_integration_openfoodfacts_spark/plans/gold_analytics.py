@@ -45,7 +45,14 @@ def top_brands_by_ab_proportion(
     t: dict[str, DataFrame], min_products: int = 10, k: int = 10
 ) -> DataFrame:
     """Q1 (requetes_analytiques.sql:1-16): top-k brands by share of
-    distinct products rated nutriscore a/b."""
+    distinct products rated nutriscore a/b.
+
+    The reference's ``WHERE nutriscore_grade IS NOT NULL`` (:12) is
+    omitted here (and in Q2): Silver imputation coalesces NULL grades
+    to 'non classe', so the filter is a no-op by invariant — pinned by
+    tests/test_gold_oracle.py::test_silver_nutriscore_never_null and by
+    the q89/q90 oracles, which KEEP the reference filter and would
+    hash-mismatch if imputation ever regressed."""
     j = _star(t, "product", "brand")
     agg = j.groupBy("brand_name").agg(
         F.countDistinct("product_sk").cast("long").alias("nb_products"),
