@@ -22,6 +22,36 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def load_prev_timings(repo_dir: str, sf: float):
+    """Latest committed round record's per-query timings, for the
+    regression gate (VERDICT r03 item 5): each bench run self-compares
+    so a 2x drift (like q26's 1.33->2.79s between r01 and r03) surfaces
+    in-round instead of at judge time. Only same-sf records compare.
+    Returns (round_number, {qN: sec}) or (None, {}).
+    """
+    import glob
+    import re
+
+    best_n, best_q = None, {}
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        n = int(m.group(1))
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            parsed = rec.get("parsed") or {}
+            queries = parsed.get("queries") or {}
+            if not queries or parsed.get("sf") != sf:
+                continue
+        except (OSError, ValueError):
+            continue
+        if best_n is None or n > best_n:
+            best_n, best_q = n, queries
+    return best_n, best_q
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -103,6 +133,19 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — bench must still emit its line
         pass
 
+    # Regression flags vs the latest committed same-sf round record:
+    # >2x slower AND >0.5s absolute (absolute floor keeps 0.1s-query
+    # jitter out). Compact {qN: [prev, cur]} map so the emitted line
+    # stays inside the driver's output-tail capture.
+    prev_round, prev_q = load_prev_timings(
+        os.path.dirname(os.path.abspath(__file__)), sf
+    )
+    regressions = {
+        q: [prev_q[q], cur]
+        for q, cur in timings.items()
+        if q in prev_q and cur > 2 * prev_q[q] and cur - prev_q[q] > 0.5
+    }
+
     line = json.dumps(
         {
             "metric": "engine_query_suite_wall",
@@ -112,6 +155,8 @@ def main() -> None:
             "sf": sf,
             "pipeline_e2e_418k_sec": pipeline_sec,
             "baseline_pipeline_e2e_418k_sec": 393,
+            "prev_round": prev_round,
+            "regressions": regressions,
         },
         separators=(",", ":"),
     )

@@ -1,0 +1,62 @@
+"""Bench-harness regression gate: prev-round timing lookup.
+
+VERDICT r03 item 5 — the bench self-compares each query against the
+latest committed same-sf round record so a 2x drift surfaces in-round.
+These tests pin the lookup rules: newest round wins, other-sf and
+unparsed records are ignored, absence degrades to (None, {}).
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _write(tmp_path, n, payload):
+    (tmp_path / f"BENCH_r{n:02d}.json").write_text(json.dumps(payload))
+
+
+def test_newest_same_sf_record_wins(tmp_path):
+    _write(tmp_path, 2, {"parsed": {"sf": 0.1, "queries": {"q1": 1.0, "q2": 0.1}}})
+    _write(tmp_path, 3, {"parsed": {"sf": 0.1, "queries": {"q1": 2.0}}})
+    n, q = bench.load_prev_timings(str(tmp_path), 0.1)
+    assert n == 3
+    assert q == {"q1": 2.0}
+
+
+def test_other_sf_and_unparsed_records_ignored(tmp_path):
+    _write(tmp_path, 2, {"parsed": {"sf": 0.1, "queries": {"q1": 1.0}}})
+    _write(tmp_path, 4, {"parsed": {"sf": 0.01, "queries": {"q1": 9.0}}})
+    _write(tmp_path, 5, {"parsed": None})  # r02's parsed:null failure mode
+    n, q = bench.load_prev_timings(str(tmp_path), 0.1)
+    assert n == 2
+    assert q == {"q1": 1.0}
+
+
+def test_no_records_degrades_to_none(tmp_path):
+    n, q = bench.load_prev_timings(str(tmp_path), 0.1)
+    assert n is None
+    assert q == {}
+
+
+def test_corrupt_json_is_skipped(tmp_path):
+    (tmp_path / "BENCH_r07.json").write_text("{not json")
+    _write(tmp_path, 6, {"parsed": {"sf": 0.1, "queries": {"q3": 0.5}}})
+    n, q = bench.load_prev_timings(str(tmp_path), 0.1)
+    assert n == 6
+    assert q == {"q3": 0.5}
+
+
+def test_regression_rule_matches_bench_thresholds():
+    # Mirrors the flag expression in bench.main(): >2x AND >0.5s abs.
+    prev = {"q1": 1.0, "q2": 0.1, "q3": 2.0}
+    cur = {"q1": 2.6, "q2": 0.35, "q3": 3.9, "q4": 1.0}
+    regressions = {
+        q: [prev[q], c]
+        for q, c in cur.items()
+        if q in prev and c > 2 * prev[q] and c - prev[q] > 0.5
+    }
+    # q1: 2.6x and +1.6s -> flagged; q2: 3.5x but only +0.25s -> jitter;
+    # q3: <2x -> fine; q4: no prior -> no comparison.
+    assert regressions == {"q1": [1.0, 2.6]}
