@@ -8,8 +8,11 @@ semantics Spark does not guarantee — we implement only the correct form.
 
 Scale posture: the window shuffle hash-partitions by key, so it scales
 linearly with data and executors; a skewed key (one product updated
-millions of times) is handled by AQE skew-join/skew-agg splitting. No
-global sort, no driver collect.
+millions of times) is handled MAP-SIDE by Spark >= 3.5's
+``InferWindowGroupLimit`` — the ``row_number()==1`` filter becomes a
+``WindowGroupLimit(Partial)`` before the shuffle, so each map task
+forwards at most one row per key (measured flat across 90-99% hot keys;
+see SKEW.md). No global sort, no driver collect.
 
 Near-duplicate detection (MinHash/SimHash/Jaccard) lives in
 ``operators.similarity_dedup``.
@@ -45,13 +48,18 @@ def dedup_keep_latest_salted(
     order_by: Sequence[Column],
     n_salts: int = 16,
 ) -> DataFrame:
-    """Keep-latest for HOT keys: AQE splits skewed joins but not skewed
-    window partitions, so one key holding 10% of 100 TB serializes into
-    a single task under ``dedup_keep_latest``. Two phases restore
-    parallelism: keep-latest within (key, random salt), then keep-latest
-    across the <= n_salts survivors per key. Identical semantics because
-    "first under a total order" is associative across any partition of
-    the rows."""
+    """Keep-latest for hot keys WITHOUT relying on the optimizer.
+
+    On Spark >= 3.5 ``dedup_keep_latest`` is already skew-proof — the
+    ``rn==1`` filter gets a map-side ``WindowGroupLimit(Partial)``, and
+    SKEW.md's measurements show the salted form strictly loses there.
+    This variant is the explicit fallback for configurations where that
+    protection is absent: ``spark.sql.window.group.limit.threshold=-1``,
+    a rank filter above the threshold (default 1000), or engines
+    without the rule. Two phases restore parallelism: keep-latest
+    within (key, random salt), then keep-latest across the <= n_salts
+    survivors per key. Identical semantics because "first under a total
+    order" is associative across any partition of the rows."""
     salted = df.withColumn("__salt", (F.rand(seed=0) * n_salts).cast("int"))
     w1 = Window.partitionBy(
         *[F.col(k) for k in keys], F.col("__salt")

@@ -59,6 +59,47 @@ def salted_broadcast_left(
     return big_s.join(small_r, [on, "__salt"]).drop("__salt")
 
 
+def attach_grouped_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    broadcast_aggregate: bool = True,
+) -> DataFrame:
+    """Attach per-key aggregates to every row WITHOUT a window.
+
+    ``F.max(x).over(Window.partitionBy(key))`` materializes each key's
+    full partition in one task — and unlike ``row_number()==1`` filters
+    (which Spark >= 3.5 rewrites with a map-side
+    ``WindowGroupLimit(Partial)``), an aggregate-over-window has no
+    partial pruning: a key holding 10% of 100 TB serializes into a
+    single sorter. The scalable rewrite is the same result computed as
+    ``groupBy(keys).agg(...)`` (partial aggregation tames the hot key
+    map-side) joined back; with few distinct keys the aggregate side is
+    tiny, so the join is a broadcast and the big side never shuffles at
+    all.
+
+    ``aggs`` must be aliased aggregate columns (e.g.
+    ``F.max("v").alias("max_v")``). Rows with NULL keys get their
+    aggregates from the NULL-key group (window semantics: NULL keys
+    form one partition), so the join is null-safe via coalesced
+    sentinel-free eqNullSafe conditions.
+    """
+    # Renamed join keys sidestep self-join attribute ambiguity (agg_df
+    # derives from df, so both sides carry the same attribute ids).
+    renamed = [f"__agg_key_{i}" for i in range(len(keys))]
+    agg_df = (
+        df.groupBy(*[F.col(k).alias(r) for k, r in zip(keys, renamed)])
+        .agg(*aggs)
+    )
+    if broadcast_aggregate:
+        agg_df = F.broadcast(agg_df)
+    cond = None
+    for k, r in zip(keys, renamed):
+        c = F.col(k).eqNullSafe(F.col(r))
+        cond = c if cond is None else cond & c
+    return df.join(agg_df, cond, "left").drop(*renamed)
+
+
 def spread_partitions(df: DataFrame, key_col: str) -> DataFrame:
     """Hash-repartition ``df`` up to the session shuffle parallelism if
     its scan produced fewer partitions — the inverse problem of skew:

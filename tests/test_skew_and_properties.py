@@ -15,6 +15,7 @@ from data_integration_openfoodfacts_spark.functions.text_normalize import (
 )
 from data_integration_openfoodfacts_spark.operators.dedup import dedup_keep_latest
 from data_integration_openfoodfacts_spark.operators.skew import (
+    attach_grouped_agg,
     salted_broadcast_left,
     salted_group_count,
 )
@@ -41,6 +42,59 @@ def test_salted_broadcast_left_equals_plain_join(spark):
     plain = li.join(part, "l_partkey").count()
     salted = salted_broadcast_left(li, part, "l_partkey").count()
     assert plain == salted
+
+
+def test_attach_grouped_agg_equals_window(spark):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 2), (None, 7), (None, 3), ("c", 4)],
+        "k string, v long",
+    )
+    w = Window.partitionBy("k")
+    # "" stands in for the NULL key when sorting (no "" keys in the data)
+    expect = sorted(
+        (r["k"] or "", r["v"], r["mx"], r["s"])
+        for r in df.select(
+            "k", "v",
+            F.max("v").over(w).alias("mx"),
+            F.sum("v").over(w).alias("s"),
+        ).collect()
+    )
+    got = sorted(
+        (r["k"] or "", r["v"], r["mx"], r["s"])
+        for r in attach_grouped_agg(
+            df, ["k"], [F.max("v").alias("mx"), F.sum("v").alias("s")]
+        ).collect()
+    )
+    # NULL keys form one window partition; eqNullSafe join must match.
+    assert got == expect
+
+
+def test_attach_grouped_agg_multi_key_and_plan(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 20), ("a", 2, 5), ("b", 1, 7)],
+        "k1 string, k2 long, v long",
+    )
+    out = attach_grouped_agg(df, ["k1", "k2"], [F.min("v").alias("mn")])
+    rows = {(r["k1"], r["k2"], r["v"]): r["mn"] for r in out.collect()}
+    assert rows[("a", 1, 10)] == 10 and rows[("a", 1, 20)] == 10
+    assert rows[("a", 2, 5)] == 5 and rows[("b", 1, 7)] == 7
+    # big side must not shuffle: the join back is a broadcast join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dedup_keep_latest_plan_has_partial_window_group_limit(spark):
+    """Pin the map-side skew protection SKEW.md measures: if a Spark
+    upgrade or conf change drops InferWindowGroupLimit, fail here, not
+    in production on the first hot key."""
+    df = spark.createDataFrame(
+        [("a", 1, 0), ("a", 2, 1), ("b", 3, 2)], "k string, t long, uid long"
+    )
+    out = dedup_keep_latest(df, ["k"], [F.col("t").desc(), F.col("uid").desc()])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
 
 
 # ---- hypothesis property tests (driver-side batches through Spark) ----

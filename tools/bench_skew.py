@@ -1,17 +1,26 @@
-"""Skew stress benchmark: salted vs unsalted operators on a hot key.
+"""Skew stress benchmark: hot-key mitigation strategies, measured.
 
 VERDICT r03 item 6 — demonstrate the 100x posture empirically: build a
 deliberately skewed dataset (one key holding ``hot_frac`` of all rows,
-the rest uniform over ``n_cold_keys``), then time
+the rest uniform over ``n_cold_keys``), then time three pairs with AQE
+on (the session default):
 
-- ``dedup_keep_latest``        vs ``dedup_keep_latest_salted``  (window skew)
-- plain ``groupBy().count()``  vs ``salted_group_count``        (agg skew)
-
-with AQE on (the session default). AQE splits skewed JOIN partitions but
-not skewed WINDOW partitions, so the window pair is where salting must
-win; hash aggregation already does map-side partial aggregation, so the
-plain groupBy pair is the control where salting should NOT win (its
-second shuffle is pure overhead) — both claims are printed, not assumed.
+1. ``dedup_keep_latest`` vs ``dedup_keep_latest_salted``. On Spark
+   >= 3.5 the UNSALTED form is expected to win: ``InferWindowGroupLimit``
+   inserts a map-side ``WindowGroupLimit(Partial)`` for ``rank <= k``
+   filters, so each map task forwards at most one row per key and the
+   hot key reaches the reducer with <= n_map_partitions rows — the
+   window analogue of partial aggregation. The bench ASSERTS the
+   Partial node is in the plan so a config/version change that silently
+   removes the protection fails loudly here.
+2. Window-attached aggregate (``max over (partition by key)`` kept on
+   every row) vs ``attach_grouped_agg`` (groupBy + broadcast join
+   back). No partial pruning exists for aggregate-over-window — the
+   hot key's full row set serializes through one sorter — so the
+   rewrite is where the real 100 TB win lives.
+3. Plain ``groupBy().count()`` vs ``salted_group_count`` (control:
+   hash aggregation already does map-side partials, salting's second
+   shuffle should be pure overhead).
 
 Each timing is the min of ``repeats`` runs to a noop sink (no collect).
 Equivalence is asserted (same row count + same checksum) so the fast
@@ -38,6 +47,7 @@ from data_integration_openfoodfacts_spark.operators.dedup import (  # noqa: E402
     dedup_keep_latest_salted,
 )
 from data_integration_openfoodfacts_spark.operators.skew import (  # noqa: E402
+    attach_grouped_agg,
     salted_group_count,
 )
 from data_integration_openfoodfacts_spark.session import get_spark  # noqa: E402
@@ -99,18 +109,41 @@ def main() -> None:
     df = build_skewed(spark, rows, hot_frac, n_cold_keys=100_000)
     order = [F.col("seq").desc()]
 
-    # Window keep-latest: the case AQE cannot split.
+    # 1. rn==1 keep-latest: protected by WindowGroupLimit(Partial) on
+    # Spark >= 3.5 — assert the protection is actually in the plan.
+    deduped = dedup_keep_latest(df, ["key"], order)
+    plan = deduped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, (
+        "InferWindowGroupLimit did not fire: rn==1 dedup has lost its "
+        "map-side skew protection"
+    )
     plain_dedup = lambda: _noop(dedup_keep_latest(df, ["key"], order))  # noqa: E731
     salted_dedup = lambda: _noop(  # noqa: E731
         dedup_keep_latest_salted(df, ["key"], order, n_salts=32)
     )
-    assert checksum(dedup_keep_latest(df, ["key"], order)) == checksum(
+    assert checksum(deduped) == checksum(
         dedup_keep_latest_salted(df, ["key"], order, n_salts=32)
     ), "salted dedup diverged from unsalted"
     t_dedup_plain = _time(plain_dedup, repeats)
     t_dedup_salted = _time(salted_dedup, repeats)
 
-    # Hash-agg control: partial aggregation already tames the hot key.
+    # 2. Aggregate attached to every row: window (no partial pruning
+    # exists — hot key serializes through one sorter) vs groupBy +
+    # broadcast join back.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key")
+    windowed = df.withColumn("max_seq", F.max("seq").over(w))
+    rewritten = attach_grouped_agg(
+        df, ["key"], [F.max("seq").alias("max_seq")]
+    )
+    assert checksum(windowed) == checksum(
+        rewritten
+    ), "attach_grouped_agg diverged from window"
+    t_attach_window = _time(lambda: _noop(windowed), repeats)
+    t_attach_join = _time(lambda: _noop(rewritten), repeats)
+
+    # 3. Hash-agg control: partial aggregation already tames the hot key.
     plain_count = lambda: _noop(df.groupBy("key").count())  # noqa: E731
     salted_count = lambda: _noop(salted_group_count(df, ["key"]))  # noqa: E731
     assert checksum(df.groupBy("key").count()) == checksum(
@@ -129,6 +162,11 @@ def main() -> None:
                 "dedup_window_plain": t_dedup_plain,
                 "dedup_window_salted": t_dedup_salted,
                 "dedup_speedup": round(t_dedup_plain / t_dedup_salted, 2),
+                "attach_agg_window": t_attach_window,
+                "attach_agg_join": t_attach_join,
+                "attach_agg_speedup": round(
+                    t_attach_window / t_attach_join, 2
+                ),
                 "group_count_plain": t_count_plain,
                 "group_count_salted": t_count_salted,
                 "group_count_speedup": round(
