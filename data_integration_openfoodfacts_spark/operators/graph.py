@@ -196,3 +196,53 @@ def triangle_counts(
         "node",
         F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: shortest hop-distance (<= max_hops) from any
+    seed node over a DIRECTED edge list. Returns (node, dist) with one
+    row per reachable node, dist = 0 for the seeds themselves.
+
+    Frontier iteration, the Pregel pattern in DataFrame form: each hop
+    joins the current frontier with the edge list (hash shuffle on the
+    edge key — broadcast when the frontier is small enough for AQE to
+    demote), then anti-joins against the visited set so a node's FIRST
+    discovery fixes its distance (first discovery == fewest hops, which
+    is why no min() re-aggregation is needed). ``localCheckpoint``
+    per hop cuts the growing lineage, the iterative-Spark trap; the
+    driver reads one scalar per hop (frontier size) to stop early on an
+    exhausted frontier, never data rows.
+
+    Deterministic: hop-k frontier membership is a set equation over
+    (edges, previous frontiers) — no ordering or partitioning effects.
+    Matches a recursive-CTE `UNION ... WHERE dist < max_hops` +
+    `GROUP BY node: MIN(dist)` oracle.
+    """
+    visited = (
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges[src])
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited

@@ -1098,6 +1098,195 @@ FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
 
 
+def q95_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-5 terms per document by tf * ln(N/df).
+
+    The inverted-index building block every retrieval / quality-scoring
+    pipeline needs. Scale shape: tokenize+explode is narrow; tf and df
+    are two hash aggregations on (doc, term) / term (map-side partials
+    tame stopword-style hot terms); N attaches via a broadcast of a
+    1-row aggregate, never a driver .count(); top-5-per-doc is a window
+    whose rn<=5 filter gets the map-side WindowGroupLimit(Partial)
+    (see SKEW.md). ln on identical doubles in both engines; the %.10g
+    comparison absorbs last-ulp libm drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        tok.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
+Q95_ORACLE = """
+WITH tok AS (
+  SELECT d.doc_id, t.term
+  FROM documents d,
+       LATERAL (SELECT UNNEST(string_split(d.text, ' ')) AS term) t
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (
+  SELECT term, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC
+  ) AS rn
+  FROM scored
+)
+WHERE rn <= 5
+"""
+
+
+def q96_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search: top-20 documents for the fixed query
+    {spark, hash, window} (k1=1.2, b=0.75).
+
+    Per-term scores land in separate columns via conditional
+    aggregation, and the total is their FIXED-ORDER sum — cross-term
+    double addition is non-associative, so a SUM() over terms would be
+    engine-order-dependent; three columns added syntactically
+    left-to-right are bit-identical in both engines. Scale shape: two
+    hash aggs (per-doc term counts, per-doc lengths) sharing the doc_id
+    partitioning, 1-row corpus stats broadcast, top-20 is
+    TakeOrderedAndProject with doc_id tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "hash", "window"]
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    qtf = (
+        tok.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    scored = (
+        qtf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * 2.2)
+            / (
+                F.col("tf")
+                + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("term") == t, F.col("term_score"))),
+                F.lit(0.0),
+            ).alias(f"s_{t}")
+            for t in terms
+        ]
+    )
+    return (
+        per_doc.withColumn(
+            "total", F.col("s_spark") + F.col("s_hash") + F.col("s_window")
+        )
+        .orderBy(F.desc("total"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+Q96_ORACLE = """
+WITH tok AS (
+  SELECT d.doc_id, t.term
+  FROM documents d,
+       LATERAL (SELECT UNNEST(string_split(d.text, ' ')) AS term) t
+  WHERE t.term <> ''
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+qtf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ('spark', 'hash', 'window') GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY 1),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+scored AS (
+  SELECT q.doc_id, q.term,
+         LN(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (q.tf * 2.2)
+           / (q.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS term_score
+  FROM qtf q
+  JOIN df f USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+),
+per_doc AS (
+  SELECT doc_id,
+         COALESCE(SUM(CASE WHEN term = 'spark'  THEN term_score END), 0.0)
+           AS s_spark,
+         COALESCE(SUM(CASE WHEN term = 'hash'   THEN term_score END), 0.0)
+           AS s_hash,
+         COALESCE(SUM(CASE WHEN term = 'window' THEN term_score END), 0.0)
+           AS s_window
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, s_spark, s_hash, s_window,
+       s_spark + s_hash + s_window AS total
+FROM per_doc
+ORDER BY total DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -1124,6 +1313,8 @@ LLM_QUERIES = {
     "q82_triangle_counts": q82_triangle_counts,
     "q85_prefix_filter_jaccard": q85_prefix_filter_jaccard,
     "q88_kmeans_invariants": q88_kmeans_invariants,
+    "q95_tfidf_top_terms": q95_tfidf_top_terms,
+    "q96_bm25_search": q96_bm25_search,
 }
 
 LLM_ORACLES = {
@@ -1151,4 +1342,6 @@ LLM_ORACLES = {
     "q82_triangle_counts": Q82_ORACLE,
     "q85_prefix_filter_jaccard": Q85_ORACLE,
     "q88_kmeans_invariants": Q88_ORACLE,
+    "q95_tfidf_top_terms": Q95_ORACLE,
+    "q96_bm25_search": Q96_ORACLE,
 }

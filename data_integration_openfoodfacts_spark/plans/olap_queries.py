@@ -586,6 +586,69 @@ GROUP BY 1
 """
 
 
+def q97_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest hop-distance (<= 3) from the minimum part over the
+    co-order graph (parts sharing an order are neighbours) — iterative
+    BFS (``operators/graph.py::bfs_distances``) checked against a
+    recursive-CTE oracle; the graph-traversal shape (impact analysis,
+    recommendation radius, lineage walks) warehouses express with
+    WITH RECURSIVE and Spark expresses as a frontier loop.
+
+    Scale shape: edge building is one self-join of lineitem on
+    l_orderkey (hash shuffle; per-order fan-out bounded by order size);
+    each hop is frontier |x| edges keyed on src + an anti-join on the
+    visited set; the seed is a 1-row aggregate DataFrame (never a
+    driver-side min())."""
+    from ..operators.graph import bfs_distances
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    # Materialize the edge list once — every BFS hop re-reads it, and
+    # without this each hop would re-run the self-join + distinct
+    # (measured 9.4s -> ~3s at sf0.1).
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .agg(F.min("p_partkey").alias("node"))
+    )
+    out = bfs_distances(edges, seeds, max_hops=3)
+    return out.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+Q97_ORACLE = """
+WITH RECURSIVE
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+seed AS (SELECT MIN(p_partkey) AS node FROM part),
+bfs(node, dist) AS (
+  SELECT node, 0 FROM seed
+  UNION
+  SELECT e.dst, b.dist + 1
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.dist < 3
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+FROM bfs GROUP BY 1
+"""
+
+
 OLAP_QUERIES = {
     "q79_grouping_sets": q79_grouping_sets,
     "q80_blocked_fuzzy_match": q80_blocked_fuzzy_match,
@@ -601,6 +664,7 @@ OLAP_QUERIES = {
     "q57_rollup_order_totals": q57_rollup_order_totals,
     "q72_cube_priority_status": q72_cube_priority_status,
     "q58_promo_revenue_share": q58_promo_revenue_share,
+    "q97_bfs_reachability": q97_bfs_reachability,
 }
 
 OLAP_ORACLES = {
@@ -618,4 +682,5 @@ OLAP_ORACLES = {
     "q57_rollup_order_totals": Q57_ORACLE,
     "q72_cube_priority_status": Q72_ORACLE,
     "q58_promo_revenue_share": Q58_ORACLE,
+    "q97_bfs_reachability": Q97_ORACLE,
 }

@@ -350,6 +350,51 @@ def _q71_oracle() -> str:
     return _Q71_TEMPLATE.format(pii_count=duckdb_count_sql("text"))
 
 
+def q100_approx_distinct_bounds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch with an error-bound oracle.
+
+    The sketch itself (``approx_count_distinct``, rsd=0.02) cannot be
+    reproduced by another engine, so — like q88's KMeans invariants —
+    the oracle pins what a correct sketch must satisfy: per group the
+    EXACT distinct count (DuckDB computes it independently) and a
+    relative error within 5% (``violation = 0``; 2.5x margin over the
+    configured rsd, and HLL++ is deterministic for fixed input so this
+    is a stable gate, not a flaky one). Spark computes the actual
+    violation flag from its sketch; a broken sketch turns the row red.
+
+    Scale: this is THE cardinality operator at 100 TB — exact distinct
+    is a full shuffle of every distinct value, the sketch is a
+    fixed-size (~kB) mergeable state per group, map-side combined.
+    The exact count here exists only to power the oracle check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    )
+    return per_group.select(
+        "l_returnflag",
+        "exact_distinct",
+        (
+            (
+                F.abs(F.col("approx") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                > 0.05
+            ).cast("long")
+        ).alias("violation"),
+    )
+
+
+Q100_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+       CAST(0 AS BIGINT) AS violation
+FROM lineitem
+GROUP BY 1
+"""
+
+
 SAMPLING_QUERIES = {
     "q59_deterministic_sample": q59_deterministic_sample,
     "q60_stratified_sample": q60_stratified_sample,
@@ -358,6 +403,7 @@ SAMPLING_QUERIES = {
     "q67_pii_redaction": q67_pii_redaction,
     "q68_token_packing": q68_token_packing,
     "q71_training_shards": q71_training_shards,
+    "q100_approx_distinct_bounds": q100_approx_distinct_bounds,
 }
 
 SAMPLING_ORACLES = {
@@ -368,4 +414,5 @@ SAMPLING_ORACLES = {
     "q67_pii_redaction": _q67_oracle(),
     "q68_token_packing": Q68_ORACLE,
     "q71_training_shards": _q71_oracle(),
+    "q100_approx_distinct_bounds": Q100_ORACLE,
 }

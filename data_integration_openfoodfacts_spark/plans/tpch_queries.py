@@ -377,6 +377,151 @@ GROUP BY 1
 """
 
 
+def q98_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations by year, both
+    directions (supplier in one, customer in the other).
+
+    Scale: nation/supplier/customer are the small sides — supplier and
+    nation broadcast outright; the lineitem<->orders join is the only
+    big shuffle (orderkey), then orders<->customer shuffles on custkey
+    with customer already nation-pruned. Revenue uses the decimal-cast
+    order-independent sum."""
+    n1 = "NATION_1"
+    n2 = "NATION_2"
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.withColumnRenamed("n_name", "supp_nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("supp_nation").isin(n1, n2))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.withColumnRenamed("n_name", "cust_nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("cust_nation").isin(n1, n2))
+        .select("c_custkey", "cust_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    joined = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("nb_lines"),
+        )
+    )
+
+
+Q98_ORACLE = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS nb_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q99_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returned items
+    ('R' lineitems) for orders placed in 1996 Q1.
+
+    Scale: the quarter filter prunes orders before the big join;
+    lineitem<->orders shuffles on orderkey, the per-customer agg reuses
+    the custkey partitioning, customer+nation broadcast onto the tiny
+    aggregate. Top-20 is TakeOrderedAndProject with c_custkey as the
+    deterministic tiebreaker (revenue ties across a double sum)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return (
+        rev.join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "nation", "c_acctbal", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q99_ORACLE = """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation, c.c_acctbal,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 TPCH_QUERIES = {
     "q32_pricing_summary": q32_pricing_summary,
     "q33_shipping_priority": q33_shipping_priority,
@@ -386,6 +531,8 @@ TPCH_QUERIES = {
     "q64_small_quantity_revenue": q64_small_quantity_revenue,
     "q65_large_volume_customers": q65_large_volume_customers,
     "q66_dormant_rich_customers": q66_dormant_rich_customers,
+    "q98_volume_shipping": q98_volume_shipping,
+    "q99_returned_items": q99_returned_items,
 }
 
 TPCH_ORACLES = {
@@ -397,4 +544,6 @@ TPCH_ORACLES = {
     "q64_small_quantity_revenue": Q64_ORACLE,
     "q65_large_volume_customers": Q65_ORACLE,
     "q66_dormant_rich_customers": Q66_ORACLE,
+    "q98_volume_shipping": Q98_ORACLE,
+    "q99_returned_items": Q99_ORACLE,
 }

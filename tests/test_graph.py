@@ -107,3 +107,40 @@ def test_triangle_counts_sum_is_three_per_triangle(spark):
         if u < v < w
     )
     assert total == 3 * tri
+
+
+def test_bfs_distances_known_graph(spark):
+    from data_integration_openfoodfacts_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    # 1 -> 2 -> 3 -> 4 -> 5 (chain), plus shortcut 1 -> 4 and a cycle
+    # edge 3 -> 1; node 6 unreachable. max_hops=3 from seed {1}.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (3, 1), (6, 6)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, seeds, max_hops=3).collect()
+    }
+    # shortest paths: 1=0, 2=1, 4=1 (shortcut beats the chain), 3=2,
+    # 5=2 (via the shortcut); 6 unreachable; cycle must not loop.
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+
+def test_bfs_distances_multi_source_and_exhaustion(spark):
+    from data_integration_openfoodfacts_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (3,)], "node long")
+    # frontier exhausts after hop 1; the loop must stop early at
+    # max_hops=10 without extra shuffles or wrong distances
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, seeds, max_hops=10).collect()
+    }
+    assert got == {1: 0, 3: 0, 2: 1}
