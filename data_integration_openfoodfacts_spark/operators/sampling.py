@@ -103,3 +103,37 @@ def assign_shards(
             % n_shards
         ).cast("int"),
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (top-k):
+    Efraimidis-Spirakis A-ES with the randomness derived from md5 —
+    each row gets key ln(u)/w for u = (bucket+1)/RATE_DENOM in (0, 1],
+    and the k LARGEST keys win (equivalent to ranking by u^(1/w);
+    heavier rows draw keys nearer 0, lighter rows more negative).
+
+    Inclusion probabilities match true weighted sampling without
+    replacement, but the draw is a pure function of (salt, id, weight):
+    re-run-stable, partition-layout independent, and reproducible in
+    any engine with md5 + ln. Requires strictly positive weights.
+
+    Scale: the key is a narrow per-row expression; selection is a
+    global top-k (TakeOrderedAndProject — per-partition heaps, no full
+    sort). The id tiebreaker makes the selected set total-order stable
+    even under md5 bucket collisions.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (sample_bucket(id_col, salt) + 1).cast("double") / float(RATE_DENOM)
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.col(id_col))
+        .limit(k)
+    )

@@ -350,6 +350,37 @@ def _q71_oracle() -> str:
     return _Q71_TEMPLATE.format(pii_count=duckdb_count_sql("text"))
 
 
+def q101_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement: 50
+    documents drawn with probability proportional to length
+    (Efraimidis-Spirakis A-ES keys from md5-derived uniforms —
+    ``operators/sampling.py::weighted_sample_topk``). The
+    length-biased corpus subsample an LLM curation pipeline uses when
+    long documents should dominate a budget.
+
+    Scale: per-row key + global top-k (TakeOrderedAndProject);
+    engine parity via identical ln((bucket+1)/1e6)/weight doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.sampling import weighted_sample_topk
+
+    return weighted_sample_topk(
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars", k=50
+    )
+
+
+Q101_ORACLE = f"""
+SELECT doc_id, n_chars, sample_key
+FROM (
+  SELECT doc_id, n_chars,
+         LN(CAST(({_BUCKET}) + 1 AS DOUBLE) / 1000000.0) / n_chars
+           AS sample_key
+  FROM documents
+)
+ORDER BY sample_key DESC, doc_id
+LIMIT 50
+"""
+
+
 def q100_approx_distinct_bounds(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -404,6 +435,7 @@ SAMPLING_QUERIES = {
     "q68_token_packing": q68_token_packing,
     "q71_training_shards": q71_training_shards,
     "q100_approx_distinct_bounds": q100_approx_distinct_bounds,
+    "q101_weighted_sample": q101_weighted_sample,
 }
 
 SAMPLING_ORACLES = {
@@ -415,4 +447,5 @@ SAMPLING_ORACLES = {
     "q68_token_packing": Q68_ORACLE,
     "q71_training_shards": _q71_oracle(),
     "q100_approx_distinct_bounds": Q100_ORACLE,
+    "q101_weighted_sample": Q101_ORACLE,
 }

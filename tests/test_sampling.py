@@ -94,3 +94,39 @@ def test_shards_in_range_and_stable(docs):
 def test_shards_validation(docs):
     with pytest.raises(ValueError):
         assign_shards(docs, "doc_id", n_shards=0)
+
+
+def test_weighted_sample_topk_properties(spark):
+    from data_integration_openfoodfacts_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    rows = [(i, 1.0 if i != 42 else 1e9) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    picked = weighted_sample_topk(df, "id", "w", k=10)
+    ids = {r["id"] for r in picked.collect()}
+    assert len(ids) == 10
+    # ln(u)/1e9 ~ 0 beats every unit-weight key: the heavy row wins
+    assert 42 in ids
+    # partition-layout independence: same set after a repartition
+    ids2 = {
+        r["id"]
+        for r in weighted_sample_topk(
+            df.repartition(7), "id", "w", k=10
+        ).collect()
+    }
+    assert ids2 == ids
+    # k >= n degenerates to the full set
+    assert weighted_sample_topk(df, "id", "w", k=500).count() == 100
+
+
+def test_weighted_sample_topk_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from data_integration_openfoodfacts_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, w double")
+    with _pytest.raises(ValueError):
+        weighted_sample_topk(df, "id", "w", k=0)
