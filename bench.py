@@ -89,7 +89,10 @@ def main() -> None:
     # line compact enough for the driver's tail capture at 74 queries.
     timings: dict[str, float] = {}
     total = 0.0
-    for name, fn in QUERIES.items():
+    import gc
+
+    jvm_gc_every = 10
+    for qi, (name, fn) in enumerate(QUERIES.items()):
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
@@ -97,6 +100,17 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name.split("_", 1)[0]] = round(best, 2)
         total += best
+        # Benchmark isolation: iterative queries leave localCheckpoint
+        # blocks behind until their Py4J proxies are GC'd and the JVM
+        # ContextCleaner's weak refs fire — without this, block-manager
+        # storage accumulates across the 100-query suite and later
+        # queries pay the memory pressure (measured: broad 1.5-3x
+        # drift on queries whose code never changed). Python gc drops
+        # the proxies every query; a periodic JVM System.gc() lets the
+        # cleaner actually reclaim the blocks.
+        gc.collect()
+        if (qi + 1) % jvm_gc_every == 0:
+            spark.sparkContext._jvm.System.gc()
     # qN prefixes must stay unique or a collision silently drops a
     # query's timing from the emitted map while total still includes it
     assert len(timings) == len(QUERIES), "duplicate qN bench key prefix"
