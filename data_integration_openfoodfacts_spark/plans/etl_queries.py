@@ -353,6 +353,61 @@ GROUP BY 1
 """
 
 
+def q102_approx_percentile_bounds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """t-digest ``approx_percentile`` under a rank-error-bound oracle —
+    q100's pattern (sketch computed by Spark, invariant independently
+    checkable): the approximate p50/p90 must land inside the EXACT
+    [p48, p52] / [p88, p92] windows (DuckDB recomputes the exact bounds
+    with ``quantile_cont``, bit-equal to Spark's ``percentile`` — the
+    q41-verified pairing; accuracy=10000 gives rank error <= 1e-4, a
+    ~200x margin on the +-0.02 windows, so the gate is stable).
+
+    Scale: exact percentiles sort every group; the t-digest is a
+    fixed-size mergeable sketch, map-side combined — THE quantile
+    operator at 100 TB. The exact columns exist to power the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.percentile("l_extendedprice", 0.48).alias("p48_exact"),
+        F.percentile("l_extendedprice", 0.52).alias("p52_exact"),
+        F.percentile("l_extendedprice", 0.88).alias("p88_exact"),
+        F.percentile("l_extendedprice", 0.92).alias("p92_exact"),
+        F.expr(
+            "approx_percentile(l_extendedprice, 0.5, 10000)"
+        ).alias("p50_approx"),
+        F.expr(
+            "approx_percentile(l_extendedprice, 0.9, 10000)"
+        ).alias("p90_approx"),
+    )
+    viol = (
+        (F.col("p50_approx") < F.col("p48_exact"))
+        | (F.col("p50_approx") > F.col("p52_exact"))
+        | (F.col("p90_approx") < F.col("p88_exact"))
+        | (F.col("p90_approx") > F.col("p92_exact"))
+    )
+    return g.select(
+        "returnflag",
+        "p48_exact",
+        "p52_exact",
+        "p88_exact",
+        "p92_exact",
+        viol.cast("long").alias("violation"),
+    )
+
+
+Q102_ORACLE = """
+SELECT l_returnflag AS returnflag,
+       quantile_cont(l_extendedprice, 0.48) AS p48_exact,
+       quantile_cont(l_extendedprice, 0.52) AS p52_exact,
+       quantile_cont(l_extendedprice, 0.88) AS p88_exact,
+       quantile_cont(l_extendedprice, 0.92) AS p92_exact,
+       CAST(0 AS BIGINT) AS violation
+FROM lineitem
+GROUP BY 1
+"""
+
+
 def q45_dim_country(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dim_country build through the PRODUCTION builder
     (plans/pipeline.build_dim_country): a comma-joined multi-value
@@ -414,6 +469,7 @@ ETL_QUERIES = {
     "q30_unixtime_dates": q30_unixtime_dates,
     "q31_mixed_join_null_handling": q31_mixed_join_null_handling,
     "q41_price_percentiles": q41_price_percentiles,
+    "q102_approx_percentile_bounds": q102_approx_percentile_bounds,
     "q45_dim_country": q45_dim_country,
 }
 
@@ -432,5 +488,6 @@ ETL_ORACLES = {
     "q30_unixtime_dates": Q30_ORACLE,
     "q31_mixed_join_null_handling": Q31_ORACLE,
     "q41_price_percentiles": Q41_ORACLE,
+    "q102_approx_percentile_bounds": Q102_ORACLE,
     "q45_dim_country": Q45_ORACLE,
 }

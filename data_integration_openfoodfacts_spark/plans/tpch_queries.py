@@ -522,6 +522,55 @@ LIMIT 20
 """
 
 
+def q103_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum 3-month revenue — the
+    scalar-subquery-against-an-aggregate-view shape.
+
+    Scale: one partial-agg shuffle builds the per-supplier revenue;
+    the max attaches via a broadcast 1-row aggregate (no second scan,
+    no driver read); the equality filter compares the same decimal-
+    exact double both sides so the tie set is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("double")
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(
+            F.broadcast(supp),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q103_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r
+JOIN supplier s ON r.supplier_no = s.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
 TPCH_QUERIES = {
     "q32_pricing_summary": q32_pricing_summary,
     "q33_shipping_priority": q33_shipping_priority,
@@ -533,6 +582,7 @@ TPCH_QUERIES = {
     "q66_dormant_rich_customers": q66_dormant_rich_customers,
     "q98_volume_shipping": q98_volume_shipping,
     "q99_returned_items": q99_returned_items,
+    "q103_top_supplier": q103_top_supplier,
 }
 
 TPCH_ORACLES = {
@@ -546,4 +596,5 @@ TPCH_ORACLES = {
     "q66_dormant_rich_customers": Q66_ORACLE,
     "q98_volume_shipping": Q98_ORACLE,
     "q99_returned_items": Q99_ORACLE,
+    "q103_top_supplier": Q103_ORACLE,
 }

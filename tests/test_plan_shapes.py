@@ -172,3 +172,30 @@ def test_q86_correlated_subquery_decorrelates(spark):
     assert "Subquery" not in plan
     assert "HashAggregate" in plan
     assert "Join" in plan
+
+
+def test_partitioned_fact_gets_dynamic_partition_pruning(spark, tmp_path):
+    """Joining a year-partitioned fact with a filtered dim must inject a
+    dynamicpruning subquery into the fact scan's PartitionFilters — at
+    100 TB this is the difference between scanning 1 partition and 7.
+    Pins spark.sql.optimizer.dynamicPartitionPruning staying effective
+    for the layout plans/pipeline.py writes (fact partitioned by year).
+    """
+    from pyspark.sql import functions as F
+
+    fact_path = str(tmp_path / "fact_by_year")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    orders.withColumn(
+        "o_year", F.year("o_orderdate")
+    ).write.partitionBy("o_year").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [(1996, "target")], "d_year int, tag string"
+    )
+    # the dim must NOT be broadcastable-eliminated before DPP decides;
+    # a plain equi-join on the partition column is the canonical shape
+    j = fact.join(dim, fact["o_year"] == dim["d_year"]).filter(
+        F.col("tag") == "target"
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
