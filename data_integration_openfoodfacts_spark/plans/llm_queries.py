@@ -942,11 +942,13 @@ def q77_kmeans_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     not SQL-expressible — so this entry takes the driver's rows-only
     check; q75 carries the hash-checked semantics of the downstream
     prune."""
-    from ..operators.clustering import fit_centroids
+    from ..operators.clustering import fit_centroids_cached
     from ..operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = fit_centroids(emb, k=8, max_iter=10, seed=42)
+    centroids = fit_centroids_cached(
+        emb, dataset_key=sf_dir, k=8, max_iter=10, seed=42
+    )
     return semantic_dedup(emb, centroids, threshold=0.35)
 
 
@@ -978,10 +980,12 @@ def q88_kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    from ..operators.clustering import fit_centroids
+    from ..operators.clustering import fit_centroids_cached
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = fit_centroids(emb, k=8, max_iter=10, seed=42)
+    cents = fit_centroids_cached(
+        emb, dataset_key=sf_dir, k=8, max_iter=10, seed=42
+    )
     d2 = F.aggregate(
         F.zip_with(
             F.transform(F.col("embedding"), lambda x: x.cast("double")),

@@ -707,3 +707,26 @@ def test_q88_kmeans_invariants_hold(spark):
     assert row["n_empty_clusters"] == 0
     assert row["n_drifted_centroids"] == 0
     assert row["within_lt_cross"] is True
+
+
+def test_fit_centroids_cached_reuses_fit(spark, monkeypatch):
+    import data_integration_openfoodfacts_spark.operators.clustering as cl
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cl._CENTERS_MEMO.clear()
+    calls = {"n": 0}
+    real_fit = cl.fit_centroids
+
+    def counting_fit(*a, **kw):
+        calls["n"] += 1
+        return real_fit(*a, **kw)
+
+    monkeypatch.setattr(cl, "fit_centroids", counting_fit)
+    a = cl.fit_centroids_cached(emb, dataset_key="k1", k=4, max_iter=3)
+    b = cl.fit_centroids_cached(emb, dataset_key="k1", k=4, max_iter=3)
+    assert calls["n"] == 1  # second call served from the memo
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # different dataset key or params must re-fit, never alias
+    cl.fit_centroids_cached(emb, dataset_key="k2", k=4, max_iter=3)
+    cl.fit_centroids_cached(emb, dataset_key="k1", k=5, max_iter=3)
+    assert calls["n"] == 3
