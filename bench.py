@@ -92,12 +92,19 @@ def main() -> None:
     import gc
 
     jvm_gc_every = 10
+    errors: dict[str, str] = {}
     for qi, (name, fn) in enumerate(QUERIES.items()):
         best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            run_query(fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                run_query(fn(spark, sf_dir))
+                best = min(best, time.time() - t0)
+        except Exception as exc:  # noqa: BLE001 — one failing query
+            # (e.g. q26's cartesian guard at a larger sf) must not
+            # abort the suite and lose the round's bench record
+            errors[name.split("_", 1)[0]] = type(exc).__name__
+            continue
         timings[name.split("_", 1)[0]] = round(best, 2)
         total += best
         # Benchmark isolation: iterative queries leave localCheckpoint
@@ -113,7 +120,9 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
     # qN prefixes must stay unique or a collision silently drops a
     # query's timing from the emitted map while total still includes it
-    assert len(timings) == len(QUERIES), "duplicate qN bench key prefix"
+    assert len(timings) + len(errors) == len(QUERIES), (
+        "duplicate qN bench key prefix"
+    )
 
     # Baseline-comparable figure: the reference's only published number
     # is its 418k-row end-to-end ETL (BASELINE.md: 393-580s). Run the
@@ -171,6 +180,7 @@ def main() -> None:
             "baseline_pipeline_e2e_418k_sec": 393,
             "prev_round": prev_round,
             "regressions": regressions,
+            "errors": errors,
         },
         separators=(",", ":"),
     )

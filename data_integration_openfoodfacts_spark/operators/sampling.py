@@ -121,7 +121,10 @@ def weighted_sample_topk(
     Inclusion probabilities match true weighted sampling without
     replacement, but the draw is a pure function of (salt, id, weight):
     re-run-stable, partition-layout independent, and reproducible in
-    any engine with md5 + ln. Requires strictly positive weights.
+    any engine with md5 + ln. Rows with NULL or non-positive weights
+    are EXCLUDED (a negative weight would flip ln(u)'s sign and
+    deterministically outrank every valid row; zero divides to NULL) —
+    sampling semantics are only defined for w > 0.
 
     Scale: the key is a narrow per-row expression; selection is a
     global top-k (TakeOrderedAndProject — per-partition heaps, no full
@@ -131,9 +134,10 @@ def weighted_sample_topk(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     u = (sample_bucket(id_col, salt) + 1).cast("double") / float(RATE_DENOM)
-    key = F.log(u) / F.col(weight_col)
+    key = F.when(F.col(weight_col) > 0, F.log(u) / F.col(weight_col))
     return (
         df.withColumn("sample_key", key)
+        .filter(F.col("sample_key").isNotNull())
         .orderBy(F.desc("sample_key"), F.col(id_col))
         .limit(k)
     )

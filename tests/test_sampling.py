@@ -130,3 +130,15 @@ def test_weighted_sample_topk_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, 1.0)], "id long, w double")
     with _pytest.raises(ValueError):
         weighted_sample_topk(df, "id", "w", k=0)
+
+
+def test_weighted_sample_topk_excludes_invalid_weights(spark):
+    from data_integration_openfoodfacts_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    rows = [(1, 1.0), (2, -5.0), (3, 0.0), (4, None), (5, 2.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    ids = {r["id"] for r in weighted_sample_topk(df, "id", "w", k=10).collect()}
+    # negative weight would otherwise get a POSITIVE key and always win
+    assert ids == {1, 5}

@@ -44,8 +44,14 @@ STATE_PATH = PKG_ROOT / "plans" / "gate_state.json"
 # ``from ..operators.x import y`` / ``from . import z`` /
 # ``from data_integration_openfoodfacts_spark.functions.v import w`` —
 # matched anywhere in the source (function-local imports included).
+# The names group is either ONE parenthesized (possibly multi-line)
+# list or the rest of the line — an unbounded [\w.,\s()*]+ here
+# swallowed every consecutive from-import through its \s newlines, so
+# the closure silently missed most dependencies (the r04 review's top
+# finding; pinned by test_gate_state_closure.py).
 _IMPORT_RE = re.compile(
-    rf"^\s*from\s+(\.+[\w.]*|{PKG}(?:\.[\w.]+)?)\s+import\s+([\w.,\s()*]+)",
+    rf"^[ \t]*from[ \t]+(\.+[\w.]*|{PKG}(?:\.[\w.]+)?)[ \t]+import"
+    rf"[ \t]+(\([^)]*\)|[^\n]+)",
     re.M,
 )
 
@@ -154,17 +160,16 @@ def load_driver_records() -> dict[int, dict]:
     return out
 
 
-def compute_order(
+def compute_tiers(
     fingerprints: dict[str, str],
     verified: dict[str, dict],
     records: dict[int, dict],
     force_gate: set[str],
-    static_priority: list[str],
-) -> list[str]:
-    static_index = {k: i for i, k in enumerate(static_priority)}
-    for i, k in enumerate(sorted(fingerprints)):
-        static_index.setdefault(k, len(static_priority) + i)
-
+) -> dict[str, int]:
+    """0 = must re-gate (forced / never-driver-green / last-seen-red /
+    code-or-oracle drifted since the last local green); otherwise the
+    round of the query's most recent driver green (older sorts first).
+    """
     last_green: dict[str, int] = {}
     has_oracle = _oracle_keys()
     for rnd in sorted(records):
@@ -186,7 +191,21 @@ def compute_order(
             return 0  # code/oracle drifted since last local green
         return last_green[k]
 
-    return sorted(fingerprints, key=lambda k: (tier(k), static_index[k]))
+    return {k: tier(k) for k in fingerprints}
+
+
+def compute_order(
+    fingerprints: dict[str, str],
+    verified: dict[str, dict],
+    records: dict[int, dict],
+    force_gate: set[str],
+    static_priority: list[str],
+) -> list[str]:
+    static_index = {k: i for i, k in enumerate(static_priority)}
+    for i, k in enumerate(sorted(fingerprints)):
+        static_index.setdefault(k, len(static_priority) + i)
+    tiers = compute_tiers(fingerprints, verified, records, force_gate)
+    return sorted(fingerprints, key=lambda k: (tiers[k], static_index[k]))
 
 
 def _oracle_keys() -> set[str]:

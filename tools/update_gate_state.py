@@ -31,12 +31,10 @@ def main() -> int:
     order = gate_state.compute_order(
         fps, state.get("verified", {}), records, _FORCE_GATE, _PRIORITY
     )
-    n_forced = sum(
-        1
-        for k in order
-        if k in _FORCE_GATE
-        or state.get("verified", {}).get(k, {}).get("fingerprint") != fps[k]
+    tiers = gate_state.compute_tiers(
+        fps, state.get("verified", {}), records, _FORCE_GATE
     )
+    n_forced = sum(1 for t in tiers.values() if t == 0)
     state["order"] = order
     state["last_driver_round"] = max(records, default=0)
     gate_state.save_state(state)
