@@ -586,6 +586,52 @@ GROUP BY 1
 """
 
 
+_EDGES_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed co-order part graph: parts sharing an order are
+    neighbours (both directions present by construction). One self-join
+    of lineitem on l_orderkey; per-order fan-out bounded by order size.
+    Materialized once (eager localCheckpoint) because the iterative
+    consumers (BFS hops, PageRank rounds) re-read it every round —
+    without this each round re-runs the self-join + distinct (measured
+    9.4s -> ~3s at sf0.1 for q97) — and memoized per (application,
+    dataset) because q97 and q104 share the same deterministic edge
+    list (applicationId key, same invalidation reasoning as
+    clustering._CENTERS_MEMO)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EDGES_MEMO:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        a = li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+        )
+        b = li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+        )
+        _EDGES_MEMO[key] = (
+            a.join(b, "ok")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return _EDGES_MEMO[key]
+
+
+# Shared oracle CTE: the same co-order edge list in DuckDB.
+_EDGES_CTE = """
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+)
+"""
+
+
 def q97_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shortest hop-distance (<= 3) from the minimum part over the
     co-order graph (parts sharing an order are neighbours) — iterative
@@ -601,25 +647,7 @@ def q97_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side min())."""
     from ..operators.graph import bfs_distances
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
-    )
-    # Materialize the edge list once — every BFS hop re-reads it, and
-    # without this each hop would re-run the self-join + distinct
-    # (measured 9.4s -> ~3s at sf0.1).
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _co_order_edges(spark, sf_dir)
     seeds = (
         load_table(spark, sf_dir, "part")
         .agg(F.min("p_partkey").alias("node"))
@@ -649,6 +677,57 @@ FROM bfs GROUP BY 1
 """
 
 
+def q104_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (3 synchronous iterations, damping 0.85)
+    over the co-order part graph — ``operators/graph.py::
+    pagerank_fixed_point``. All-integer arithmetic (ranks in micros,
+    FLOOR divisions) so the iterative float-summation drift that makes
+    textbook PageRank unverifiable across engines cannot occur: DuckDB
+    replays the exact same three unrolled iterations and every rank
+    hash-matches.
+
+    Scale shape: per iteration one rank|x|edges join (hash shuffle on
+    src) + one groupBy-sum on dst, lineage cut per round — the Pregel
+    cost model, nothing quadratic."""
+    from ..operators.graph import pagerank_fixed_point
+
+    edges = _co_order_edges(spark, sf_dir)
+    return pagerank_fixed_point(edges, n_iters=3)
+
+
+def _pagerank_oracle() -> str:
+    # unrolled synchronous iterations: r_{i+1} from r_i; identical
+    # integer arithmetic to the Spark operator (FLOOR divisions)
+    iters = []
+    prev = "r0"
+    for i in range(1, 4):
+        iters.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node,
+         CAST(SUM(FLOOR(r.rank_micros / d.out_deg)) AS BIGINT) AS in_sum
+  FROM {prev} r
+  JOIN deg d ON d.node = r.node
+  JOIN edges e ON e.src = r.node
+  GROUP BY 1
+),
+r{i} AS (
+  SELECT n.node,
+         CAST(150000 + FLOOR(85 * COALESCE(c.in_sum, 0) / 100) AS BIGINT)
+           AS rank_micros
+  FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH {_EDGES_CTE.strip().rstrip()},
+deg AS (SELECT src AS node, COUNT(*) AS out_deg FROM edges GROUP BY 1),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micros FROM nodes),
+{",".join(iters)}
+SELECT node, rank_micros FROM r3
+"""
+
+
 OLAP_QUERIES = {
     "q79_grouping_sets": q79_grouping_sets,
     "q80_blocked_fuzzy_match": q80_blocked_fuzzy_match,
@@ -665,6 +744,7 @@ OLAP_QUERIES = {
     "q72_cube_priority_status": q72_cube_priority_status,
     "q58_promo_revenue_share": q58_promo_revenue_share,
     "q97_bfs_reachability": q97_bfs_reachability,
+    "q104_pagerank": q104_pagerank,
 }
 
 OLAP_ORACLES = {
@@ -683,4 +763,5 @@ OLAP_ORACLES = {
     "q72_cube_priority_status": Q72_ORACLE,
     "q58_promo_revenue_share": Q58_ORACLE,
     "q97_bfs_reachability": Q97_ORACLE,
+    "q104_pagerank": _pagerank_oracle(),
 }

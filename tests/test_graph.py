@@ -144,3 +144,35 @@ def test_bfs_distances_multi_source_and_exhaustion(spark):
         for r in bfs_distances(edges, seeds, max_hops=10).collect()
     }
     assert got == {1: 0, 3: 0, 2: 1}
+
+
+def test_pagerank_fixed_point_hand_computed(spark):
+    from data_integration_openfoodfacts_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    # 1 -> 2 only: node 1 has no in-edges (rank settles at the base
+    # 150000), node 2 receives 1's full rank then 1's settled rank.
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {
+        r["node"]: r["rank_micros"]
+        for r in pagerank_fixed_point(edges, n_iters=3).collect()
+    }
+    # iter1: r(1)=150000, r(2)=150000+floor(85*1000000/100)=1000000
+    # iter2: r(2)=150000+floor(85*150000/100)=277500  (node 1 settled)
+    # iter3: unchanged
+    assert got == {1: 150000, 2: 277500}
+
+
+def test_pagerank_symmetric_cycle_is_stationary(spark):
+    from data_integration_openfoodfacts_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {
+        r["node"]: r["rank_micros"]
+        for r in pagerank_fixed_point(edges, n_iters=3).collect()
+    }
+    # the uniform start is the fixed point of a symmetric 2-cycle
+    assert got == {1: 1_000_000, 2: 1_000_000}
