@@ -141,3 +141,52 @@ def weighted_sample_topk(
         .orderBy(F.desc("sample_key"), F.col(id_col))
         .limit(k)
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    targets: dict[str, float],
+    budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """Data-mixture balancing: deterministically subsample each group to
+    its target share of an overall ``budget`` — the operator that turns
+    a raw crawl into a training mixture ("50% web, 30% books, 20%
+    code"). Per group the Bernoulli rate is
+    ``min(1, target * budget / group_count)`` (a group smaller than its
+    allocation is kept whole — under-representation is surfaced by the
+    output counts, not silently rebalanced), and membership is the
+    md5-bucket draw of ``deterministic_sample``: re-run-stable,
+    layout-independent, engine-reproducible. Groups absent from
+    ``targets`` are dropped.
+
+    Scale: one tiny groupBy-count (broadcast back), then a narrow
+    per-row filter — no extra shuffle of the data itself. Expected
+    sample size per group is rate*count ~ target*budget; exact-count
+    quotas need ``stratified_sample_exact`` instead.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(g, float(t)) for g, t in sorted(targets.items())],
+        f"{group_col} string, __target double",
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    rates = counts.join(tgt, group_col).select(
+        group_col,
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.col("__target") * budget / F.col("__cnt"),
+            )
+            * RATE_DENOM
+        ).alias("__threshold"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(sample_bucket(id_col, salt) < F.col("__threshold"))
+        .drop("__threshold")
+    )

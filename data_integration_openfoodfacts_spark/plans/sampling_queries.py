@@ -381,6 +381,57 @@ LIMIT 50
 """
 
 
+def q105_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture balancing (operators/sampling.py::
+    mixture_sample): sources pool into three groups (numeric suffix
+    mod 3) with target shares 50/30/20 of a 200-doc budget; each pool
+    is deterministically Bernoulli-thinned to rate
+    min(1, target*budget/count). The "50% web, 30% books, 20% code"
+    curation step, fully reproducible (md5 draw + integer threshold)."""
+    from ..operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "pool",
+        F.concat(
+            F.lit("pool"),
+            (
+                F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int")
+                % 3
+            ).cast("string"),
+        ),
+    )
+    out = mixture_sample(
+        docs,
+        "pool",
+        "doc_id",
+        targets={"pool0": 0.5, "pool1": 0.3, "pool2": 0.2},
+        budget=200,
+    )
+    return out.select("doc_id", "source", "pool")
+
+
+Q105_ORACLE = f"""
+WITH pooled AS (
+  SELECT doc_id, source,
+         'pool' || CAST(CAST(regexp_extract(source, '([0-9]+)', 1)
+                             AS INTEGER) % 3 AS VARCHAR) AS pool
+  FROM documents
+),
+tgt(pool, target) AS (VALUES ('pool0', 0.5), ('pool1', 0.3), ('pool2', 0.2)),
+rates AS (
+  SELECT p.pool,
+         FLOOR(LEAST(1.0, CAST(t.target AS DOUBLE) * 200 / COUNT(*))
+               * 1000000) AS threshold
+  FROM pooled p JOIN tgt t ON t.pool = p.pool
+  GROUP BY p.pool, t.target
+)
+SELECT p.doc_id, p.source, p.pool
+FROM pooled p
+JOIN rates r ON r.pool = p.pool
+WHERE {_BUCKET.replace('doc_id', 'p.doc_id')} < r.threshold
+"""
+
+
 def q100_approx_distinct_bounds(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -436,6 +487,7 @@ SAMPLING_QUERIES = {
     "q71_training_shards": q71_training_shards,
     "q100_approx_distinct_bounds": q100_approx_distinct_bounds,
     "q101_weighted_sample": q101_weighted_sample,
+    "q105_mixture_sample": q105_mixture_sample,
 }
 
 SAMPLING_ORACLES = {
@@ -448,4 +500,5 @@ SAMPLING_ORACLES = {
     "q71_training_shards": _q71_oracle(),
     "q100_approx_distinct_bounds": Q100_ORACLE,
     "q101_weighted_sample": Q101_ORACLE,
+    "q105_mixture_sample": Q105_ORACLE,
 }

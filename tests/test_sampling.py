@@ -142,3 +142,45 @@ def test_weighted_sample_topk_excludes_invalid_weights(spark):
     ids = {r["id"] for r in weighted_sample_topk(df, "id", "w", k=10).collect()}
     # negative weight would otherwise get a POSITIVE key and always win
     assert ids == {1, 5}
+
+
+def test_mixture_sample_shares_and_edge_cases(spark):
+    from data_integration_openfoodfacts_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    rows = (
+        [(i, "web") for i in range(1000)]
+        + [(i + 1000, "books") for i in range(100)]
+        + [(i + 2000, "tiny") for i in range(5)]
+        + [(i + 3000, "untargeted") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = mixture_sample(
+        df, "grp", "id",
+        targets={"web": 0.5, "books": 0.2, "tiny": 0.3},
+        budget=200,
+    ).groupBy("grp").count()
+    counts = {r["grp"]: r["count"] for r in out.collect()}
+    # web: rate 100/1000=0.1 -> ~100 of 1000 (binomial, wide margin)
+    assert 60 <= counts["web"] <= 140
+    # books: rate min(1, 40/100)=0.4 -> ~40
+    assert 20 <= counts["books"] <= 60
+    # tiny: allocation 60 > size 5 -> kept whole, never upsampled
+    assert counts["tiny"] == 5
+    # untargeted group dropped entirely
+    assert "untargeted" not in counts
+    # determinism across layout
+    again = mixture_sample(
+        df.repartition(13), "grp", "id",
+        targets={"web": 0.5, "books": 0.2, "tiny": 0.3},
+        budget=200,
+    )
+    assert {r["id"] for r in again.collect()} == {
+        r["id"]
+        for r in mixture_sample(
+            df, "grp", "id",
+            targets={"web": 0.5, "books": 0.2, "tiny": 0.3},
+            budget=200,
+        ).collect()
+    }
