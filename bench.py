@@ -96,10 +96,20 @@ def main() -> None:
     for qi, (name, fn) in enumerate(QUERIES.items()):
         best = float("inf")
         try:
+            runs = []
             for _ in range(2):
                 t0 = time.time()
                 run_query(fn(spark, sf_dir))
-                best = min(best, time.time() - t0)
+                runs.append(time.time() - t0)
+            # Virtualized-host stalls hit random queries for seconds at
+            # a time; when the two runs disagree badly, one of them ate
+            # a stall — a third run breaks the tie so the recorded min
+            # reflects the query, not the neighbor's noisy timeslice.
+            if max(runs) > 1.5 * min(runs) + 0.2:
+                t0 = time.time()
+                run_query(fn(spark, sf_dir))
+                runs.append(time.time() - t0)
+            best = min(runs)
         except Exception as exc:  # noqa: BLE001 — one failing query
             # (e.g. q26's cartesian guard at a larger sf) must not
             # abort the suite and lose the round's bench record

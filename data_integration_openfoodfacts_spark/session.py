@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Smaller Arrow batches: the pair-join pandas UDFs carry two
+        # 64-float arrays per row, and 10k-row default batches x 32
+        # threads produce ~200MB allocation bursts whose GC stalls
+        # showed up as 2-5x run-to-run variance on q26/q43 in-suite.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # 128 MiB split targets: big enough to amortize task overhead,
         # small enough that a task's working set stays in executor
