@@ -368,17 +368,30 @@ def q102_approx_percentile_bounds(
     fixed-size mergeable sketch, map-side combined — THE quantile
     operator at 100 TB. The exact columns exist to power the oracle."""
     li = load_table(spark, sf_dir, "lineitem")
-    g = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
-        F.percentile("l_extendedprice", 0.48).alias("p48_exact"),
-        F.percentile("l_extendedprice", 0.52).alias("p52_exact"),
-        F.percentile("l_extendedprice", 0.88).alias("p88_exact"),
-        F.percentile("l_extendedprice", 0.92).alias("p92_exact"),
-        F.expr(
-            "approx_percentile(l_extendedprice, 0.5, 10000)"
-        ).alias("p50_approx"),
-        F.expr(
-            "approx_percentile(l_extendedprice, 0.9, 10000)"
-        ).alias("p90_approx"),
+    # array-argument percentile: ONE sort per group serves all four
+    # exact quantiles, one t-digest serves both approx ones (vs a
+    # buffer per scalar call — 4.4s -> ~2s at sf0.1)
+    g = (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, "
+                "array(0.48D, 0.52D, 0.88D, 0.92D))"
+            ).alias("pe"),
+            F.expr(
+                "approx_percentile(l_extendedprice, "
+                "array(0.5D, 0.9D), 10000)"
+            ).alias("pa"),
+        )
+        .select(
+            "returnflag",
+            F.col("pe")[0].alias("p48_exact"),
+            F.col("pe")[1].alias("p52_exact"),
+            F.col("pe")[2].alias("p88_exact"),
+            F.col("pe")[3].alias("p92_exact"),
+            F.col("pa")[0].alias("p50_approx"),
+            F.col("pa")[1].alias("p90_approx"),
+        )
     )
     viol = (
         (F.col("p50_approx") < F.col("p48_exact"))

@@ -1291,6 +1291,57 @@ LIMIT 20
 """
 
 
+def q106_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    information-density quality signal (near-zero entropy = boilerplate
+    / repetition; complements q61's ratio signals).
+
+    Determinism: the sum runs over the LEXICOGRAPHICALLY SORTED
+    distinct tokens via a left fold (Spark ``aggregate`` == DuckDB
+    ``list_reduce`` with a prepended 0.0), so the float accumulation
+    order is identical in both engines; each term is
+    -(c/n) * ln(c/n) on identical doubles. Pure per-row HOF
+    expressions, zero shuffle — scan-bound at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(t)
+    terms = F.array_sort(F.array_distinct(t))
+    per_term = F.transform(
+        terms,
+        lambda w: (
+            F.size(F.filter(t, lambda x: x == w)).cast("double") / n
+        ),
+    )
+    entropy = F.aggregate(
+        per_term,
+        F.lit(0.0),
+        lambda acc, p: acc - p * F.log(p),
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        entropy.alias("entropy"),
+    )
+
+
+Q106_ORACLE = """
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       list_reduce(
+         list_prepend(
+           CAST(0.0 AS DOUBLE),
+           list_transform(
+             list_sort(list_distinct(t)),
+             w -> CAST(len(list_filter(t, x -> x = w)) AS DOUBLE) / len(t)
+           )
+         ),
+         (acc, p) -> acc - p * LN(p)
+       ) AS entropy
+FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents)
+"""
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -1319,6 +1370,7 @@ LLM_QUERIES = {
     "q88_kmeans_invariants": q88_kmeans_invariants,
     "q95_tfidf_top_terms": q95_tfidf_top_terms,
     "q96_bm25_search": q96_bm25_search,
+    "q106_token_entropy": q106_token_entropy,
 }
 
 LLM_ORACLES = {
@@ -1348,4 +1400,5 @@ LLM_ORACLES = {
     "q88_kmeans_invariants": Q88_ORACLE,
     "q95_tfidf_top_terms": Q95_ORACLE,
     "q96_bm25_search": Q96_ORACLE,
+    "q106_token_entropy": Q106_ORACLE,
 }

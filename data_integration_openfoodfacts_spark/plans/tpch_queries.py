@@ -571,6 +571,82 @@ WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
 """
 
 
+def q107_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag linear revenue trend (least-squares slope +
+    intercept over weekly revenue) — grouped regression, the
+    trend-detection shape BI dashboards run.
+
+    NOT regr_slope(): both engines implement it as streaming covariance
+    updates whose float accumulation order differs. Instead the five
+    sufficient statistics (n, Sx, Sy, Sxy, Sxx) are decimal-exact sums
+    over the weekly points, and slope/intercept are computed from them
+    in one fixed expression tree — bit-identical across engines.
+
+    Scale: two hash aggregations (weekly rollup, per-group stats) that
+    share the returnflag key; the regression math is on k rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wk = F.floor(
+        F.datediff(F.to_date("l_shipdate"), F.to_date(F.lit("1995-01-02")))
+        / 7
+    ).cast("long")
+    weekly = (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"), wk.alias("wk"))
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    stats = weekly.groupBy("returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("wk").cast("double").alias("sx"),
+        F.sum(F.col("wk") * F.col("wk")).cast("double").alias("sxx"),
+        F.sum(_dec("rev")).cast("double").alias("sy"),
+        F.sum(_dec(F.col("wk") * F.col("rev"))).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return stats.select(
+        "returnflag",
+        F.col("n").cast("long").alias("n_weeks"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+            "intercept"
+        ),
+    )
+
+
+Q107_ORACLE = """
+WITH weekly AS (
+  SELECT l_returnflag AS returnflag,
+         CAST(FLOOR(date_diff('day', DATE '1995-01-02',
+                              CAST(l_shipdate AS DATE)) / 7.0)
+              AS BIGINT) AS wk,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS rev
+  FROM lineitem
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(wk) AS BIGINT) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(wk * wk) AS BIGINT) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(wk * rev AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+  FROM weekly
+  GROUP BY 1
+)
+SELECT returnflag,
+       CAST(n AS BIGINT) AS n_weeks,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+         AS intercept
+FROM stats
+"""
+
+
 TPCH_QUERIES = {
     "q32_pricing_summary": q32_pricing_summary,
     "q33_shipping_priority": q33_shipping_priority,
@@ -583,6 +659,7 @@ TPCH_QUERIES = {
     "q98_volume_shipping": q98_volume_shipping,
     "q99_returned_items": q99_returned_items,
     "q103_top_supplier": q103_top_supplier,
+    "q107_revenue_trend": q107_revenue_trend,
 }
 
 TPCH_ORACLES = {
@@ -597,4 +674,5 @@ TPCH_ORACLES = {
     "q98_volume_shipping": Q98_ORACLE,
     "q99_returned_items": Q99_ORACLE,
     "q103_top_supplier": Q103_ORACLE,
+    "q107_revenue_trend": Q107_ORACLE,
 }
