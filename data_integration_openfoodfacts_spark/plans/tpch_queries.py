@@ -647,6 +647,642 @@ FROM stats
 """
 
 
+def q108_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted (testdata has no partsupp table): the supply
+    relation is derived from lineitem — the supply cost of a
+    (part, supplier) pair is the minimum unit price
+    (l_extendedprice / l_quantity) that supplier ever charged for the
+    part. For LARGE parts up to size 10, return the EUROPE suppliers
+    charging each part's region-wide minimum, top-100 by account
+    balance (unique (s_name, p_partkey) tiebreak).
+
+    Determinism: unit price is one per-row IEEE division (identical in
+    both engines); MIN over identical double sets is order-independent;
+    the min-cost equality join compares those exact doubles.
+
+    Scale: part (filtered) / supplier / nation / region all broadcast;
+    the only big shuffle is the (partkey, suppkey) supply aggregation.
+    The per-part minimum joins back as a broadcast (|filtered parts|
+    rows), avoiding a second lineitem-sized shuffle."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey")
+    )
+    supply = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "supply_cost"
+            )
+        )
+    )
+    min_cost = supply.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        supply.join(
+            F.broadcast(min_cost),
+            (F.col("p_partkey") == F.col("mc_partkey"))
+            & (F.col("supply_cost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q108_ORACLE = """
+WITH supply AS (
+  SELECT l.l_partkey AS p_partkey,
+         s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
+         MIN(l.l_extendedprice / l.l_quantity) AS supply_cost
+  FROM lineitem l
+  JOIN part p     ON l.l_partkey = p.p_partkey
+                 AND p.p_size <= 10 AND p.p_type = 'LARGE'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+                 AND r.r_name = 'EUROPE'
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, supply_cost
+FROM supply e
+WHERE supply_cost = (SELECT MIN(supply_cost) FROM supply m
+                     WHERE m.p_partkey = e.p_partkey)
+ORDER BY s_acctbal DESC, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q109_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_3's market share of ECONOMY-part revenue sold
+    to AMERICA customers, per order year 1995-1998.
+
+    Determinism: numerator and denominator are decimal-exact sums cast
+    to double, divided in one IEEE step — identical in both engines.
+
+    Scale: part/customer/supplier/nation all broadcast after their
+    filters; lineitem<->orders is the one big (orderkey) shuffle, then
+    a tiny per-year aggregation."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("sn_nationkey"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", _dec(vol)).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            )
+            .cast("double")
+            .alias("nation_vol"),
+            F.sum(_dec(vol)).cast("double").alias("total_vol"),
+        )
+        .select(
+            "o_year",
+            (F.col("nation_vol") / F.col("total_vol")).alias("mkt_share"),
+        )
+    )
+
+
+Q109_ORACLE = """
+SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                     THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN region r   ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+GROUP BY 1
+"""
+
+
+def q110_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (no partsupp.ps_supplycost): supply cost is
+    proxied as 10% of p_retailprice per unit. Profit on red parts by
+    (supplier nation, order year).
+
+    Determinism: the per-row amount is ONE double expression with
+    identical association in both engines, decimal-cast before the sum.
+
+    Scale: part filter + supplier/nation broadcast; lineitem<->orders
+    is the big (orderkey) shuffle; agg output is |nations|x|years|."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", F.col("n_name").alias("nation")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.1)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(_dec(amount)).cast("double").alias("sum_profit"))
+    )
+
+
+Q110_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - p.p_retailprice * l.l_quantity * 0.1
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""
+
+
+def q111_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp): a part's "stock value" is the
+    discounted revenue shipped by EUROPE suppliers; return parts whose
+    value exceeds 0.01% of the total (the scalar-subquery HAVING).
+
+    Determinism: values are decimal-exact; the threshold compare runs
+    as the SAME IEEE expression (value_double > total_double * 1e-4) on
+    identical inputs in both engines, so the cut is engine-identical.
+
+    Scale: the global total is a 1-row broadcast (cross join), never a
+    driver collect; one (partkey) agg shuffle."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    vals = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("value_dec")
+        )
+    )
+    total = vals.agg(
+        F.sum("value_dec").cast("double").alias("total_value")
+    )
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.col("total_value") * F.lit(0.0001)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_dec").cast("double").alias("stock_value"),
+        )
+    )
+
+
+Q111_ORACLE = """
+WITH vals AS (
+  SELECT l.l_partkey AS p_partkey,
+         SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(18,6))) AS value_dec
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+  GROUP BY 1
+)
+SELECT p_partkey, CAST(value_dec AS DOUBLE) AS stock_value
+FROM vals
+WHERE CAST(value_dec AS DOUBLE) >
+      (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM vals) * 0.0001
+"""
+
+
+def q112_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (no l_shipmode column): lines are banded by
+    shipping delay (SLOW = shipped >60 days after order) and 1997
+    shipments counted by order-priority class per band.
+
+    Scale: lineitem<->orders is a large-large (orderkey) equi join —
+    at cluster scale both sides co-partition on the join key (or read
+    from orderkey-bucketed tables); the band agg output is 2 rows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    delay_band = F.when(
+        F.to_date("l_shipdate")
+        > F.date_add(F.to_date("o_orderdate"), 60),
+        F.lit("SLOW"),
+    ).otherwise(F.lit("FAST"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(delay_band.alias("delay_band"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q112_ORACLE = """
+SELECT CASE WHEN CAST(l.l_shipdate AS DATE)
+                 > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+            THEN 'SLOW' ELSE 'FAST' END AS delay_band,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q113_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted: distinct suppliers per (brand, type, size)
+    for selected sizes, excluding Brand#1 / PROMO parts and suppliers
+    with negative balance (the "complaints" NOT-IN, planned as an
+    anti join). Supply facts come from lineitem (no partsupp).
+
+    Scale: part broadcast after its selective filter; the excluded
+    suppliers are a tiny broadcast anti join; COUNT(DISTINCT) is the
+    one two-phase shuffle."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    complained = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(complained),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q113_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q114_discounted_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue from three OR'd (brand, quantity-band,
+    size-band) predicates — the disjunctive-pushdown stress query.
+
+    Scale: one broadcast hash join with the disjunction evaluated
+    post-join; part's residual (brand/size) predicate prunes the
+    broadcast side. Single-row decimal-exact output."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & q.between(1, 11)
+            & sz.between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & q.between(10, 20)
+            & sz.between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & q.between(20, 30)
+            & sz.between(1, 15)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("nb_lines"),
+        )
+    )
+
+
+Q114_ORACLE = """
+SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS nb_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11
+       AND p.p_size BETWEEN 1 AND 5)
+   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20
+       AND p.p_size BETWEEN 1 AND 10)
+   OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30
+       AND p.p_size BETWEEN 1 AND 15)
+"""
+
+
+def q115_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (availqty proxied by shipped quantity): the
+    NATION_5 suppliers who shipped more than 10% of some small-named
+    part's total shipped quantity — the nested-semijoin chain.
+
+    Determinism: quantities are integral doubles; sums are decimal-
+    exact; the 10% compare is the same IEEE expression per engine.
+
+    Scale: filtered part broadcast; per-(part, supplier) agg is the
+    one shuffle; per-part totals broadcast back; final supplier join
+    broadcast."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("supp_qty"))
+    )
+    tot = ps.groupBy(F.col("p_partkey").alias("t_partkey")).agg(
+        F.sum("supp_qty").cast("double").alias("part_qty")
+    )
+    qualifying = (
+        ps.join(F.broadcast(tot), F.col("p_partkey") == F.col("t_partkey"))
+        .filter(
+            F.col("supp_qty").cast("double")
+            > F.col("part_qty") * F.lit(0.1)
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_5"
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    return (
+        supp.join(
+            qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q115_ORACLE = """
+WITH ps AS (
+  SELECT l.l_partkey AS p_partkey, l.l_suppkey,
+         SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS supp_qty
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'small%'
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT p_partkey, CAST(SUM(supp_qty) AS DOUBLE) AS part_qty
+  FROM ps GROUP BY 1
+)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_5'
+WHERE s.s_suppkey IN (
+  SELECT ps.l_suppkey
+  FROM ps JOIN tot ON ps.p_partkey = tot.p_partkey
+  WHERE CAST(ps.supp_qty AS DOUBLE) > tot.part_qty * 0.1
+)
+ORDER BY s.s_name
+"""
+
+
+def q116_suppliers_who_kept_waiting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q21 adapted (lateness = shipped >45 days after order
+    date; testdata has no commit/receipt dates): for finalized ('F')
+    multi-supplier orders where EXACTLY ONE supplier shipped late,
+    count such orders per late supplier — the EXISTS / NOT-EXISTS
+    correlated pair, planned as one per-order aggregation plus a
+    self-join instead of two correlated scans.
+
+    Scale: lineitem<->orders (orderkey) is the big shuffle; the
+    per-order supplier/late-supplier distinct counts reuse the same
+    key; supplier is broadcast at the end. Top-20 has the unique
+    s_name tiebreak."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "late",
+            F.to_date("l_shipdate")
+            > F.date_add(F.to_date("o_orderdate"), 45),
+        )
+    )
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    waiting = (
+        li.filter(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+            ),
+            F.col("l_orderkey") == F.col("po_orderkey"),
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+Q116_ORACLE = """
+WITH li AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CAST(l.l_shipdate AS DATE)
+           > CAST(o.o_orderdate AS DATE) + INTERVAL 45 DAY AS late
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+               AND o.o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+  FROM li GROUP BY 1
+),
+waiting AS (
+  SELECT DISTINCT li.l_orderkey, li.l_suppkey
+  FROM li
+  JOIN per_order p ON li.l_orderkey = p.l_orderkey
+  WHERE li.late AND p.n_supp >= 2 AND p.n_late_supp = 1
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM waiting w
+JOIN supplier s ON w.l_suppkey = s.s_suppkey
+GROUP BY 1
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
 TPCH_QUERIES = {
     "q32_pricing_summary": q32_pricing_summary,
     "q33_shipping_priority": q33_shipping_priority,
@@ -660,6 +1296,15 @@ TPCH_QUERIES = {
     "q99_returned_items": q99_returned_items,
     "q103_top_supplier": q103_top_supplier,
     "q107_revenue_trend": q107_revenue_trend,
+    "q108_min_cost_supplier": q108_min_cost_supplier,
+    "q109_national_market_share": q109_national_market_share,
+    "q110_product_type_profit": q110_product_type_profit,
+    "q111_important_stock": q111_important_stock,
+    "q112_shipmode_priority": q112_shipmode_priority,
+    "q113_parts_supplier_counts": q113_parts_supplier_counts,
+    "q114_discounted_band_revenue": q114_discounted_band_revenue,
+    "q115_part_promotion_suppliers": q115_part_promotion_suppliers,
+    "q116_suppliers_kept_waiting": q116_suppliers_who_kept_waiting,
 }
 
 TPCH_ORACLES = {
@@ -675,4 +1320,13 @@ TPCH_ORACLES = {
     "q99_returned_items": Q99_ORACLE,
     "q103_top_supplier": Q103_ORACLE,
     "q107_revenue_trend": Q107_ORACLE,
+    "q108_min_cost_supplier": Q108_ORACLE,
+    "q109_national_market_share": Q109_ORACLE,
+    "q110_product_type_profit": Q110_ORACLE,
+    "q111_important_stock": Q111_ORACLE,
+    "q112_shipmode_priority": Q112_ORACLE,
+    "q113_parts_supplier_counts": Q113_ORACLE,
+    "q114_discounted_band_revenue": Q114_ORACLE,
+    "q115_part_promotion_suppliers": Q115_ORACLE,
+    "q116_suppliers_kept_waiting": Q116_ORACLE,
 }
