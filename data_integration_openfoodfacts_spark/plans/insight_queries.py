@@ -1,0 +1,291 @@
+"""Exploratory / insight analytics: skyline (Pareto frontier),
+single-pass data profiling, grouped z-score outliers, cohort
+retention.
+
+These extend the engine past the reference's fixed report queries
+(`requetes_analytiques.sql`) toward the ad-hoc analyst surface a
+warehouse engine is expected to serve — each shape chosen because a
+naive implementation is quadratic or multi-scan and the Spark plan here
+is not.
+
+Determinism: doubles are only compared/derived through expressions with
+identical association in Spark and DuckDB; sums are decimal-exact;
+counts are BIGINT-cast in the oracles (DuckDB HUGEINT pitfall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet_source import load_events, load_table
+
+
+def _dec(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,6)")
+
+
+def q117_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier of parts: minimize p_retailprice,
+    maximize p_size. A part is dominated if another part is no more
+    expensive AND no smaller, with at least one strict.
+
+    The textbook formulation is a quadratic NOT-EXISTS self-join (the
+    oracle could run it, but at 2e4 parts that is 4e8 comparisons — at
+    warehouse scale it's dead). This plan is the O(n log n) sweep
+    re-expressed relationally:
+
+      1. hash-agg parts to one row per distinct price with the group's
+         max size (n -> |distinct prices|, a huge reduction);
+      2. running max of size over strictly-cheaper price groups (one
+         window over the SMALL group table — single-partition sort is
+         deliberate and cheap at that cardinality);
+      3. broadcast-join the per-price cummax back and keep parts whose
+         size (a) equals their price group's max (no same-price
+         dominator) and (b) exceeds every cheaper group's max (no
+         cheaper dominator).
+
+    Output is the full frontier with unique p_partkey rows."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    grp = part.groupBy(F.col("p_retailprice").alias("g_price")).agg(
+        F.max("p_size").alias("g_max_size")
+    )
+    w = Window.orderBy("g_price").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sweep = grp.select(
+        "g_price",
+        "g_max_size",
+        F.max("g_max_size").over(w).alias("cheaper_max_size"),
+    )
+    return (
+        part.join(
+            F.broadcast(sweep), F.col("p_retailprice") == F.col("g_price")
+        )
+        .filter(
+            (F.col("p_size") == F.col("g_max_size"))
+            & (
+                F.col("cheaper_max_size").isNull()
+                | (F.col("p_size") > F.col("cheaper_max_size"))
+            )
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+Q117_ORACLE = """
+WITH grp AS (
+  SELECT p_retailprice AS g_price, MAX(p_size) AS g_max_size
+  FROM part GROUP BY 1
+),
+sweep AS (
+  SELECT g_price, g_max_size,
+         MAX(g_max_size) OVER (ORDER BY g_price
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS cheaper_max_size
+  FROM grp
+)
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+JOIN sweep s ON p.p_retailprice = s.g_price
+WHERE p.p_size = s.g_max_size
+  AND (s.cheaper_max_size IS NULL OR p.p_size > s.cheaper_max_size)
+"""
+
+
+#: Columns profiled by q118, with their kind ('num' or 'str').
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+]
+
+
+def q118_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data profiling of the orders table (the
+    Deequ/dbt-profiler shape): per column — null count, approx-free
+    distinct count, and min/max (numeric and string tracked in typed
+    columns so no cross-engine string formatting of doubles).
+
+    Scale: ONE wide aggregate computes every per-column metric except
+    distinct counts in a single scan; the distinct counts are
+    count_distinct in the same agg (Spark expands multi-distinct via
+    `expand`, still one pass over the scan). Row output is tiny
+    (|columns|), produced by a stack() unpivot of the 1-row agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for col, kind in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{col}__nulls")
+        )
+        aggs.append(F.countDistinct(col).alias(f"{col}__distinct"))
+        if kind == "num":
+            aggs.append(
+                F.min(F.col(col).cast("double")).alias(f"{col}__min_num")
+            )
+            aggs.append(
+                F.max(F.col(col).cast("double")).alias(f"{col}__max_num")
+            )
+        else:
+            aggs.append(F.min(F.col(col)).alias(f"{col}__min_str"))
+            aggs.append(F.max(F.col(col)).alias(f"{col}__max_str"))
+    one = orders.agg(*aggs)
+    stack_args = []
+    for col, kind in _PROFILE_COLS:
+        mn_num = f"`{col}__min_num`" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mx_num = f"`{col}__max_num`" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mn_str = f"`{col}__min_str`" if kind == "str" else "CAST(NULL AS STRING)"
+        mx_str = f"`{col}__max_str`" if kind == "str" else "CAST(NULL AS STRING)"
+        stack_args.append(
+            f"'{col}', `{col}__nulls`, `{col}__distinct`, "
+            f"{mn_num}, {mx_num}, {mn_str}, {mx_str}"
+        )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) AS "
+            "(column, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
+        )
+    )
+
+
+Q118_ORACLE = "\nUNION ALL\n".join(
+    (
+        f"SELECT '{col}' AS \"column\", "
+        f"CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_nulls, "
+        f"CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct, "
+        + (
+            f"CAST(MIN({col}) AS DOUBLE) AS min_num, "
+            f"CAST(MAX({col}) AS DOUBLE) AS max_num, "
+            "CAST(NULL AS VARCHAR) AS min_str, "
+            "CAST(NULL AS VARCHAR) AS max_str"
+            if kind == "num"
+            else "CAST(NULL AS DOUBLE) AS min_num, "
+            "CAST(NULL AS DOUBLE) AS max_num, "
+            f"MIN({col}) AS min_str, MAX({col}) AS max_str"
+        )
+        + " FROM orders"
+    )
+    for col, kind in _PROFILE_COLS
+)
+
+
+def q119_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped z-score outlier detection over events: per event_type,
+    flag events whose value sits more than 3 standard deviations from
+    the type mean.
+
+    NOT stddev()/avg() built-ins: their float accumulation order is
+    engine- and partition-dependent. The sufficient statistics
+    (n, sum, sum-of-squares) are decimal-exact sums; mean/std/z are then
+    ONE fixed IEEE expression tree evaluated identically by both
+    engines on identical inputs.
+
+    Scale: one hash agg (tiny output: |event types|), broadcast join
+    back, narrow filter. Single scan of events."""
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    stats = ev.groupBy(F.col("event_type").alias("g_type")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(_dec("value")).cast("double").alias("s"),
+        F.sum(_dec(F.col("value") * F.col("value")))
+        .cast("double")
+        .alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("ss") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        ev.join(F.broadcast(stats), F.col("event_type") == F.col("g_type"))
+        .filter(F.abs(z) > 3.0)
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+    )
+
+
+Q119_ORACLE = """
+WITH stats AS (
+  SELECT event_type AS g_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS ss
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - s / n) / SQRT(ss / n - (s / n) * (s / n)) AS zscore
+FROM events e
+JOIN stats ON e.event_type = stats.g_type
+WHERE e.value IS NOT NULL
+  AND ABS((e.value - s / n) / SQRT(ss / n - (s / n) * (s / n))) > 3.0
+"""
+
+
+def q120_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over events: users are cohorted by the
+    DAY of their first event; for each (cohort day, day offset) count
+    the distinct users active that many days later — the standard
+    product-analytics retention triangle (daily because the testdata
+    event stream spans ~one month).
+
+    Day index is integer days-since-epoch — pure integer calendar
+    arithmetic, engine-identical; never float date math.
+
+    Scale: first-event day is one (user_id) hash agg; the activity
+    join is user_id-keyed (co-partitions with the agg); the final
+    count-distinct agg is keyed by the small (cohort, offset) pair but
+    counts users exactly."""
+    ev = load_events(spark, sf_dir).select("user_id", "ts")
+    didx = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    acts = ev.select("user_id", didx.alias("act_didx")).distinct()
+    cohort = acts.groupBy("user_id").agg(
+        F.min("act_didx").alias("cohort_didx")
+    )
+    return (
+        acts.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_didx").alias("cohort_day_idx"),
+            (F.col("act_didx") - F.col("cohort_didx")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+Q120_ORACLE = """
+WITH acts AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS INT) AS act_didx
+  FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(act_didx) AS cohort_didx FROM acts GROUP BY 1
+)
+SELECT c.cohort_didx AS cohort_day_idx,
+       a.act_didx - c.cohort_didx AS day_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM acts a
+JOIN cohort c ON a.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+INSIGHT_QUERIES = {
+    "q117_part_skyline": q117_part_skyline,
+    "q118_orders_profile": q118_orders_profile,
+    "q119_event_value_outliers": q119_event_value_outliers,
+    "q120_cohort_retention": q120_cohort_retention,
+}
+
+INSIGHT_ORACLES = {
+    "q117_part_skyline": Q117_ORACLE,
+    "q118_orders_profile": Q118_ORACLE,
+    "q119_event_value_outliers": Q119_ORACLE,
+    "q120_cohort_retention": Q120_ORACLE,
+}

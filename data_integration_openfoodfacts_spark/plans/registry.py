@@ -15,6 +15,7 @@ from __future__ import annotations
 from .analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES
 from .etl_queries import ETL_ORACLES, ETL_QUERIES
 from .gold_oracle_queries import GOLD_ORACLE_ORACLES, GOLD_ORACLE_QUERIES
+from .insight_queries import INSIGHT_ORACLES, INSIGHT_QUERIES
 from .llm_queries import LLM_ORACLES, LLM_QUERIES
 from .multimodal_queries import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
 from .olap_queries import OLAP_ORACLES, OLAP_QUERIES
@@ -34,6 +35,7 @@ _ALL_QUERIES = {
     **OLAP_QUERIES,
     **SAMPLING_QUERIES,
     **GOLD_ORACLE_QUERIES,
+    **INSIGHT_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -46,6 +48,7 @@ _ALL_ORACLES = {
     **OLAP_ORACLES,
     **SAMPLING_ORACLES,
     **GOLD_ORACLE_ORACLES,
+    **INSIGHT_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry

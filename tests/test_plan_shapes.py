@@ -199,3 +199,34 @@ def test_partitioned_fact_gets_dynamic_partition_pruning(spark, tmp_path):
     )
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_q117_skyline_sweep_broadcasts_back(spark):
+    """The per-price sweep table must come back as a broadcast join —
+    the O(n) side is scanned once, never sort-merge shuffled."""
+    plan = plan_of(spark, "q117_part_skyline")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q118_profile_single_scan(spark):
+    """The wide profiling agg must read orders ONCE (one scan node),
+    not once per column/metric."""
+    plan = plan_of(spark, "q118_orders_profile")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_q119_outliers_broadcast_stats(spark):
+    """Group statistics (|event types| rows) must broadcast back to the
+    event scan; z-score filtering adds no extra shuffle."""
+    plan = plan_of(spark, "q119_event_value_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q108_min_cost_joins_broadcast(spark):
+    """TPC-H Q2: filtered part / supplier / per-part minima all
+    broadcast; only the supply aggregation shuffles lineitem."""
+    plan = plan_of(spark, "q108_min_cost_supplier")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
