@@ -276,11 +276,264 @@ GROUP BY 1, 2
 """
 
 
+def q121_ab_test_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B z-test per event_type: users are deterministically
+    bucketed into variants by md5 (the same engine-neutral hash the
+    split/sampling operators use — reproducible in any engine, no RNG
+    state), and the variant value means are compared with a z-statistic.
+
+    Determinism: per-variant (n, sum, sum-of-squares) are decimal-exact
+    conditional sums in ONE aggregation; mean/variance/z are a fixed
+    IEEE expression tree identical in both engines.
+
+    Scale: single scan, one hash agg keyed by event_type (tiny output);
+    the variant hash is a narrow per-row expression."""
+    from ..operators.similarity_dedup import md5_long
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    variant = md5_long(F.col("user_id").cast("string")) % 2
+    ev = ev.withColumn("variant", variant)
+    is_a = F.col("variant") == 0
+    zero = F.lit(0).cast("decimal(18,6)")
+
+    def _n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("double")
+
+    def _s(cond):
+        return F.sum(F.when(cond, _dec("value")).otherwise(zero)).cast(
+            "double"
+        )
+
+    def _ss(cond):
+        return F.sum(
+            F.when(cond, _dec(F.col("value") * F.col("value"))).otherwise(
+                zero
+            )
+        ).cast("double")
+
+    stats = ev.groupBy("event_type").agg(
+        _n(is_a).alias("n_a"),
+        _s(is_a).alias("s_a"),
+        _ss(is_a).alias("ss_a"),
+        _n(~is_a).alias("n_b"),
+        _s(~is_a).alias("s_b"),
+        _ss(~is_a).alias("ss_b"),
+    )
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = F.col("ss_a") / F.col("n_a") - mean_a * mean_a
+    var_b = F.col("ss_b") / F.col("n_b") - mean_b * mean_b
+    return stats.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        (
+            (mean_a - mean_b)
+            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+        ).alias("zstat"),
+    )
+
+
+Q121_ORACLE = """
+WITH ev AS (
+  SELECT event_type, value,
+         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 AS variant
+  FROM events WHERE value IS NOT NULL
+),
+stats AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_a,
+         CAST(SUM(CASE WHEN variant = 0 THEN CAST(value AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS s_a,
+         CAST(SUM(CASE WHEN variant = 0
+                       THEN CAST(value * value AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS ss_a,
+         CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n_b,
+         CAST(SUM(CASE WHEN variant = 1 THEN CAST(value AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS s_b,
+         CAST(SUM(CASE WHEN variant = 1
+                       THEN CAST(value * value AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS ss_b
+  FROM ev GROUP BY 1
+)
+SELECT event_type,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       s_a / n_a AS mean_a,
+       s_b / n_b AS mean_b,
+       (s_a / n_a - s_b / n_b)
+       / SQRT((ss_a / n_a - (s_a / n_a) * (s_a / n_a)) / n_a
+              + (ss_b / n_b - (s_b / n_b) * (s_b / n_b)) / n_b) AS zstat
+FROM stats
+"""
+
+
+def q122_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel: view -> click AFTER the
+    first view -> purchase AFTER that click, per user; the output is
+    the per-stage user count (q70's funnel is set-membership — this is
+    the time-ordered variant real product funnels need).
+
+    Scale: all three stages aggregate/join on user_id, so the plan is
+    one shuffle key end-to-end; each stage's frame is |users| rows."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(first_view, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        first_view.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(
+            first_click.agg(F.count(F.lit(1)).alias("n_clicked_after"))
+        )
+        .crossJoin(
+            first_purchase.agg(
+                F.count(F.lit(1)).alias("n_purchased_after")
+            )
+        )
+    )
+
+
+Q122_ORACLE = """
+WITH first_view AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+first_click AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN first_view v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+  GROUP BY 1
+),
+first_purchase AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN first_click c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+  GROUP BY 1
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM first_view) AS n_viewed,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM first_click)
+         AS n_clicked_after,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM first_purchase)
+         AS n_purchased_after
+"""
+
+
+#: CMS geometry: d seed strings x w buckets. Width chosen so the
+#: sketch stays tiny (d*w = 4096 cells) while bucket collisions remain
+#: visible at test scale — the estimate-vs-true gap is the point.
+_CMS_SEEDS = ["cms0", "cms1", "cms2", "cms3"]
+_CMS_W = 1024
+
+
+def q123_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over lineitem part keys: build a
+    d x w CMS (md5-derived bucket per seed — engine-neutral, so the
+    DuckDB oracle rebuilds the IDENTICAL sketch and the whole pipeline
+    is hash-exact, not just invariant-bounded like q100's HLL), then
+    report the top-20 parts by CMS estimate (min over the d cells,
+    unique partkey tiebreak — the testdata key distribution is uniform,
+    so a fixed frequency threshold would select nothing but collision
+    noise; top-k by estimate is the deterministic heavy-hitter report).
+
+    Scale: the sketch build is one map-side-combining agg over a 4x
+    seed explosion (output d*w = 4096 cells regardless of data size);
+    estimates join the TINY sketch broadcast against the distinct keys.
+    This is the classic sub-linear-memory heavy-hitter plan — the
+    exact groupBy is linear in |keys|, the CMS is O(d*w)."""
+    from ..operators.similarity_dedup import md5_long
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    seeds = F.array(*[F.lit(s) for s in _CMS_SEEDS])
+    hashed = li.select(
+        "l_partkey", F.explode(seeds).alias("seed")
+    ).withColumn(
+        "bucket",
+        md5_long(F.concat(F.col("seed"), F.col("l_partkey").cast("string")))
+        % _CMS_W,
+    )
+    sketch = hashed.groupBy("seed", "bucket").agg(
+        F.count(F.lit(1)).alias("cell_count")
+    )
+    keys = li.distinct().select("l_partkey")
+    key_cells = keys.select(
+        "l_partkey", F.explode(seeds).alias("seed")
+    ).withColumn(
+        "bucket",
+        md5_long(F.concat(F.col("seed"), F.col("l_partkey").cast("string")))
+        % _CMS_W,
+    )
+    est = (
+        key_cells.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("l_partkey")
+        .agg(F.min("cell_count").alias("cms_estimate"))
+    )
+    return (
+        est.orderBy(F.desc("cms_estimate"), "l_partkey")
+        .limit(20)
+        .select("l_partkey", "cms_estimate")
+    )
+
+
+_CMS_BUCKET = (
+    "CAST(concat('0x', substring(md5(concat(seed, CAST(l_partkey AS "
+    "VARCHAR))), 1, 15)) AS BIGINT) % 1024"
+)
+
+Q123_ORACLE = f"""
+WITH seeds AS (
+  SELECT * FROM (VALUES ('cms0'), ('cms1'), ('cms2'), ('cms3')) s(seed)
+),
+hashed AS (
+  SELECT l.l_partkey, s.seed, {_CMS_BUCKET} AS bucket
+  FROM lineitem l CROSS JOIN seeds s
+),
+sketch AS (
+  SELECT seed, bucket, CAST(COUNT(*) AS BIGINT) AS cell_count
+  FROM hashed GROUP BY 1, 2
+),
+key_cells AS (
+  SELECT DISTINCT l_partkey, seed, bucket FROM hashed
+),
+est AS (
+  SELECT k.l_partkey, MIN(s.cell_count) AS cms_estimate
+  FROM key_cells k
+  JOIN sketch s ON k.seed = s.seed AND k.bucket = s.bucket
+  GROUP BY 1
+)
+SELECT l_partkey, cms_estimate
+FROM est
+ORDER BY cms_estimate DESC, l_partkey
+LIMIT 20
+"""
+
+
 INSIGHT_QUERIES = {
     "q117_part_skyline": q117_part_skyline,
     "q118_orders_profile": q118_orders_profile,
     "q119_event_value_outliers": q119_event_value_outliers,
     "q120_cohort_retention": q120_cohort_retention,
+    "q121_ab_test_zscores": q121_ab_test_zscores,
+    "q122_ordered_funnel": q122_ordered_funnel,
+    "q123_cms_heavy_hitters": q123_cms_heavy_hitters,
 }
 
 INSIGHT_ORACLES = {
@@ -288,4 +541,7 @@ INSIGHT_ORACLES = {
     "q118_orders_profile": Q118_ORACLE,
     "q119_event_value_outliers": Q119_ORACLE,
     "q120_cohort_retention": Q120_ORACLE,
+    "q121_ab_test_zscores": Q121_ORACLE,
+    "q122_ordered_funnel": Q122_ORACLE,
+    "q123_cms_heavy_hitters": Q123_ORACLE,
 }
