@@ -116,43 +116,12 @@ def q118_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct counts in a single scan; the distinct counts are
     count_distinct in the same agg (Spark expands multi-distinct via
     `expand`, still one pass over the scan). Row output is tiny
-    (|columns|), produced by a stack() unpivot of the 1-row agg."""
+    (|columns|), produced by a stack() unpivot of the 1-row agg.
+    Implementation: :func:`operators.profiling.profile_table`."""
+    from ..operators.profiling import profile_table
+
     orders = load_table(spark, sf_dir, "orders")
-    aggs = []
-    for col, kind in _PROFILE_COLS:
-        aggs.append(
-            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias(f"{col}__nulls")
-        )
-        aggs.append(F.countDistinct(col).alias(f"{col}__distinct"))
-        if kind == "num":
-            aggs.append(
-                F.min(F.col(col).cast("double")).alias(f"{col}__min_num")
-            )
-            aggs.append(
-                F.max(F.col(col).cast("double")).alias(f"{col}__max_num")
-            )
-        else:
-            aggs.append(F.min(F.col(col)).alias(f"{col}__min_str"))
-            aggs.append(F.max(F.col(col)).alias(f"{col}__max_str"))
-    one = orders.agg(*aggs)
-    stack_args = []
-    for col, kind in _PROFILE_COLS:
-        mn_num = f"`{col}__min_num`" if kind == "num" else "CAST(NULL AS DOUBLE)"
-        mx_num = f"`{col}__max_num`" if kind == "num" else "CAST(NULL AS DOUBLE)"
-        mn_str = f"`{col}__min_str`" if kind == "str" else "CAST(NULL AS STRING)"
-        mx_str = f"`{col}__max_str`" if kind == "str" else "CAST(NULL AS STRING)"
-        stack_args.append(
-            f"'{col}', `{col}__nulls`, `{col}__distinct`, "
-            f"{mn_num}, {mx_num}, {mn_str}, {mx_str}"
-        )
-    return one.select(
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) AS "
-            "(column, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
-        )
-    )
+    return profile_table(orders, [c for c, _ in _PROFILE_COLS])
 
 
 Q118_ORACLE = "\nUNION ALL\n".join(
@@ -526,6 +495,65 @@ LIMIT 20
 """
 
 
+def q124_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: per
+    event_type, flag events whose |value - median| exceeds 4x the MAD
+    — the q119 z-score's robust sibling (median/MAD don't move when
+    the outliers themselves inflate mean/stddev).
+
+    Determinism: exact interpolated medians (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, the q41-verified bit-exact pairing); the
+    4*MAD compare is one IEEE expression on identical doubles.
+
+    Scale: two event_type-keyed aggregations (median, then MAD of the
+    residuals) with broadcast join-backs — the exact form sorts within
+    groups; at 100 TB swap both percentiles for approx_percentile
+    (same call shape, q102's sketch bounds)."""
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    med = ev.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    with_med = ev.join(
+        F.broadcast(med), F.col("event_type") == F.col("m_type")
+    )
+    mad = (
+        with_med.groupBy(F.col("event_type").alias("d_type"))
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias(
+                "mad"
+            )
+        )
+    )
+    return (
+        with_med.join(
+            F.broadcast(mad), F.col("event_type") == F.col("d_type")
+        )
+        .filter(F.abs(F.col("value") - F.col("med")) > F.lit(4.0) * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+    )
+
+
+Q124_ORACLE = """
+WITH med AS (
+  SELECT event_type AS m_type, quantile_cont(value, 0.5) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+with_med AS (
+  SELECT e.event_id, e.event_type, e.value, m.med
+  FROM events e JOIN med m ON e.event_type = m.m_type
+  WHERE e.value IS NOT NULL
+),
+mad AS (
+  SELECT event_type AS d_type, quantile_cont(ABS(value - med), 0.5) AS mad
+  FROM with_med GROUP BY 1
+)
+SELECT w.event_id, w.event_type, w.value, w.med, d.mad
+FROM with_med w
+JOIN mad d ON w.event_type = d.d_type
+WHERE ABS(w.value - w.med) > 4.0 * d.mad
+"""
+
+
 INSIGHT_QUERIES = {
     "q117_part_skyline": q117_part_skyline,
     "q118_orders_profile": q118_orders_profile,
@@ -534,6 +562,7 @@ INSIGHT_QUERIES = {
     "q121_ab_test_zscores": q121_ab_test_zscores,
     "q122_ordered_funnel": q122_ordered_funnel,
     "q123_cms_heavy_hitters": q123_cms_heavy_hitters,
+    "q124_mad_outliers": q124_mad_outliers,
 }
 
 INSIGHT_ORACLES = {
@@ -544,4 +573,5 @@ INSIGHT_ORACLES = {
     "q121_ab_test_zscores": Q121_ORACLE,
     "q122_ordered_funnel": Q122_ORACLE,
     "q123_cms_heavy_hitters": Q123_ORACLE,
+    "q124_mad_outliers": Q124_ORACLE,
 }
