@@ -31,6 +31,31 @@ GROUP BY 1, 2
 """
 
 
+def q125_hopping_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window event stats: 1-hour windows sliding every 15
+    minutes (each event belongs to 4 overlapping windows). Spark
+    expands the window assignment map-side; the DuckDB oracle
+    reconstructs the same 4-way assignment with an explicit k=0..3
+    cross join — identical window sets by the half-open [start,
+    start+size) definition."""
+    return windowed_event_stats(
+        load_events(spark, sf_dir), window="1 hour", slide="15 minutes"
+    )
+
+
+Q125_ORACLE = """
+SELECT CAST(time_bucket(INTERVAL '15 minutes', ts)
+            - k.k * INTERVAL '15 minutes' AS VARCHAR) AS window_start,
+       event_type,
+       COUNT(*) AS nb_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         AS avg_value
+FROM events
+CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
+GROUP BY 1, 2
+"""
+
+
 def q28_sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows per user (30 min), batch twin of the
     streaming ``session_window`` operator."""
@@ -274,6 +299,7 @@ STREAMING_QUERIES = {
     "q40_set_operations": q40_set_operations,
     "q44_scd2_user_history": q44_scd2_user_history,
     "q56_view_purchase_interval_join": q56_view_purchase_interval_join,
+    "q125_hopping_window_stats": q125_hopping_window_stats,
 }
 
 STREAMING_ORACLES = {
@@ -284,4 +310,5 @@ STREAMING_ORACLES = {
     "q40_set_operations": Q40_ORACLE,
     "q44_scd2_user_history": Q44_ORACLE,
     "q56_view_purchase_interval_join": Q56_ORACLE,
+    "q125_hopping_window_stats": Q125_ORACLE,
 }

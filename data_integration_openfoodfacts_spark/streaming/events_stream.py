@@ -60,18 +60,26 @@ def windowed_event_stats(
     events: DataFrame,
     window: str = "1 hour",
     watermark: str | None = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts + exact value sums per event type.
+    """Tumbling (default) or hopping (``slide`` < ``window``) window
+    counts + exact value sums per event type.
 
     Works identically on batch and streaming inputs; on streams the
-    watermark bounds state and handles late data.
+    watermark bounds state and handles late data. With a slide each
+    event lands in window/slide overlapping windows — Spark expands
+    the assignment map-side (no self-join), which is why hopping
+    windows stay one shuffle at any scale.
     """
     df = events
     if watermark and events.isStreaming:
         df = df.withWatermark("ts", watermark)
+    w = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
     return (
         df.groupBy(
-            F.window("ts", window).alias("w"),
+            w.alias("w"),
             F.col("event_type"),
         )
         .agg(
