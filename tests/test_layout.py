@@ -1,0 +1,95 @@
+"""Z-order layout tests: the clustering must measurably tighten
+parquet row-group min/max spans on BOTH dimensions (that's the whole
+point — multi-dimensional data skipping), verified from the actual
+file footers via pyarrow."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from data_integration_openfoodfacts_spark.operators.layout import (
+    zorder_by,
+    zorder_value,
+)
+
+
+def _avg_span_fraction(path: str, col: str) -> float:
+    """Mean (max-min) row-group span for ``col``, as a fraction of the
+    file-wide span. 1.0 = no skipping possible; small = tight stats."""
+    import glob
+
+    spans, lo_all, hi_all, parts = [], None, None, []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            spans.append((st.min, st.max))
+    lo_all = min(s[0] for s in spans)
+    hi_all = max(s[1] for s in spans)
+    width = hi_all - lo_all or 1
+    return sum((b - a) for a, b in spans) / len(spans) / width
+
+
+def test_zorder_value_is_narrow_expression(spark):
+    """No Python UDF, no extra shuffle in the z-value itself."""
+    df = spark.range(1000).select(
+        F.col("id").alias("a"), (F.col("id") * 7 % 1000).alias("b")
+    )
+    z = df.withColumn("z", zorder_value(df, ["a", "b"]))
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_zorder_interleave_locality(spark):
+    """Points close in (a, b) space must be close in z — check the
+    curve orders the unit grid like a Morton curve (prefix property:
+    the four quadrants occupy four contiguous z ranges)."""
+    df = spark.createDataFrame(
+        [(a, b) for a in range(16) for b in range(16)], "a int, b int"
+    )
+    rows = (
+        df.withColumn("z", zorder_value(df, ["a", "b"]))
+        .orderBy("z")
+        .collect()
+    )
+    quadrant = [2 * (r.a >= 8) + (r.b >= 8) for r in rows]
+    # each quadrant's rows are contiguous in z order
+    changes = sum(
+        1 for i in range(1, len(quadrant)) if quadrant[i] != quadrant[i - 1]
+    )
+    assert changes == 3, f"quadrants interleaved {changes} times in z order"
+
+
+def test_zorder_write_tightens_both_dims(spark, tmp_path):
+    """vs a single-column sort: z-order keeps BOTH columns' row-group
+    spans far below 100%; a linear sort leaves the second column's
+    spans ~full-width."""
+    n = 200_000
+    df = spark.range(n).select(
+        (F.col("id") % 997).cast("double").alias("x"),
+        ((F.col("id") * 131) % 983).cast("double").alias("y"),
+    )
+    linear_path = str(tmp_path / "linear")
+    z_path = str(tmp_path / "zorder")
+    (
+        df.repartitionByRange(8, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(linear_path)
+    )
+    zorder_by(df, ["x", "y"], num_partitions=8).write.mode(
+        "overwrite"
+    ).parquet(z_path)
+
+    lin_x = _avg_span_fraction(linear_path, "x")
+    lin_y = _avg_span_fraction(linear_path, "y")
+    z_x = _avg_span_fraction(z_path, "x")
+    z_y = _avg_span_fraction(z_path, "y")
+    # linear sort: x tight, y useless
+    assert lin_x < 0.35 and lin_y > 0.9
+    # z-order: both dimensions skippable, and y must beat linear by a lot
+    assert z_x < 0.75 and z_y < 0.75
+    assert z_y < lin_y / 2
