@@ -30,7 +30,7 @@ _NUMERIC_PREFIXES = (
 
 
 def profile_table(
-    df: DataFrame, cols: list[str] | None = None
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
 ) -> DataFrame:
     """Profile ``cols`` (default: all non-complex columns) of ``df``.
 
@@ -38,6 +38,13 @@ def profile_table(
     min_num, max_num, min_str, max_str)`` — numeric extrema as DOUBLE
     for numeric columns, string extrema for everything else (cast to
     string for dates/timestamps/booleans).
+
+    ``approx=True`` swaps the exact COUNT(DISTINCT) for HLL++
+    ``approx_count_distinct`` — at 100 TB the exact form funnels every
+    distinct value of every column through one final reducer, while
+    the sketch is fixed-size mergeable state that partial-aggregates
+    map-side (same trade q100/q102 pin with error-bound oracles).
+    The DuckDB-oracle-gated q118 uses the exact form at test scale.
     """
     dtypes = dict(df.dtypes)
     if cols is None:
@@ -57,7 +64,13 @@ def profile_table(
             .cast("long")
             .alias(f"{c}__nulls")
         )
-        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+        aggs.append(
+            (
+                F.approx_count_distinct(c)
+                if approx
+                else F.countDistinct(c)
+            ).alias(f"{c}__distinct")
+        )
         if kinds[c] == "num":
             aggs.append(F.min(F.col(c).cast("double")).alias(f"{c}__min_num"))
             aggs.append(F.max(F.col(c).cast("double")).alias(f"{c}__max_num"))

@@ -34,3 +34,14 @@ def test_profile_table_single_scan(spark):
         profile_table(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan ") <= 1
+
+
+def test_profile_table_approx_close_to_exact(spark):
+    df = spark.range(10_000).selectExpr("id", "id % 97 AS x")
+    exact = {r["column"]: r.n_distinct for r in profile_table(df).collect()}
+    approx = {
+        r["column"]: r.n_distinct
+        for r in profile_table(df, approx=True).collect()
+    }
+    for c in exact:
+        assert abs(approx[c] - exact[c]) / exact[c] < 0.1
