@@ -93,3 +93,23 @@ def duckdb_count_sql(expr: str) -> str:
         total.append(f"len(regexp_extract_all({cur}, '{p}'))")
         cur = f"regexp_replace({cur}, '{p}', '{repl}', 'g')"
     return "CAST(" + " + ".join(total) + " AS BIGINT)"
+
+
+def k_anonymity_report(df, qi_cols: list[str], k: int = 5):
+    """Privacy-risk report over quasi-identifier columns: every
+    equivalence class (distinct QI combination) whose row count is
+    below ``k`` — records in those classes are re-identifiable by the
+    QI tuple (the k-anonymity criterion anonymization must satisfy
+    before a corpus ships).
+
+    Returns (qi_cols..., class_size) for the violating classes.
+    Scale: one hash aggregation on the QI key — partial map-side
+    combine, output bounded by |violating classes|.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .filter(F.col("class_size") < k)
+    )

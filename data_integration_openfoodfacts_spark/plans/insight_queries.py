@@ -554,6 +554,81 @@ WHERE ABS(w.value - w.med) > 4.0 * d.mad
 """
 
 
+def q126_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity violation report over customers: quasi-identifiers
+    are (nation, market segment, account-balance band of 1000) — every
+    equivalence class smaller than k=5 re-identifies its members.
+    Operator: :func:`functions.pii.k_anonymity_report`.
+
+    Scale: one QI-keyed hash agg with map-side combine."""
+    from ..functions.pii import k_anonymity_report
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("balance_band"),
+    )
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment", "balance_band"], k=5
+    )
+
+
+Q126_ORACLE = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS balance_band,
+       COUNT(*) AS class_size
+FROM customer
+GROUP BY 1, 2, 3
+HAVING COUNT(*) < 5
+"""
+
+
+def q127_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram matrix (sum of outer products) of the embedding corpus —
+    THE single-pass sufficient statistic behind distributed
+    PCA/covariance (`operators/pca.py` consumes it with a numpy eigh
+    on the d x d result). Output: (i, j, gram) for all 64 x 64 pairs.
+
+    Spark plan: each row expands to its d^2 products via nested
+    `transform` + `posexplode` — a NARROW expression (no self-join!);
+    one (i, j)-keyed agg with map-side combine finishes it. Elements
+    are cast float->double BEFORE multiplying (exact in both engines)
+    and the per-row double products are decimal-cast so the sums are
+    order-independent — hash-exact vs the oracle's explicit i x j
+    unnest."""
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    d = 64
+    prods = F.flatten(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.transform(
+                F.col("embedding"),
+                lambda y: x.cast("double") * y.cast("double"),
+            ),
+        )
+    )
+    return (
+        emb.select(F.posexplode(prods).alias("k", "prod"))
+        .groupBy(
+            (F.col("k") / d).cast("long").alias("i"),
+            (F.col("k") % d).cast("long").alias("j"),
+        )
+        .agg(F.sum(_dec("prod")).cast("double").alias("gram"))
+    )
+
+
+Q127_ORACLE = """
+SELECT CAST(i.i AS BIGINT) AS i, CAST(j.j AS BIGINT) AS j,
+       CAST(SUM(CAST(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                     * CAST(e.embedding[j.j + 1] AS DOUBLE)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS gram
+FROM embeddings e
+CROSS JOIN (SELECT range AS i FROM range(0, 64)) i
+CROSS JOIN (SELECT range AS j FROM range(0, 64)) j
+GROUP BY 1, 2
+"""
+
+
 INSIGHT_QUERIES = {
     "q117_part_skyline": q117_part_skyline,
     "q118_orders_profile": q118_orders_profile,
@@ -563,6 +638,8 @@ INSIGHT_QUERIES = {
     "q122_ordered_funnel": q122_ordered_funnel,
     "q123_cms_heavy_hitters": q123_cms_heavy_hitters,
     "q124_mad_outliers": q124_mad_outliers,
+    "q126_k_anonymity": q126_k_anonymity,
+    "q127_embedding_gram": q127_embedding_gram,
 }
 
 INSIGHT_ORACLES = {
@@ -574,4 +651,6 @@ INSIGHT_ORACLES = {
     "q122_ordered_funnel": Q122_ORACLE,
     "q123_cms_heavy_hitters": Q123_ORACLE,
     "q124_mad_outliers": Q124_ORACLE,
+    "q126_k_anonymity": Q126_ORACLE,
+    "q127_embedding_gram": Q127_ORACLE,
 }
