@@ -106,8 +106,6 @@ def k_anonymity_report(df, qi_cols: list[str], k: int = 5):
     Scale: one hash aggregation on the QI key — partial map-side
     combine, output bounded by |violating classes|.
     """
-    from pyspark.sql import functions as F
-
     return (
         df.groupBy(*qi_cols)
         .agg(F.count(F.lit(1)).alias("class_size"))

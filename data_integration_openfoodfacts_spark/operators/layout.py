@@ -35,14 +35,19 @@ from pyspark.sql import functions as F
 _BITS = 8
 
 
-def _bucketize(df: DataFrame, col: str, bits: int) -> Column:
-    """Equi-width bucket in [0, 2^bits) for ``col`` over its observed
-    [min, max] (NULLs map to bucket 0 so they cluster together)."""
+def _nan_safe(c: Column) -> Column:
+    """NULL out NaNs so min/max stats and bucketing ignore them (a
+    single NaN would otherwise become max() and collapse every value
+    into the top bucket, silently destroying the clustering)."""
+    return F.when(F.isnan(c), F.lit(None)).otherwise(c)
+
+
+def _bucketize(col: str, lo, hi, bits: int) -> Column:
+    """Equi-width bucket in [0, 2^bits) for ``col`` over the observed
+    [lo, hi] (NULLs and NaNs map to bucket 0 so they cluster
+    together)."""
     n = 2**bits
-    c = F.col(col).cast("double")
-    lo, hi = df.agg(
-        F.min(c).alias("lo"), F.max(c).alias("hi")
-    ).first()
+    c = _nan_safe(F.col(col).cast("double"))
     if lo is None or hi is None or lo == hi:
         return F.lit(0).cast("long")
     # width_bucket returns 1..n in-range and n+1 at x == hi; shift to
@@ -73,11 +78,20 @@ def _interleave2(a: Column, b: Column, bits: int = _BITS) -> Column:
 
 
 def zorder_value(df: DataFrame, cols: list[str], bits: int = _BITS) -> Column:
-    """Z-value column for ``cols`` (currently 2 dimensions)."""
+    """Z-value column for ``cols`` (currently 2 dimensions). Column
+    stats for both dimensions come from ONE combined aggregate — a
+    single stats scan, not one per column."""
     if len(cols) != 2:
         raise ValueError("zorder_value supports exactly 2 columns")
-    a = _bucketize(df, cols[0], bits)
-    b = _bucketize(df, cols[1], bits)
+    stats = df.agg(
+        *[
+            agg(_nan_safe(F.col(c).cast("double"))).alias(f"{which}_{i}")
+            for i, c in enumerate(cols)
+            for which, agg in (("lo", F.min), ("hi", F.max))
+        ]
+    ).first()
+    a = _bucketize(cols[0], stats["lo_0"], stats["hi_0"], bits)
+    b = _bucketize(cols[1], stats["lo_1"], stats["hi_1"], bits)
     return _interleave2(a, b, bits)
 
 

@@ -29,7 +29,9 @@ def fit_pca(
     df: DataFrame, vec_col: str = "embedding", n_components: int = 8
 ):
     """Fit PCA: returns (components [k x d], mean [d], explained_var
-    [k] — eigenvalue order, descending).
+    [k] — eigenvalue order, descending). NULL vector rows are skipped;
+    ragged dimensions fail the numpy stack (the corpus contract is a
+    fixed-d embedding column).
 
     Sign convention: each component is flipped so its
     largest-|coordinate| entry is positive — `eigh` sign ambiguity
@@ -51,7 +53,10 @@ def fit_pca(
             )
 
     parts = (
-        df.select(vec_col).mapInPandas(partials, schema=schema).collect()
+        df.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(partials, schema=schema)
+        .collect()
     )
     if not parts:
         raise ValueError("fit_pca: empty input")

@@ -18,15 +18,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_NUMERIC_PREFIXES = (
-    "int",
-    "bigint",
-    "smallint",
-    "tinyint",
-    "float",
-    "double",
-    "decimal",
-)
+#: dtype-string prefixes treated as numeric. NOTE: "interval day"
+#: etc. must NOT match — matched against "int"/"integer" exactly and
+#: the others by prefix (decimal(10,2) carries parameters).
+_NUMERIC_EXACT = {"int", "integer", "bigint", "smallint", "tinyint"}
+_NUMERIC_PREFIXES = ("float", "double", "decimal")
+
+
+def _is_numeric(dtype: str) -> bool:
+    return dtype in _NUMERIC_EXACT or dtype.startswith(_NUMERIC_PREFIXES)
 
 
 def profile_table(
@@ -51,12 +51,15 @@ def profile_table(
         cols = [
             c
             for c, t in df.dtypes
-            if not t.startswith(("array", "map", "struct", "binary"))
+            if not t.startswith(("array", "map", "struct", "binary", "interval"))
         ]
-    kinds = {
-        c: "num" if dtypes[c].startswith(_NUMERIC_PREFIXES) else "str"
-        for c in cols
-    }
+    bad = [c for c in cols if "`" in c or "'" in c]
+    if bad:
+        raise ValueError(
+            f"profile_table: column names with quotes/backticks are not "
+            f"supported (rename first): {bad}"
+        )
+    kinds = {c: "num" if _is_numeric(dtypes[c]) else "str" for c in cols}
     aggs = []
     for c in cols:
         aggs.append(

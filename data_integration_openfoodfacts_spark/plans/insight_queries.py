@@ -169,7 +169,10 @@ def q119_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("s") / F.col("n")
     var = F.col("ss") / F.col("n") - mean * mean
-    z = (F.col("value") - mean) / F.sqrt(var)
+    # var can round negative for a constant-valued group; guard with a
+    # NULL (row filtered) instead of sqrt(<0) — Spark would emit NaN
+    # but DuckDB SQRT raises, so the guard keeps both engines identical.
+    z = F.when(var > 0, (F.col("value") - mean) / F.sqrt(var))
     return (
         ev.join(F.broadcast(stats), F.col("event_type") == F.col("g_type"))
         .filter(F.abs(z) > 3.0)
@@ -188,11 +191,15 @@ WITH stats AS (
   GROUP BY 1
 )
 SELECT e.event_id, e.event_type, e.value,
-       (e.value - s / n) / SQRT(ss / n - (s / n) * (s / n)) AS zscore
+       CASE WHEN ss / n - (s / n) * (s / n) > 0
+            THEN (e.value - s / n) / SQRT(ss / n - (s / n) * (s / n))
+       END AS zscore
 FROM events e
 JOIN stats ON e.event_type = stats.g_type
 WHERE e.value IS NOT NULL
-  AND ABS((e.value - s / n) / SQRT(ss / n - (s / n) * (s / n))) > 3.0
+  AND ABS(CASE WHEN ss / n - (s / n) * (s / n) > 0
+               THEN (e.value - s / n) / SQRT(ss / n - (s / n) * (s / n))
+          END) > 3.0
 """
 
 
@@ -292,16 +299,18 @@ def q121_ab_test_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_b = F.col("s_b") / F.col("n_b")
     var_a = F.col("ss_a") / F.col("n_a") - mean_a * mean_a
     var_b = F.col("ss_b") / F.col("n_b") - mean_b * mean_b
+    pooled = var_a / F.col("n_a") + var_b / F.col("n_b")
+    # pooled variance can round to <= 0 for constant/degenerate cells;
+    # NULL keeps Spark (NaN) and DuckDB (SQRT raises) identical.
     return stats.select(
         "event_type",
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
         mean_a.alias("mean_a"),
         mean_b.alias("mean_b"),
-        (
-            (mean_a - mean_b)
-            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
-        ).alias("zstat"),
+        F.when(pooled > 0, (mean_a - mean_b) / F.sqrt(pooled)).alias(
+            "zstat"
+        ),
     )
 
 
@@ -333,9 +342,12 @@ SELECT event_type,
        CAST(n_b AS BIGINT) AS n_b,
        s_a / n_a AS mean_a,
        s_b / n_b AS mean_b,
-       (s_a / n_a - s_b / n_b)
-       / SQRT((ss_a / n_a - (s_a / n_a) * (s_a / n_a)) / n_a
-              + (ss_b / n_b - (s_b / n_b) * (s_b / n_b)) / n_b) AS zstat
+       CASE WHEN (ss_a / n_a - (s_a / n_a) * (s_a / n_a)) / n_a
+                 + (ss_b / n_b - (s_b / n_b) * (s_b / n_b)) / n_b > 0
+            THEN (s_a / n_a - s_b / n_b)
+                 / SQRT((ss_a / n_a - (s_a / n_a) * (s_a / n_a)) / n_a
+                        + (ss_b / n_b - (s_b / n_b) * (s_b / n_b)) / n_b)
+       END AS zstat
 FROM stats
 """
 

@@ -19,7 +19,7 @@ def _avg_span_fraction(path: str, col: str) -> float:
     file-wide span. 1.0 = no skipping possible; small = tight stats."""
     import glob
 
-    spans, lo_all, hi_all, parts = [], None, None, []
+    spans = []
     for f in glob.glob(f"{path}/*.parquet"):
         md = pq.ParquetFile(f).metadata
         idx = md.schema.to_arrow_schema().get_field_index(col)
@@ -93,3 +93,14 @@ def test_zorder_write_tightens_both_dims(spark, tmp_path):
     # z-order: both dimensions skippable, and y must beat linear by a lot
     assert z_x < 0.75 and z_y < 0.75
     assert z_y < lin_y / 2
+
+
+def test_zorder_nan_does_not_collapse_buckets(spark):
+    """A NaN in one dimension must not push every value into the top
+    bucket (NaN would otherwise be max())."""
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (3.0, 5.0), (2.0, float("nan"))], "a double, b double"
+    )
+    rows = df.withColumn("z", zorder_value(df, ["a", "b"])).collect()
+    zs = {(r.a if r.a == r.a else None): r.z for r in rows}
+    assert zs[1.0] != zs[3.0], "distinct (a,b) points collapsed to one z"

@@ -45,3 +45,22 @@ def test_profile_table_approx_close_to_exact(spark):
     }
     for c in exact:
         assert abs(approx[c] - exact[c]) / exact[c] < 0.1
+
+
+def test_profile_table_excludes_interval_by_default(spark):
+    df = spark.sql(
+        "SELECT 1 AS id, INTERVAL '3' DAY AS gap"
+    )
+    rows = profile_table(df).collect()
+    assert [r["column"] for r in rows] == ["id"]
+    # explicit interval column profiles as string, not a cast crash
+    rows2 = profile_table(df, ["gap"]).collect()
+    assert rows2[0].n_nulls == 0 and rows2[0].min_str is not None
+
+
+def test_profile_table_rejects_quoted_names(spark):
+    import pytest as _pytest
+
+    df = spark.range(3).withColumnRenamed("id", "a`b")
+    with _pytest.raises(ValueError):
+        profile_table(df)
