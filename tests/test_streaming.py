@@ -207,3 +207,32 @@ def test_interval_join_real_stream_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_hopping_windows_stream_matches_batch(spark, stream_dir):
+    """q125's operator on a REAL stream: hopping windows (1h / 15min
+    slide) aggregate identically to the batch twin."""
+    stream = read_events_stream(spark, stream_dir)
+    got = _run_to_memory(
+        spark,
+        windowed_event_stats(stream, slide="15 minutes"),
+        "hop_stats",
+        "complete",
+    ).collect()
+    want = windowed_event_stats(
+        spark.read.schema(
+            read_events_stream(spark, stream_dir).schema
+        ).parquet(stream_dir),
+        slide="15 minutes",
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # each event lands in window/slide = 4 windows: the hopping total
+    # is 4x the tumbling total
+    tumb = windowed_event_stats(
+        spark.read.schema(
+            read_events_stream(spark, stream_dir).schema
+        ).parquet(stream_dir)
+    ).collect()
+    assert sum(r.nb_events for r in got) == 4 * sum(
+        r.nb_events for r in tumb
+    )
