@@ -342,6 +342,51 @@ def verify_candidate_pairs(
     )
 
 
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Deduplicate an incoming batch against an EXISTING corpus LSH
+    index without touching the corpus text: the production
+    crawl-ingestion pattern (a 100 TB corpus is indexed once; each new
+    batch only computes its own signatures).
+
+    ``corpus_bands`` is the stored index — (id_col, band, sig) as
+    produced by :func:`minhash_band_signatures`. A new document is
+    dropped when ANY of its bands collides with the index (the same
+    candidate criterion as :func:`minhash_lsh_pairs`; callers needing
+    verified-Jaccard precision re-check candidates with
+    ``exact_jaccard_for_pairs`` before dropping). Returns
+    ``(survivors, updated_bands)`` where ``updated_bands`` is the
+    index grown by the surviving documents' signatures — feed it to
+    the next batch.
+
+    Scale: signature cost is |new batch| only; the collision check is
+    one (band, sig) equi join against the index (a semi join — no
+    pair explosion); the index update is a union, no recompute.
+    """
+    new_bands = minhash_band_signatures(
+        new_df, id_col, text_col, n, num_hashes, band_size
+    )
+    collided = (
+        new_bands.join(
+            corpus_bands.select("band", "sig"), ["band", "sig"], "left_semi"
+        )
+        .select(id_col)
+        .distinct()
+    )
+    survivors = new_df.join(collided, id_col, "left_anti")
+    updated_bands = corpus_bands.select(id_col, "band", "sig").unionByName(
+        new_bands.join(collided, id_col, "left_anti")
+    )
+    return survivors, updated_bands
+
+
 def dedup_near_duplicates(
     df: DataFrame,
     id_col: str,

@@ -29,6 +29,8 @@ from ..functions.text_analysis import (
 )
 from ..operators.similarity import cosine_topk, ivf_topk
 from ..operators.similarity_dedup import (
+    incremental_minhash_dedup,
+    minhash_band_signatures,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -1342,6 +1344,67 @@ FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
 """
 
 
+def q128_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus dedup: documents are split into an
+    indexed 'corpus' (doc_id % 3 != 0) and an incoming 'batch'
+    (doc_id % 3 == 0); the batch documents whose LSH bands collide
+    with the corpus index are dropped — signature work is batch-sized
+    only (`operators/similarity_dedup.py::incremental_minhash_dedup`).
+    Output: the surviving new documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus_bands = minhash_band_signatures(old, "doc_id", "text")
+    survivors, _updated = incremental_minhash_dedup(
+        new, corpus_bands, "doc_id", "text"
+    )
+    return survivors.select("doc_id", "lang", "source")
+
+
+def _q128_oracle() -> str:
+    from ..operators.similarity_dedup import MINHASH_P, minhash_params
+
+    a_c, b_c = minhash_params(8)
+    min_cols = ",\n         ".join(
+        f"MIN(({a_c[j]} * h0 + {b_c[j]}) % {MINHASH_P}) AS m{j}"
+        for j in range(8)
+    )
+    band_rows = ", ".join(
+        f"({k}, m{2 * k} || ',' || m{2 * k + 1})" for k in range(4)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+           % {MINHASH_P} AS h0
+  FROM sh
+),
+mins AS (
+  SELECT doc_id,
+         {min_cols}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, CAST(t.band AS BIGINT) AS band, t.sig
+  FROM mins, LATERAL (VALUES {band_rows}) t(band, sig)
+),
+collided AS (
+  SELECT DISTINCT nb.doc_id
+  FROM bands nb
+  JOIN bands ob ON nb.band = ob.band AND nb.sig = ob.sig
+  WHERE nb.doc_id % 3 = 0 AND ob.doc_id % 3 <> 0
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id % 3 = 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM collided)
+"""
+
+
+Q128_ORACLE = _q128_oracle()
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -1358,6 +1421,7 @@ LLM_QUERIES = {
     "q47_knn_join": q47_knn_join,
     "q48_dataset_split": q48_dataset_split,
     "q49_curate_corpus": q49_curate_corpus,
+    "q128_incremental_dedup": q128_incremental_dedup,
     "q50_document_chunks": q50_document_chunks,
     "q73_segment_dedup": q73_segment_dedup,
     "q74_embedding_quantization": q74_embedding_quantization,
@@ -1389,6 +1453,7 @@ LLM_ORACLES = {
     "q47_knn_join": Q47_ORACLE,
     "q48_dataset_split": Q48_ORACLE,
     "q49_curate_corpus": Q49_ORACLE,
+    "q128_incremental_dedup": Q128_ORACLE,
     "q50_document_chunks": Q50_ORACLE,
     "q73_segment_dedup": Q73_ORACLE,
     "q74_embedding_quantization": Q74_ORACLE,
