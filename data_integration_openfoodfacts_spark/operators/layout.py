@@ -3,10 +3,10 @@ multi-dimensional data skipping.
 
 A 100 TB table filtered on TWO columns can only skip row groups on the
 column it is sorted by — a linear sort leaves the other column's
-min/max spans as wide as the table. Interleaving the bits of both
-columns' rank buckets (the Morton curve) and range-sorting by that
+min/max spans as wide as the table. Interleaving the bits of each
+column's rank buckets (the Morton curve) and range-sorting by that
 Z-value tightens parquet row-group min/max statistics on EVERY
-interleaved dimension at once, so predicate pushdown skips files for
+interleaved dimension at once (2+ columns, k*bits <= 62), so predicate pushdown skips files for
 filters on any of them (the Delta/Iceberg `OPTIMIZE ZORDER BY`
 technique, built here from plain Spark primitives).
 
@@ -65,24 +65,29 @@ def _bucketize(col: str, lo, hi, bits: int) -> Column:
     )
 
 
-def _interleave2(a: Column, b: Column, bits: int = _BITS) -> Column:
-    """Morton-interleave two ``bits``-wide bucket ids: bit i of ``a``
-    lands at position 2i, bit i of ``b`` at 2i+1."""
+def _interleave(buckets: list[Column], bits: int = _BITS) -> Column:
+    """Morton-interleave k ``bits``-wide bucket ids round-robin: bit i
+    of dimension j lands at position i*k + j. k*bits must fit a long
+    (<= 62)."""
+    k = len(buckets)
+    if k * bits > 62:
+        raise ValueError(
+            f"{k} dims x {bits} bits = {k * bits} z-bits exceeds a long"
+        )
     terms = []
-    for i in range(bits):
-        bit_a = F.shiftright(a, i).bitwiseAND(F.lit(1))
-        bit_b = F.shiftright(b, i).bitwiseAND(F.lit(1))
-        terms.append(F.shiftleft(bit_a, 2 * i))
-        terms.append(F.shiftleft(bit_b, 2 * i + 1))
+    for j, b in enumerate(buckets):
+        for i in range(bits):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, i * k + j))
     return reduce(lambda x, y: x.bitwiseOR(y), terms)
 
 
 def zorder_value(df: DataFrame, cols: list[str], bits: int = _BITS) -> Column:
-    """Z-value column for ``cols`` (currently 2 dimensions). Column
-    stats for both dimensions come from ONE combined aggregate — a
-    single stats scan, not one per column."""
-    if len(cols) != 2:
-        raise ValueError("zorder_value supports exactly 2 columns")
+    """Z-value column for ``cols`` (2+ dimensions). Column stats for
+    every dimension come from ONE combined aggregate — a single stats
+    scan, not one per column."""
+    if len(cols) < 2:
+        raise ValueError("zorder_value needs at least 2 columns")
     stats = df.agg(
         *[
             agg(_nan_safe(F.col(c).cast("double"))).alias(f"{which}_{i}")
@@ -90,9 +95,11 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = _BITS) -> Column:
             for which, agg in (("lo", F.min), ("hi", F.max))
         ]
     ).first()
-    a = _bucketize(cols[0], stats["lo_0"], stats["hi_0"], bits)
-    b = _bucketize(cols[1], stats["lo_1"], stats["hi_1"], bits)
-    return _interleave2(a, b, bits)
+    buckets = [
+        _bucketize(c, stats[f"lo_{i}"], stats[f"hi_{i}"], bits)
+        for i, c in enumerate(cols)
+    ]
+    return _interleave(buckets, bits)
 
 
 def zorder_by(

@@ -104,3 +104,29 @@ def test_zorder_nan_does_not_collapse_buckets(spark):
     rows = df.withColumn("z", zorder_value(df, ["a", "b"])).collect()
     zs = {(r.a if r.a == r.a else None): r.z for r in rows}
     assert zs[1.0] != zs[3.0], "distinct (a,b) points collapsed to one z"
+
+
+def test_zorder_three_dims(spark):
+    """3-column interleave: still a narrow expression, and the first
+    octant (all three coords low) occupies a contiguous z prefix."""
+    df = spark.createDataFrame(
+        [
+            (a, b, c)
+            for a in range(8)
+            for b in range(8)
+            for c in range(8)
+        ],
+        "a int, b int, c int",
+    )
+    rows = (
+        df.withColumn("z", zorder_value(df, ["a", "b", "c"]))
+        .orderBy("z")
+        .collect()
+    )
+    octant = [
+        4 * (r.a >= 4) + 2 * (r.b >= 4) + (r.c >= 4) for r in rows
+    ]
+    changes = sum(
+        1 for i in range(1, len(octant)) if octant[i] != octant[i - 1]
+    )
+    assert changes == 7, f"octants interleaved {changes} times in z order"
