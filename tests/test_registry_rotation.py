@@ -148,6 +148,20 @@ def test_all_tier0_queries_inside_window():
         or state.get("verified", {}).get(k, {}).get("fingerprint") != fps.get(k)
     ]
     window = set(list(registry.QUERIES)[:50])
-    assert len(tier0) <= 50, "more churned/unverified queries than the window holds"
-    for q in tier0:
-        assert q in window, q
+    if len(tier0) <= 50:
+        for q in tier0:
+            assert q in window, q
+    else:
+        # More never-driver-green/churned queries than one round's
+        # window holds (a burst of new queries): the best any ordering
+        # can do is spend EVERY window slot on a tier-0 query; the
+        # leftovers rotate in next round. Every tier-0 query must also
+        # be locally verified at its current fingerprint, so nothing
+        # outside the window is an UNVERIFIED unknown.
+        for q in window:
+            assert q in tier0, f"window slot wasted on non-tier0 {q}"
+        for q in tier0:
+            v = state.get("verified", {}).get(q, {})
+            assert v.get("fingerprint") == fps.get(q), (
+                f"tier0 query {q} not locally verified at current code"
+            )
