@@ -239,6 +239,87 @@ FROM vers
 """
 
 
+def q129_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup — THE consumption pattern q44's
+    history exists for: every purchase event joined to the dimension
+    version valid AT the purchase timestamp
+    (effective_from <= ts < effective_to, open-ended current version).
+
+    Scale: the join is an EQUI join on the natural key (user_id) with
+    the validity range as a residual filter — per-key version counts
+    are small, so the fan-out is bounded; never a blind range
+    cross-join. Purchases at a version boundary land in the NEWER
+    version (from-inclusive/to-exclusive), pinned by the oracle."""
+    from ..operators.dedup import dedup_keep_latest
+    from ..operators.scd import scd2_history
+
+    ev = load_events(spark, sf_dir)
+    changes = dedup_keep_latest(
+        ev.select("user_id", "ts", "event_type", "event_id"),
+        keys=["user_id", "ts"],
+        order_by=[F.col("event_id").desc()],
+    )
+    hist = scd2_history(
+        changes, keys=["user_id"], order_col="ts", tracked_cols=["event_type"]
+    ).select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_type").alias("state_at_purchase"),
+        "effective_from",
+        "effective_to",
+        "version",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return (
+        purchases.join(
+            hist,
+            (F.col("user_id") == F.col("h_user"))
+            & (F.col("effective_from") <= F.col("ts"))
+            & (
+                F.col("effective_to").isNull()
+                | (F.col("ts") < F.col("effective_to"))
+            ),
+        )
+        .select(
+            "purchase_id", "user_id", "state_at_purchase", "version"
+        )
+    )
+
+
+Q129_ORACLE = """
+WITH ch AS (
+  SELECT user_id, make_timestamp(epoch_us(ts)) AS mts, event_type
+  FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, make_timestamp(epoch_us(ts))
+                             ORDER BY event_id DESC) = 1
+),
+flagged AS (
+  SELECT user_id, mts, event_type,
+         (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY mts) = 1
+          OR event_type IS DISTINCT FROM
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY mts)) AS brk
+  FROM ch
+),
+vers AS (SELECT user_id, mts, event_type FROM flagged WHERE brk),
+hist AS (
+  SELECT user_id, event_type AS state_at_purchase,
+         mts AS effective_from,
+         LEAD(mts) OVER (PARTITION BY user_id ORDER BY mts) AS effective_to,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY mts) AS BIGINT)
+           AS version
+  FROM vers
+)
+SELECT p.event_id AS purchase_id, p.user_id, h.state_at_purchase, h.version
+FROM events p
+JOIN hist h
+  ON p.user_id = h.user_id
+ AND h.effective_from <= make_timestamp(epoch_us(p.ts))
+ AND (h.effective_to IS NULL OR make_timestamp(epoch_us(p.ts)) < h.effective_to)
+WHERE p.event_type = 'purchase'
+"""
+
+
 def q56_view_purchase_interval_join(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -300,6 +381,7 @@ STREAMING_QUERIES = {
     "q44_scd2_user_history": q44_scd2_user_history,
     "q56_view_purchase_interval_join": q56_view_purchase_interval_join,
     "q125_hopping_window_stats": q125_hopping_window_stats,
+    "q129_point_in_time_lookup": q129_point_in_time_lookup,
 }
 
 STREAMING_ORACLES = {
@@ -311,4 +393,5 @@ STREAMING_ORACLES = {
     "q44_scd2_user_history": Q44_ORACLE,
     "q56_view_purchase_interval_join": Q56_ORACLE,
     "q125_hopping_window_stats": Q125_ORACLE,
+    "q129_point_in_time_lookup": Q129_ORACLE,
 }
