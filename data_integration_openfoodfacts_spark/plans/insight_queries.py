@@ -641,6 +641,58 @@ GROUP BY 1, 2
 """
 
 
+def q130_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (the WAU curve).
+    COUNT(DISTINCT) over a sliding window is not incrementally
+    decomposable, so the plan inverts it: each (user, active-day) pair
+    is exploded into the 7 trailing report days it contributes to
+    (map-side, like hopping windows), then ONE (day)-keyed exact
+    distinct count — no per-day re-scan, no window-over-distinct.
+
+    Report days are clipped to the observed [min_day, max_day] span so
+    every output row is a real calendar day of the dataset."""
+    ev = load_events(spark, sf_dir).select("user_id", "ts")
+    didx = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    days = ev.select("user_id", didx.alias("d")).distinct()
+    span = days.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    contrib = (
+        days.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.col("d") + F.lit(6))
+            ).alias("report_day"),
+        )
+        .crossJoin(F.broadcast(span))
+        .filter(F.col("report_day") <= F.col("hi"))
+    )
+    return contrib.groupBy("report_day").agg(
+        F.countDistinct("user_id").alias("active_users_7d")
+    )
+
+
+Q130_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS INT) AS d
+  FROM events
+),
+span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM days),
+contrib AS (
+  SELECT user_id, d + k.k AS report_day
+  FROM days
+  CROSS JOIN (SELECT UNNEST(range(0, 7)) AS k) k
+)
+SELECT CAST(report_day AS INT) AS report_day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users_7d
+FROM contrib, span
+WHERE report_day <= span.hi
+GROUP BY 1
+"""
+
+
 INSIGHT_QUERIES = {
     "q117_part_skyline": q117_part_skyline,
     "q118_orders_profile": q118_orders_profile,
@@ -652,6 +704,7 @@ INSIGHT_QUERIES = {
     "q124_mad_outliers": q124_mad_outliers,
     "q126_k_anonymity": q126_k_anonymity,
     "q127_embedding_gram": q127_embedding_gram,
+    "q130_rolling_active_users": q130_rolling_active_users,
 }
 
 INSIGHT_ORACLES = {
@@ -665,4 +718,5 @@ INSIGHT_ORACLES = {
     "q124_mad_outliers": Q124_ORACLE,
     "q126_k_anonymity": Q126_ORACLE,
     "q127_embedding_gram": Q127_ORACLE,
+    "q130_rolling_active_users": Q130_ORACLE,
 }
