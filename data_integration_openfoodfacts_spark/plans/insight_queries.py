@@ -599,33 +599,36 @@ def q127_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gram matrix (sum of outer products) of the embedding corpus —
     THE single-pass sufficient statistic behind distributed
     PCA/covariance (`operators/pca.py` consumes it with a numpy eigh
-    on the d x d result). Output: (i, j, gram) for all 64 x 64 pairs.
+    on the d x d result). The matrix is symmetric, so only the upper
+    triangle (i <= j, d(d+1)/2 cells) is computed — half the expansion
+    and half the aggregation of the naive d^2.
 
-    Spark plan: each row expands to its d^2 products via nested
-    `transform` + `posexplode` — a NARROW expression (no self-join!);
-    one (i, j)-keyed agg with map-side combine finishes it. Elements
-    are cast float->double BEFORE multiplying (exact in both engines)
-    and the per-row double products are decimal-cast so the sums are
-    order-independent — hash-exact vs the oracle's explicit i x j
-    unnest."""
+    Spark plan: each row expands to its triangle products via indexed
+    nested `transform` over a sliced array — a NARROW expression (no
+    self-join!); one (i, j)-keyed agg with map-side combine finishes
+    it. Elements are cast float->double BEFORE multiplying (exact in
+    both engines) and the per-row double products are decimal-cast so
+    the sums are order-independent — hash-exact vs the oracle's
+    explicit triangular unnest."""
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
     d = 64
-    prods = F.flatten(
+    tri = F.flatten(
         F.transform(
             F.col("embedding"),
-            lambda x: F.transform(
-                F.col("embedding"),
-                lambda y: x.cast("double") * y.cast("double"),
+            lambda x, i: F.transform(
+                F.slice(F.col("embedding"), i + 1, F.lit(d) - i),
+                lambda y, j0: F.struct(
+                    i.cast("long").alias("i"),
+                    (i + j0).cast("long").alias("j"),
+                    (x.cast("double") * y.cast("double")).alias("prod"),
+                ),
             ),
         )
     )
     return (
-        emb.select(F.posexplode(prods).alias("k", "prod"))
-        .groupBy(
-            (F.col("k") / d).cast("long").alias("i"),
-            (F.col("k") % d).cast("long").alias("j"),
-        )
-        .agg(F.sum(_dec("prod")).cast("double").alias("gram"))
+        emb.select(F.explode(tri).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum(_dec(F.col("c.prod"))).cast("double").alias("gram"))
     )
 
 
@@ -637,6 +640,7 @@ SELECT CAST(i.i AS BIGINT) AS i, CAST(j.j AS BIGINT) AS j,
 FROM embeddings e
 CROSS JOIN (SELECT range AS i FROM range(0, 64)) i
 CROSS JOIN (SELECT range AS j FROM range(0, 64)) j
+WHERE j.j >= i.i
 GROUP BY 1, 2
 """
 
