@@ -697,6 +697,76 @@ GROUP BY 1
 """
 
 
+def q131_window_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second window-function battery (q51 covers running/sliding/
+    row_number/ntile): rank, dense_rank, percent_rank, cume_dist,
+    offset functions (lag/lead with defaults), nth_value over a full
+    frame, and a RANGE value-based frame — the rest of the ANSI window
+    surface, all in ONE pass over orders per priority.
+
+    Determinism: ties in the rank family are value-stable by
+    definition; offset/nth functions use a UNIQUE (price, orderkey)
+    order; the RANGE frame includes peers, so it is tie-insensitive.
+    percent_rank/cume_dist are exact integer ratios — identical IEEE
+    doubles in both engines. One hash shuffle on the partition key."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    uniq = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("price"), F.asc("o_orderkey")
+    )
+    by_val = Window.partitionBy("o_orderpriority").orderBy(F.desc("price"))
+    full = uniq.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rng = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("price"))
+        .rangeBetween(-100, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(by_val).cast("long").alias("price_rank"),
+        F.dense_rank().over(by_val).cast("long").alias("price_dense_rank"),
+        F.percent_rank().over(by_val).alias("price_percent_rank"),
+        F.cume_dist().over(by_val).alias("price_cume_dist"),
+        F.lag("price", 2, -1.0).over(uniq).cast("double").alias("lag2"),
+        F.lead("price", 1, -1.0).over(uniq).cast("double").alias("lead1"),
+        F.nth_value("price", 3).over(full).cast("double").alias("third_price"),
+        F.sum("price").over(rng).cast("double").alias("sum_within_100"),
+    )
+
+
+Q131_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(RANK() OVER w_val AS BIGINT) AS price_rank,
+       CAST(DENSE_RANK() OVER w_val AS BIGINT) AS price_dense_rank,
+       PERCENT_RANK() OVER w_val AS price_percent_rank,
+       CUME_DIST() OVER w_val AS price_cume_dist,
+       CAST(LAG(price, 2, CAST(-1.0 AS DECIMAL(18,2))) OVER w_uniq
+            AS DOUBLE) AS lag2,
+       CAST(LEAD(price, 1, CAST(-1.0 AS DECIMAL(18,2))) OVER w_uniq
+            AS DOUBLE) AS lead1,
+       CAST(NTH_VALUE(price, 3) OVER
+            (w_uniq ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING) AS DOUBLE) AS third_price,
+       CAST(SUM(price) OVER
+            (PARTITION BY o_orderpriority ORDER BY price
+             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS sum_within_100
+FROM (SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders)
+WINDOW
+  w_val AS (PARTITION BY o_orderpriority ORDER BY price DESC),
+  w_uniq AS (PARTITION BY o_orderpriority
+             ORDER BY price DESC, o_orderkey ASC)
+"""
+
+
 INSIGHT_QUERIES = {
     "q117_part_skyline": q117_part_skyline,
     "q118_orders_profile": q118_orders_profile,
@@ -709,6 +779,7 @@ INSIGHT_QUERIES = {
     "q126_k_anonymity": q126_k_anonymity,
     "q127_embedding_gram": q127_embedding_gram,
     "q130_rolling_active_users": q130_rolling_active_users,
+    "q131_window_battery2": q131_window_battery2,
 }
 
 INSIGHT_ORACLES = {
@@ -723,4 +794,5 @@ INSIGHT_ORACLES = {
     "q126_k_anonymity": Q126_ORACLE,
     "q127_embedding_gram": Q127_ORACLE,
     "q130_rolling_active_users": Q130_ORACLE,
+    "q131_window_battery2": Q131_ORACLE,
 }
