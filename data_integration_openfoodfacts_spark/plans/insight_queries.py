@@ -418,10 +418,10 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM first_view) AS n_viewed,
 """
 
 
-#: CMS geometry: d seed strings x w buckets. Width chosen so the
+#: CMS geometry: d hash rows x w buckets. Width chosen so the
 #: sketch stays tiny (d*w = 4096 cells) while bucket collisions remain
 #: visible at test scale — the estimate-vs-true gap is the point.
-_CMS_SEEDS = ["cms0", "cms1", "cms2", "cms3"]
+_CMS_D = 4
 _CMS_W = 1024
 
 
@@ -435,35 +435,45 @@ def q123_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a fixed frequency threshold would select nothing but collision
     noise; top-k by estimate is the deterministic heavy-hitter report).
 
-    Scale: the sketch build is one map-side-combining agg over a 4x
-    seed explosion (output d*w = 4096 cells regardless of data size);
-    estimates join the TINY sketch broadcast against the distinct keys.
-    This is the classic sub-linear-memory heavy-hitter plan — the
-    exact groupBy is linear in |keys|, the CMS is O(d*w)."""
-    from ..operators.similarity_dedup import md5_long
-
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
-    seeds = F.array(*[F.lit(s) for s in _CMS_SEEDS])
-    hashed = li.select(
-        "l_partkey", F.explode(seeds).alias("seed")
-    ).withColumn(
-        "bucket",
-        md5_long(F.concat(F.col("seed"), F.col("l_partkey").cast("string")))
-        % _CMS_W,
+    Scale: ONE md5 per row; the d row-hashes derive arithmetically
+    (universal hashing — the same 1-md5 trick that made q19's minhash
+    signatures cheap in r03; the 10x scaling probe showed the 4-md5
+    variant at 8.06x growth, md5-bound). The sketch build is one
+    map-side-combining agg over a d-way explode of precomputed
+    buckets (output d*w = 4096 cells regardless of data size);
+    estimates join the TINY sketch broadcast against the distinct
+    keys. The exact groupBy is linear in |keys|, the CMS is O(d*w)."""
+    from ..operators.similarity_dedup import (
+        MINHASH_P,
+        md5_long,
+        minhash_params,
     )
-    sketch = hashed.groupBy("seed", "bucket").agg(
+
+    a_c, b_c = minhash_params(_CMS_D)
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    h0 = md5_long(F.col("l_partkey").cast("string")) % F.lit(MINHASH_P)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("row"),
+                (
+                    (F.lit(a_c[j]) * h0 + F.lit(b_c[j]))
+                    % F.lit(MINHASH_P)
+                    % _CMS_W
+                ).alias("bucket"),
+            )
+            for j in range(_CMS_D)
+        ]
+    )
+    hashed = li.select(
+        "l_partkey", F.explode(cells).alias("c")
+    ).select("l_partkey", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    sketch = hashed.groupBy("row", "bucket").agg(
         F.count(F.lit(1)).alias("cell_count")
     )
-    keys = li.distinct().select("l_partkey")
-    key_cells = keys.select(
-        "l_partkey", F.explode(seeds).alias("seed")
-    ).withColumn(
-        "bucket",
-        md5_long(F.concat(F.col("seed"), F.col("l_partkey").cast("string")))
-        % _CMS_W,
-    )
+    key_cells = hashed.distinct()
     est = (
-        key_cells.join(F.broadcast(sketch), ["seed", "bucket"])
+        key_cells.join(F.broadcast(sketch), ["row", "bucket"])
         .groupBy("l_partkey")
         .agg(F.min("cell_count").alias("cms_estimate"))
     )
@@ -474,30 +484,37 @@ def q123_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CMS_BUCKET = (
-    "CAST(concat('0x', substring(md5(concat(seed, CAST(l_partkey AS "
-    "VARCHAR))), 1, 15)) AS BIGINT) % 1024"
-)
+def _q123_oracle() -> str:
+    from ..operators.similarity_dedup import MINHASH_P, minhash_params
 
-Q123_ORACLE = f"""
-WITH seeds AS (
-  SELECT * FROM (VALUES ('cms0'), ('cms1'), ('cms2'), ('cms3')) s(seed)
+    a_c, b_c = minhash_params(_CMS_D)
+    rows = ", ".join(
+        f"({j}, ({a_c[j]} * h0 + {b_c[j]}) % {MINHASH_P} % {_CMS_W})"
+        for j in range(_CMS_D)
+    )
+    return f"""
+WITH h AS (
+  SELECT l_partkey,
+         CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)),
+                                     1, 15)) AS BIGINT)
+           % {MINHASH_P} AS h0
+  FROM lineitem
 ),
 hashed AS (
-  SELECT l.l_partkey, s.seed, {_CMS_BUCKET} AS bucket
-  FROM lineitem l CROSS JOIN seeds s
+  SELECT l_partkey, CAST(t.r AS BIGINT) AS r, t.bucket
+  FROM h, LATERAL (VALUES {rows}) t(r, bucket)
 ),
 sketch AS (
-  SELECT seed, bucket, CAST(COUNT(*) AS BIGINT) AS cell_count
+  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cell_count
   FROM hashed GROUP BY 1, 2
 ),
 key_cells AS (
-  SELECT DISTINCT l_partkey, seed, bucket FROM hashed
+  SELECT DISTINCT l_partkey, r, bucket FROM hashed
 ),
 est AS (
   SELECT k.l_partkey, MIN(s.cell_count) AS cms_estimate
   FROM key_cells k
-  JOIN sketch s ON k.seed = s.seed AND k.bucket = s.bucket
+  JOIN sketch s ON k.r = s.r AND k.bucket = s.bucket
   GROUP BY 1
 )
 SELECT l_partkey, cms_estimate
@@ -505,6 +522,9 @@ FROM est
 ORDER BY cms_estimate DESC, l_partkey
 LIMIT 20
 """
+
+
+Q123_ORACLE = _q123_oracle()
 
 
 def q124_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
