@@ -88,6 +88,13 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = _BITS) -> Column:
     scan, not one per column."""
     if len(cols) < 2:
         raise ValueError("zorder_value needs at least 2 columns")
+    if len(cols) * bits > 62:
+        # checkable from the arguments alone — fail BEFORE launching
+        # the (potentially 100 TB) stats scan
+        raise ValueError(
+            f"{len(cols)} dims x {bits} bits = {len(cols) * bits} "
+            "z-bits exceeds a long"
+        )
     stats = df.agg(
         *[
             agg(_nan_safe(F.col(c).cast("double"))).alias(f"{which}_{i}")

@@ -20,10 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-
-def _dec(col) -> F.Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast("decimal(18,6)")
+from ..functions.numeric import dec18 as _dec
 
 
 def _state_aggs(measures: list[str]) -> list[F.Column]:

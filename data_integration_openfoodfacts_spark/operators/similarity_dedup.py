@@ -358,27 +358,43 @@ def incremental_minhash_dedup(
 
     ``corpus_bands`` is the stored index — (id_col, band, sig) as
     produced by :func:`minhash_band_signatures`. A new document is
-    dropped when ANY of its bands collides with the index (the same
-    candidate criterion as :func:`minhash_lsh_pairs`; callers needing
+    dropped when ANY of its bands collides with the index OR with a
+    LOWER-id document of the same batch (keep-first intra-batch rule —
+    without it, two copies arriving in one batch would both survive
+    and poison the index forever). The collision criterion is the
+    candidate-pair one of :func:`minhash_lsh_pairs`; callers needing
     verified-Jaccard precision re-check candidates with
-    ``exact_jaccard_for_pairs`` before dropping). Returns
+    ``exact_jaccard_for_pairs`` before dropping. Returns
     ``(survivors, updated_bands)`` where ``updated_bands`` is the
     index grown by the surviving documents' signatures — feed it to
     the next batch.
 
-    Scale: signature cost is |new batch| only; the collision check is
-    one (band, sig) equi join against the index (a semi join — no
-    pair explosion); the index update is a union, no recompute.
+    Scale: signature cost is |new batch| only — the batch signatures
+    are eagerly localCheckpointed so the two returned frames don't
+    recompute the shingle/md5 pipeline per consumer. The corpus check
+    is one (band, sig) semi join (no pair explosion); the intra-batch
+    check self-joins only the batch's own band table; the index
+    update is a union, no recompute.
     """
     new_bands = minhash_band_signatures(
         new_df, id_col, text_col, n, num_hashes, band_size
-    )
-    collided = (
+    ).localCheckpoint(eager=True)
+    vs_corpus = (
         new_bands.join(
             corpus_bands.select("band", "sig"), ["band", "sig"], "left_semi"
         )
         .select(id_col)
-        .distinct()
+    )
+    earlier = new_bands.select(
+        F.col(id_col).alias("__earlier_id"), "band", "sig"
+    )
+    vs_batch = (
+        new_bands.join(earlier, ["band", "sig"])
+        .filter(F.col("__earlier_id") < F.col(id_col))
+        .select(id_col)
+    )
+    collided = vs_corpus.unionByName(vs_batch).distinct().localCheckpoint(
+        eager=True
     )
     survivors = new_df.join(collided, id_col, "left_anti")
     updated_bands = corpus_bands.select(id_col, "band", "sig").unionByName(

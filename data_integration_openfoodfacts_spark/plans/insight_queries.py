@@ -18,12 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import dec18 as _dec
 from ..sources.parquet_source import load_events, load_table
-
-
-def _dec(col) -> F.Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast("decimal(18,6)")
 
 
 def q117_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,14 +669,13 @@ def q130_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side, like hopping windows), then ONE (day)-keyed exact
     distinct count — no per-day re-scan, no window-over-distinct.
 
-    Report days are clipped to the observed [min_day, max_day] span so
-    every output row is a real calendar day of the dataset."""
+    Report days are clipped to the observed max day so no trailing
+    window extends past the dataset (the low side needs no clip:
+    report_day >= d >= min_day by construction)."""
     ev = load_events(spark, sf_dir).select("user_id", "ts")
     didx = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
     days = ev.select("user_id", didx.alias("d")).distinct()
-    span = days.agg(
-        F.min("d").alias("lo"), F.max("d").alias("hi")
-    )
+    span = days.agg(F.max("d").alias("hi"))
     contrib = (
         days.select(
             "user_id",
@@ -703,7 +698,7 @@ WITH days AS (
               AS INT) AS d
   FROM events
 ),
-span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM days),
+span AS (SELECT MAX(d) AS hi FROM days),
 contrib AS (
   SELECT user_id, d + k.k AS report_day
   FROM days

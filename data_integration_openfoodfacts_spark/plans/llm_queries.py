@@ -1348,8 +1348,10 @@ def q128_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental batch-vs-corpus dedup: documents are split into an
     indexed 'corpus' (doc_id % 3 != 0) and an incoming 'batch'
     (doc_id % 3 == 0); the batch documents whose LSH bands collide
-    with the corpus index are dropped — signature work is batch-sized
-    only (`operators/similarity_dedup.py::incremental_minhash_dedup`).
+    with the corpus index — or with a lower-id batch document
+    (keep-first intra-batch rule) — are dropped; signature work is
+    batch-sized only
+    (`operators/similarity_dedup.py::incremental_minhash_dedup`).
     Output: the surviving new documents."""
     docs = load_table(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") % 3 != 0)
@@ -1393,7 +1395,9 @@ collided AS (
   SELECT DISTINCT nb.doc_id
   FROM bands nb
   JOIN bands ob ON nb.band = ob.band AND nb.sig = ob.sig
-  WHERE nb.doc_id % 3 = 0 AND ob.doc_id % 3 <> 0
+  WHERE nb.doc_id % 3 = 0
+    AND (ob.doc_id % 3 <> 0
+         OR (ob.doc_id % 3 = 0 AND ob.doc_id < nb.doc_id))
 )
 SELECT d.doc_id, d.lang, d.source
 FROM documents d

@@ -50,13 +50,28 @@ def test_merge_is_order_independent(spark):
 
 
 def test_refresh_cost_reads_only_summary(spark, tmp_path):
-    """The merge plan must scan the stored summary (tiny) + the batch —
-    never historical fact data (which no longer exists anywhere)."""
+    """The merge plan must scan the stored summary (tiny) + the new
+    batch — never the historical batch's source data."""
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
-    path = str(tmp_path / "mv")
+    hist_path = str(tmp_path / "hist_batch")
+    new_path = str(tmp_path / "new_batch")
+    orders.filter(F.col("o_orderkey") % 2 == 0).write.parquet(hist_path)
+    orders.filter(F.col("o_orderkey") % 2 == 1).write.parquet(new_path)
+    mv_path = str(tmp_path / "mv")
     refresh_materialized_summary(
-        spark, path, orders.limit(100), KEYS, MEASURES
+        spark, mv_path, spark.read.parquet(hist_path), KEYS, MEASURES
     )
-    stored = spark.read.parquet(path)
+    stored = spark.read.parquet(mv_path)
     assert stored.count() <= 5  # |priorities| rows, not |orders|
     assert "__n" in stored.columns
+    # the NEXT refresh's merge plan: only the summary + the new batch
+    merged = merge_summaries(
+        stored,
+        build_summary(spark.read.parquet(new_path), KEYS, MEASURES),
+        KEYS,
+        MEASURES,
+    )
+    # exactly two parquet scans: the stored summary + the new batch
+    # (paths are truncated in toString(), so count scan nodes instead)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2, plan

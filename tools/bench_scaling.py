@@ -2,10 +2,16 @@
 data grows K-fold (dims fixed, like a real warehouse)?
 
 Replicates the sf0.1 fact tables (lineitem, orders, events) K times
-with key remapping (each replica gets a disjoint key range, so group
-and join cardinalities scale realistically — K times MORE groups, not
-K-times-fatter groups), writes them once to a scratch dir, then times
-a probe set at 1x and Kx (min of 2 runs each, noop sink).
+with PRIMARY-key remapping (each replica gets a disjoint key range,
+so dedup-group and fact-to-fact-join cardinalities scale — K times
+MORE groups, not K-times-fatter), writes them once to a scratch dir,
+then times a probe set at 1x and Kx (min of 2 runs each, noop sink).
+
+Dimension FOREIGN keys (partkey/suppkey/custkey) are deliberately NOT
+shifted — dims stay fixed like a real warehouse, so dim joins remain
+valid at Kx. Event timestamps are also unshifted: time-window probes
+(q27) therefore measure the fatter-groups regime (same windows, K
+times the rows), which is the realistic shape for a fixed calendar.
 
 Sub-linear growth (ratio << K) is the evidence that fixed overheads
 amortize and the plans stay shuffle-minimal — the property that
@@ -40,10 +46,12 @@ PROBES = [
     "q112_shipmode_priority",
     "q123_cms_heavy_hitters",
 ]
-#: key columns shifted per replica so cardinalities scale, not skew
+#: PRIMARY/user keys shifted per replica so cardinalities scale; dim
+#: FKs (o_custkey, l_partkey, l_suppkey) stay in range of the copied,
+#: unreplicated dims so dim joins don't silently empty out at Kx.
 KEY_SHIFTS = {
     "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey", "o_custkey"],
+    "orders": ["o_orderkey"],
     "events": ["event_id", "user_id"],
 }
 SHIFT = 10**9
@@ -54,7 +62,11 @@ def replicate(spark, src: str, dst: str, k: int) -> None:
     for name in (
         "region nation customer supplier part documents embeddings".split()
     ):
-        shutil.copy(f"{src}/{name}.parquet", f"{dst}/{name}.parquet")
+        s, d = f"{src}/{name}.parquet", f"{dst}/{name}.parquet"
+        if os.path.isdir(s):  # Spark-written directory-form dataset
+            shutil.copytree(s, d, dirs_exist_ok=True)
+        else:
+            shutil.copy(s, d)
     for name, keys in KEY_SHIFTS.items():
         df = spark.read.parquet(f"{src}/{name}.parquet")
         rep = df.withColumn(
