@@ -1409,6 +1409,48 @@ WHERE d.doc_id % 3 = 0
 Q128_ORACLE = _q128_oracle()
 
 
+def q132_token_id_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids (`functions/tokenize.py`): build a 500-token
+    vocabulary by corpus frequency (dense ids, deterministic
+    count-DESC/token-ASC tiebreak) and encode every document as
+    (doc_id, pos, token_id) with OOV mapped to id 500 — the id-stream
+    shape a trainer consumes (a learned BPE merge table plugs into the
+    same two-operator pipeline).
+
+    Scale: vocab = one count agg + top-V rank (V rows, broadcast by
+    construction); encoding = narrow explode + broadcast join."""
+    from ..functions.tokenize import build_vocab, encode_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "doc_id", "text", vocab_size=500)
+    enc = encode_tokens(
+        docs, vocab, "doc_id", "text", unk_id=500
+    )
+    return enc.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "token_id"
+    )
+
+
+Q132_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS token
+  FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) + 1)) AS i) u
+  WHERE t[i] <> ''
+),
+vocab AS (
+  SELECT token,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) - 1
+              AS BIGINT) AS token_id
+  FROM (SELECT token, COUNT(*) AS cnt FROM pos GROUP BY 1)
+  QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) <= 500
+)
+SELECT p.doc_id, p.pos, COALESCE(v.token_id, 500) AS token_id
+FROM pos p
+LEFT JOIN vocab v USING (token)
+"""
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -1426,6 +1468,7 @@ LLM_QUERIES = {
     "q48_dataset_split": q48_dataset_split,
     "q49_curate_corpus": q49_curate_corpus,
     "q128_incremental_dedup": q128_incremental_dedup,
+    "q132_token_id_encoding": q132_token_id_encoding,
     "q50_document_chunks": q50_document_chunks,
     "q73_segment_dedup": q73_segment_dedup,
     "q74_embedding_quantization": q74_embedding_quantization,
@@ -1458,6 +1501,7 @@ LLM_ORACLES = {
     "q48_dataset_split": Q48_ORACLE,
     "q49_curate_corpus": Q49_ORACLE,
     "q128_incremental_dedup": Q128_ORACLE,
+    "q132_token_id_encoding": Q132_ORACLE,
     "q50_document_chunks": Q50_ORACLE,
     "q73_segment_dedup": Q73_ORACLE,
     "q74_embedding_quantization": Q74_ORACLE,

@@ -730,3 +730,31 @@ def test_fit_centroids_cached_reuses_fit(spark, monkeypatch):
     cl.fit_centroids_cached(emb, dataset_key="k2", k=4, max_iter=3)
     cl.fit_centroids_cached(emb, dataset_key="k1", k=5, max_iter=3)
     assert calls["n"] == 3
+
+
+def test_vocab_and_encoding_roundtrip(spark):
+    from data_integration_openfoodfacts_spark.functions.tokenize import (
+        build_vocab,
+        encode_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a  d")], "doc_id long, text string"
+    )
+    vocab = {r.token: r.token_id for r in build_vocab(
+        docs, "doc_id", "text", vocab_size=3
+    ).collect()}
+    # 'a' x3 is id 0; 'b'/'c'/'d' tie at 1 -> lexicographic: b=1, c=2,
+    # d falls outside V=3
+    assert vocab == {"a": 0, "b": 1, "c": 2}
+    enc = encode_tokens(
+        docs, build_vocab(docs, "doc_id", "text", 3), "doc_id", "text",
+        unk_id=3,
+    ).collect()
+    got = {(r.doc_id, r.pos): r.token_id for r in enc}
+    # doc 2 'a  d': double space -> empty token dropped, positions keep
+    # raw split indices (1, 3)
+    assert got == {
+        (1, 1): 0, (1, 2): 1, (1, 3): 0, (1, 4): 2,
+        (2, 1): 0, (2, 3): 3,
+    }
