@@ -39,10 +39,15 @@ def build_vocab(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # top-V first via orderBy+limit (TakeOrderedAndProject — a
+    # DISTRIBUTED partial top-k, map-side pruned), THEN the dense-rank
+    # window over only V rows. A global rank window over all distinct
+    # tokens would be a single-partition sort of the whole vocabulary
+    # candidate space — the scale bottleneck this avoids.
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(vocab_size)
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
     return (
-        counts.withColumn("token_id", F.row_number().over(w) - 1)
-        .filter(F.col("token_id") < vocab_size)
+        top.withColumn("token_id", F.row_number().over(w) - 1)
         .select("token", F.col("token_id").cast("long").alias("token_id"))
     )
 

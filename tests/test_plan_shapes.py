@@ -230,3 +230,10 @@ def test_q108_min_cost_joins_broadcast(spark):
     plan = plan_of(spark, "q108_min_cost_supplier")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q132_vocab_rank_is_take_ordered_not_global_sort(spark):
+    """The vocab top-V must plan as TakeOrderedAndProject (distributed
+    partial top-k); the rank window runs over only V rows."""
+    plan = plan_of(spark, "q132_token_id_encoding")
+    assert "TakeOrderedAndProject" in plan
