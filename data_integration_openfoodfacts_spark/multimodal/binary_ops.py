@@ -175,3 +175,68 @@ def sample_frames(
             F.col("payload"), F.col("frame_idx") * frame_bytes + 1, frame_bytes
         ).alias("frame_bytes"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("out_width", LongType()),
+        StructField("out_height", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, out_w: int = 8, out_h: int = 8, fake: bool = False
+) -> DataFrame:
+    """Nearest-neighbor image resize via mapInPandas — the Spark-side
+    plumbing (schema, batching, per-row numpy) is real; only the codec
+    is stubbed. ``fake=False`` raises NotImplementedError inside the
+    UDF (a real deployment decodes with PIL there); the fake path
+    materializes the SAME (h, w, c) pixel buffer the stub decode
+    implies (payload bytes tiled to w*h*c) and runs the real
+    nearest-neighbor index-gather over it, so the resampling math is
+    fully exercised and deterministic without any codec.
+
+    Scale: narrow Arrow-batched transform, no shuffle; output rows
+    carry out_w*out_h*c bytes regardless of input size (the decode
+    buffer never leaves the task)."""
+
+    def resize_batches(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def _one(payload):
+            if payload is None:
+                return (None, None, None, None)
+            if not fake:
+                raise NotImplementedError(
+                    "media codecs unavailable in this container; "
+                    "pass fake=True for the deterministic stub decode"
+                )
+            n = len(payload)
+            w, h, c = n % 640 + 1, n % 480 + 1, 3
+            raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+            buf = np.resize(raw, w * h * c).reshape(h, w, c)
+            yi = (np.arange(out_h) * h) // out_h
+            xi = (np.arange(out_w) * w) // out_w
+            out = buf[yi][:, xi]
+            return (out_w, out_h, c, out.tobytes())
+
+        for pdf in batches:
+            res = [_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "out_width": [r[0] for r in res],
+                    "out_height": [r[1] for r in res],
+                    "n_channels": [r[2] for r in res],
+                    "pixels": [r[3] for r in res],
+                }
+            )
+
+    return df.mapInPandas(resize_batches, RESIZED_SCHEMA)

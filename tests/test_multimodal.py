@@ -57,3 +57,50 @@ def test_frame_sampling_shapes(media):
     # only video media produce frames
     types = {r["media_id"] % 3 for r in rows}
     assert types == {2}
+
+
+def test_resize_media_nearest_neighbor_math(spark):
+    import numpy as np
+
+    from data_integration_openfoodfacts_spark.multimodal.binary_ops import (
+        attach_fake_media,
+        resize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 37), (2, None)], "doc_id long, text string"
+    )
+    media = attach_fake_media(docs, "doc_id", "text")
+    rows = {
+        r.media_id: r
+        for r in resize_media(media, out_w=4, out_h=3, fake=True).collect()
+    }
+    r = rows[1]
+    assert (r.out_width, r.out_height, r.n_channels) == (4, 3, 3)
+    assert len(r.pixels) == 4 * 3 * 3
+    # reproduce the gather locally from the same stub buffer
+    payload = b"x" * 37
+    n = len(payload)
+    w, h, c = n % 640 + 1, n % 480 + 1, 3
+    buf = np.resize(
+        np.frombuffer(payload, dtype=np.uint8), w * h * c
+    ).reshape(h, w, c)
+    yi = (np.arange(3) * h) // 3
+    xi = (np.arange(4) * w) // 4
+    assert bytes(r.pixels) == buf[yi][:, xi].tobytes()
+    assert rows[2].pixels is None, "NULL payload -> NULL pixels, no crash"
+
+
+def test_resize_media_real_codec_path_raises(spark):
+    import pytest as _pytest
+
+    from data_integration_openfoodfacts_spark.multimodal.binary_ops import (
+        attach_fake_media,
+        resize_media,
+    )
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with _pytest.raises(Exception, match="NotImplementedError|codecs"):
+        resize_media(
+            attach_fake_media(docs, "doc_id", "text"), fake=False
+        ).collect()
