@@ -66,3 +66,23 @@ def table_diff(
             .alias("status"),
         )
     )
+
+
+def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-independent whole-table content checksum: one row with
+    (n_rows, checksum) where checksum is the EXACT decimal sum over
+    rows of the 60-bit md5 of the NULL-safe row serialization. Two
+    tables have equal (n_rows, checksum) iff their row multisets agree
+    (up to md5 collisions) — the cheap cross-environment migration
+    check that needs no data movement and no sort: one scan, one
+    map-side-combined aggregate, an 8-byte answer.
+
+    Same float caveat as :func:`row_fingerprint` — quantize doubles
+    before checksumming across engines."""
+    fp60 = F.conv(
+        F.substring(row_fingerprint(cols), 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(fp60).cast("decimal(38,0)").alias("checksum"),
+    )

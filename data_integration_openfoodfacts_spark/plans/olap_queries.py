@@ -728,8 +728,45 @@ SELECT node, rank_micros FROM r3
 """
 
 
+
+
+def q133_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum of orders (key + status +
+    priority + custkey): `operators/diff.py::table_checksum` — the
+    one-scan migration-validation primitive (equal row multisets <=>
+    equal (n_rows, checksum), up to md5 collisions). The DuckDB twin
+    recomputes the identical 60-bit row hashes and exact decimal sum,
+    proving the checksum is engine-portable — exactly what a
+    cross-system migration check needs."""
+    from ..operators.diff import table_checksum
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = table_checksum(
+        orders, ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"]
+    )
+    # checksum emitted as its exact digit string: DuckDB downcasts
+    # DECIMAL(38) to float64 in pandas, which would corrupt the compare
+    return out.select(
+        "n_rows", F.col("checksum").cast("string").alias("checksum")
+    )
+
+
+_CK_COLS = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"]
+_CK_PARTS = ", ".join(
+    f"COALESCE(CAST({c} AS VARCHAR), chr(0) || '<null>')" for c in _CK_COLS
+)
+Q133_ORACLE = f"""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(concat('0x',
+                substring(md5(concat_ws(chr(31), {_CK_PARTS})), 1, 15))
+            AS BIGINT)) AS VARCHAR) AS checksum
+FROM orders
+"""
+
+
 OLAP_QUERIES = {
     "q79_grouping_sets": q79_grouping_sets,
+    "q133_table_checksum": q133_table_checksum,
     "q80_blocked_fuzzy_match": q80_blocked_fuzzy_match,
     "q81_table_diff": q81_table_diff,
     "q84_quantile_binning": q84_quantile_binning,
@@ -749,6 +786,7 @@ OLAP_QUERIES = {
 
 OLAP_ORACLES = {
     "q79_grouping_sets": Q79_ORACLE,
+    "q133_table_checksum": Q133_ORACLE,
     "q81_table_diff": Q81_ORACLE,
     "q84_quantile_binning": Q84_ORACLE,
     "q86_cheapest_order_per_customer": Q86_ORACLE,

@@ -57,3 +57,22 @@ def test_diff_counts_are_symmetric(spark):
     assert f.get("removed", 0) == r.get("added", 0)
     assert f.get("added", 0) == r.get("removed", 0)
     assert f.get("changed", 0) == r.get("changed", 0)
+
+
+def test_table_checksum_order_and_partition_invariant(spark):
+    from data_integration_openfoodfacts_spark.operators.diff import (
+        table_checksum,
+    )
+
+    rows = [(1, "a"), (2, None), (3, "c")]
+    a = spark.createDataFrame(rows, "k long, v string")
+    b = spark.createDataFrame(list(reversed(rows)), "k long, v string").repartition(7)
+    ca = table_checksum(a, ["k", "v"]).first()
+    cb = table_checksum(b, ["k", "v"]).first()
+    assert (ca.n_rows, ca.checksum) == (cb.n_rows, cb.checksum)
+    # any single-value change moves the checksum
+    c = spark.createDataFrame(
+        [(1, "a"), (2, "x"), (3, "c")], "k long, v string"
+    )
+    cc = table_checksum(c, ["k", "v"]).first()
+    assert cc.checksum != ca.checksum
