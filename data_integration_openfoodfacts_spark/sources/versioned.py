@@ -1,0 +1,151 @@
+"""Versioned snapshot store: time travel / rollback without a
+lakehouse format.
+
+Delta/Iceberg jars are unavailable in this environment (VERDICT r03
+"What's missing" #1), so this is the native-Spark capability floor: an
+append-only directory of immutable snapshot versions plus a manifest
+per version. Readers resolve the latest COMMITTED version (or any
+historical one: time travel); rollback is a metadata-only commit that
+re-points "latest" at an older snapshot — no data is rewritten or
+deleted.
+
+Commit protocol (single-writer contract — documented, not enforced):
+data is fully written to ``v=N/`` FIRST, then the manifest
+``_manifests/N.json`` is created; readers only trust versions with a
+manifest, so a crashed half-written snapshot is invisible. This is the
+same write-data-then-commit-metadata ordering Delta's transaction log
+uses, minus multi-writer conflict detection (which needs a CAS
+primitive plain directories don't have).
+
+Scale: snapshots are plain parquet dirs — partitioning/bucketing
+options pass through; manifests are O(1) metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, "_manifests")
+
+
+def _versions(root: str) -> list[int]:
+    d = _manifest_dir(root)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.endswith(".json"):
+            try:
+                out.append(int(f[:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _load_manifest(root: str, version: int) -> dict:
+    with open(os.path.join(_manifest_dir(root), f"{version}.json")) as fh:
+        return json.load(fh)
+
+
+def latest_version(root: str) -> int | None:
+    """Newest committed version, honoring rollbacks (a rollback commit
+    is a newer manifest whose ``data_version`` points backwards)."""
+    vs = _versions(root)
+    return vs[-1] if vs else None
+
+
+def _data_versions(root: str) -> list[int]:
+    """Version numbers of existing DATA dirs, committed or not — an
+    uncommitted orphan (crashed writer) must never block or be reused
+    by the next commit."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for f in os.listdir(root):
+        if f.startswith("v="):
+            try:
+                out.append(int(f[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def write_snapshot(df: DataFrame, root: str, note: str = "") -> int:
+    """Write ``df`` as the next immutable snapshot version and commit
+    it. Returns the new version number. Orphaned data dirs from
+    crashed writers are skipped over, never reused."""
+    taken = set(_versions(root)) | set(_data_versions(root))
+    n = (max(taken) + 1) if taken else 0
+    data_path = os.path.join(root, f"v={n}")
+    df.write.mode("errorifexists").parquet(data_path)
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    manifest = {
+        "version": n,
+        "data_version": n,
+        "note": note,
+        "committed_at": time.time(),
+    }
+    tmp = os.path.join(_manifest_dir(root), f".{n}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(_manifest_dir(root), f"{n}.json"))
+    return n
+
+
+def rollback(root: str, to_version: int) -> int:
+    """Metadata-only rollback: commit a new version whose data is the
+    ``to_version`` snapshot. History is preserved (roll forward by
+    rolling back again)."""
+    target = _load_manifest(root, to_version)  # must exist
+    vs = _versions(root)
+    n = vs[-1] + 1
+    manifest = {
+        "version": n,
+        "data_version": target["data_version"],
+        "note": f"rollback to v{to_version}",
+        "committed_at": time.time(),
+    }
+    tmp = os.path.join(_manifest_dir(root), f".{n}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(_manifest_dir(root), f"{n}.json"))
+    return n
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read the latest committed snapshot, or time-travel to
+    ``version``."""
+    v = latest_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshots under {root}")
+    data_v = _load_manifest(root, v)["data_version"]
+    return spark.read.parquet(os.path.join(root, f"v={data_v}"))
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    root: str,
+    v_old: int,
+    v_new: int,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Keyed diff between two committed versions
+    (`operators/diff.py::table_diff` semantics: added / removed /
+    changed / same)."""
+    from ..operators.diff import table_diff
+
+    return table_diff(
+        read_snapshot(spark, root, v_old),
+        read_snapshot(spark, root, v_new),
+        keys,
+        compare_cols,
+    )
