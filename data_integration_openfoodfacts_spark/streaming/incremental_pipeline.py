@@ -125,6 +125,7 @@ def run_incremental_pipeline(
     csv_dir: str,
     work_dir: str,
     maintain_product_history: bool = True,
+    versioned_gold: bool = False,
 ) -> None:
     """Process all pending CSV drops (availableNow), maintaining
     ``{work_dir}/silver`` and ``{work_dir}/gold/<table>`` parquet stores.
@@ -138,7 +139,13 @@ def run_incremental_pipeline(
     is_current over ``last_modified_t`` — the Type-2 answer to "what was
     this product's brand last year" that the Type-1 keep-latest Silver
     cannot give (the reference's designed-but-unbuilt history mode,
-    architecture_notes.md:263-331)."""
+    architecture_notes.md:263-331).
+
+    With ``versioned_gold``, each batch COMMITS the gold tables as a
+    new snapshot version (`sources/versioned.py`) instead of
+    overwriting in place — per-drop time travel, metadata-only
+    rollback, and `snapshot_diff` between loads, the audit trail a
+    lakehouse table format would provide."""
     silver_path = f"{work_dir}/silver"
 
     def process(batch: DataFrame, _batch_id: int) -> None:
@@ -159,7 +166,14 @@ def run_incremental_pipeline(
             )
         gold = build_gold(batch.sparkSession.read.parquet(silver_path))
         for name, df in gold.items():
-            overwrite_parquet_atomically(df, f"{work_dir}/gold/{name}")
+            if versioned_gold:
+                from ..sources.versioned import write_snapshot
+
+                write_snapshot(
+                    df, f"{work_dir}/gold/{name}", note=f"batch {_batch_id}"
+                )
+            else:
+                overwrite_parquet_atomically(df, f"{work_dir}/gold/{name}")
 
     (
         read_bronze_stream(spark, csv_dir)

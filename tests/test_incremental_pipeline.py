@@ -111,3 +111,36 @@ def test_product_history_tracks_versions(incremental):
     for code in ("0002", "0003"):
         (only,) = by_code[code]
         assert only["is_current"] and only["version"] == 1
+
+
+def test_versioned_gold_gives_per_drop_history(spark, tmp_path):
+    """versioned_gold=True: each drop commits a gold snapshot version —
+    time travel across loads + diff between them."""
+    from data_integration_openfoodfacts_spark.sources.versioned import (
+        latest_version,
+        read_snapshot,
+        snapshot_diff,
+    )
+
+    src = str(tmp_path / "drops")
+    work = str(tmp_path / "work")
+    os.makedirs(src)
+    with open(os.path.join(src, "drop1.tsv"), "w", encoding="utf-8") as f:
+        f.write(HEADER + "\n" + "\n".join(DROP1) + "\n")
+    run_incremental_pipeline(spark, src, work, versioned_gold=True)
+    with open(os.path.join(src, "drop2.tsv"), "w", encoding="utf-8") as f:
+        f.write(HEADER + "\n" + "\n".join(DROP2) + "\n")
+    run_incremental_pipeline(spark, src, work, versioned_gold=True)
+
+    root = f"{work}/gold/dim_product"
+    assert latest_version(root) == 1
+    v0 = read_snapshot(spark, root, 0).count()
+    v1 = read_snapshot(spark, root).count()
+    assert v1 > v0, "second drop adds products to the latest snapshot"
+    st = {
+        r.status
+        for r in snapshot_diff(
+            spark, root, 0, 1, ["code"], ["product_name"]
+        ).collect()
+    }
+    assert "added" in st
