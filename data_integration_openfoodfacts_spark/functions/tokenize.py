@@ -61,8 +61,15 @@ def encode_tokens(
 ) -> DataFrame:
     """(id, pos, token_id) — each document's token stream encoded
     against ``vocab``; out-of-vocabulary tokens map to ``unk_id``
-    (default: |vocab|, the next free id)."""
+    (default: |vocab|, the next free id).
+
+    Prefer passing ``unk_id`` explicitly (callers know their
+    vocab_size); the default derives it with a count(), which
+    materializes the vocab once (eager localCheckpoint) so the count
+    and the broadcast join share ONE computation instead of re-running
+    the full corpus aggregation per consumer."""
     if unk_id is None:
+        vocab = vocab.localCheckpoint(eager=True)
         unk_id = vocab.count()
     toks = tokens_with_pos(df, id_col, text_col)
     return toks.join(F.broadcast(vocab), "token", "left").select(

@@ -72,6 +72,20 @@ def attach_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: stub decode contract shared by decode_media and resize_media — ONE
+#: definition so the two can't silently desynchronize
+_STUB_CODEC_MSG = (
+    "media codecs unavailable in this container; "
+    "pass fake=True for the deterministic stub decode"
+)
+
+
+def _stub_dims(n_bytes: int) -> tuple[int, int, int]:
+    """Deterministic (width, height, channels) implied by the payload
+    byte length."""
+    return (n_bytes % 640 + 1, n_bytes % 480 + 1, 3)
+
+
 DECODED_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -98,12 +112,8 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
             if payload is None:
                 return (None, None, None)  # undecodable row, not a crash
             if not fake_flag:
-                raise NotImplementedError(
-                    "media codecs unavailable in this container; "
-                    "pass fake=True for the deterministic stub decode"
-                )
-            n = len(payload)
-            return (n % 640 + 1, n % 480 + 1, 3)
+                raise NotImplementedError(_STUB_CODEC_MSG)
+            return _stub_dims(len(payload))
 
         for pdf in batches:
             dims = [_decode_one(p, fake) for p in pdf["payload"]]
@@ -213,12 +223,8 @@ def resize_media(
             if payload is None:
                 return (None, None, None, None)
             if not fake:
-                raise NotImplementedError(
-                    "media codecs unavailable in this container; "
-                    "pass fake=True for the deterministic stub decode"
-                )
-            n = len(payload)
-            w, h, c = n % 640 + 1, n % 480 + 1, 3
+                raise NotImplementedError(_STUB_CODEC_MSG)
+            w, h, c = _stub_dims(len(payload))
             raw = np.frombuffer(bytes(payload), dtype=np.uint8)
             buf = np.resize(raw, w * h * c).reshape(h, w, c)
             yi = (np.arange(out_h) * h) // out_h

@@ -68,21 +68,38 @@ def table_diff(
     )
 
 
+#: prime modulus for the checksum's second moment (< 2^30 so the
+#: square stays within BIGINT range in every engine)
+_CK_P = 1073741789
+
+
 def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
     """Order-independent whole-table content checksum: one row with
-    (n_rows, checksum) where checksum is the EXACT decimal sum over
-    rows of the 60-bit md5 of the NULL-safe row serialization. Two
-    tables have equal (n_rows, checksum) iff their row multisets agree
-    (up to md5 collisions) — the cheap cross-environment migration
-    check that needs no data movement and no sort: one scan, one
-    map-side-combined aggregate, an 8-byte answer.
+    (n_rows, checksum, checksum_sq) — the exact decimal sums of the
+    60-bit md5 row hash and of its squared residue mod a prime. One
+    scan, one map-side-combined aggregate, a fixed-size answer: the
+    cheap cross-environment migration check with no data movement.
+
+    Collision honesty: equal row multisets => equal outputs, but the
+    converse is NOT an iff. An additive checksum can collide without
+    any md5 collision (hash multisets {1,4} vs {2,3} share a sum);
+    matching the second moment too forces both the sum and the sum of
+    squares to agree, which random or accidental divergence
+    essentially never does — but a determined adversary still could.
+    Treat equality as very strong evidence, not proof.
 
     Same float caveat as :func:`row_fingerprint` — quantize doubles
     before checksumming across engines."""
     fp60 = F.conv(
         F.substring(row_fingerprint(cols), 1, 15), 16, 10
-    ).cast("decimal(38,0)")
+    ).cast("long")
+    res = fp60 % F.lit(_CK_P)
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(fp60).cast("decimal(38,0)").alias("checksum"),
+        F.sum(fp60.cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("checksum"),
+        F.sum((res * res).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("checksum_sq"),
     )

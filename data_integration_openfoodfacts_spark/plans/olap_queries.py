@@ -744,10 +744,12 @@ def q133_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = table_checksum(
         orders, ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"]
     )
-    # checksum emitted as its exact digit string: DuckDB downcasts
+    # checksums emitted as exact digit strings: DuckDB downcasts
     # DECIMAL(38) to float64 in pandas, which would corrupt the compare
     return out.select(
-        "n_rows", F.col("checksum").cast("string").alias("checksum")
+        "n_rows",
+        F.col("checksum").cast("string").alias("checksum"),
+        F.col("checksum_sq").cast("string").alias("checksum_sq"),
     )
 
 
@@ -756,11 +758,17 @@ _CK_PARTS = ", ".join(
     f"COALESCE(CAST({c} AS VARCHAR), chr(0) || '<null>')" for c in _CK_COLS
 )
 Q133_ORACLE = f"""
+WITH h AS (
+  SELECT CAST(concat('0x',
+              substring(md5(concat_ws(chr(31), {_CK_PARTS})), 1, 15))
+         AS BIGINT) AS fp
+  FROM orders
+)
 SELECT COUNT(*) AS n_rows,
-       CAST(SUM(CAST(concat('0x',
-                substring(md5(concat_ws(chr(31), {_CK_PARTS})), 1, 15))
-            AS BIGINT)) AS VARCHAR) AS checksum
-FROM orders
+       CAST(SUM(fp) AS VARCHAR) AS checksum,
+       CAST(SUM((fp % 1073741789) * (fp % 1073741789)) AS VARCHAR)
+         AS checksum_sq
+FROM h
 """
 
 

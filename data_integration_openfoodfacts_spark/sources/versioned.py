@@ -19,6 +19,13 @@ primitive plain directories don't have).
 
 Scale: snapshots are plain parquet dirs — partitioning/bucketing
 options pass through; manifests are O(1) metadata.
+
+LIMITATION (enforced): manifest bookkeeping uses the LOCAL
+filesystem; a remote ``hdfs://``/``s3a://`` root would split-brain
+(data remote, manifests local), so URI-scheme roots are rejected.
+Porting to a remote store means swapping the os.* manifest calls for
+the Hadoop FileSystem API (what ``overwrite_parquet_atomically``
+does).
 """
 
 from __future__ import annotations
@@ -28,6 +35,22 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _check_local(root: str) -> None:
+    if "://" in root:
+        raise ValueError(
+            "versioned store supports local filesystem roots only "
+            f"(got {root!r}); manifest commits use os.* — see module "
+            "docstring for the Hadoop-FS porting note"
+        )
+
+
+def is_versioned_root(root: str) -> bool:
+    """True if ``root`` carries (or is ready to carry) snapshot
+    manifests — used by writers to refuse mixing plain-overwrite and
+    versioned layouts on one path."""
+    return os.path.isdir(_manifest_dir(root))
 
 
 def _manifest_dir(root: str) -> str:
@@ -51,6 +74,14 @@ def _versions(root: str) -> list[int]:
 def _load_manifest(root: str, version: int) -> dict:
     with open(os.path.join(_manifest_dir(root), f"{version}.json")) as fh:
         return json.load(fh)
+
+
+def latest_note(root: str) -> str | None:
+    """Note string of the newest committed version (None if empty) —
+    lets retrying writers detect an already-committed unit of work and
+    skip it (see the CDC pipeline's per-batch idempotency)."""
+    v = latest_version(root)
+    return None if v is None else _load_manifest(root, v).get("note")
 
 
 def latest_version(root: str) -> int | None:
@@ -80,6 +111,7 @@ def write_snapshot(df: DataFrame, root: str, note: str = "") -> int:
     """Write ``df`` as the next immutable snapshot version and commit
     it. Returns the new version number. Orphaned data dirs from
     crashed writers are skipped over, never reused."""
+    _check_local(root)
     taken = set(_versions(root)) | set(_data_versions(root))
     n = (max(taken) + 1) if taken else 0
     data_path = os.path.join(root, f"v={n}")
@@ -102,6 +134,7 @@ def rollback(root: str, to_version: int) -> int:
     """Metadata-only rollback: commit a new version whose data is the
     ``to_version`` snapshot. History is preserved (roll forward by
     rolling back again)."""
+    _check_local(root)
     target = _load_manifest(root, to_version)  # must exist
     vs = _versions(root)
     n = vs[-1] + 1

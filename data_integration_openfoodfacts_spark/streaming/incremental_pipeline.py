@@ -145,8 +145,47 @@ def run_incremental_pipeline(
     new snapshot version (`sources/versioned.py`) instead of
     overwriting in place — per-drop time travel, metadata-only
     rollback, and `snapshot_diff` between loads, the audit trail a
-    lakehouse table format would provide."""
+    lakehouse table format would provide. Commits are idempotent per
+    micro-batch (a foreachBatch retry that already committed its
+    ``batch <id>`` snapshot skips, so at-least-once redelivery can't
+    double-version), and the SCD2 history store gets a per-batch
+    snapshot too (``gold/dim_product_history_snapshots`` — the
+    maintenance store itself stays read-merge-overwrite). The two
+    layouts refuse to mix: running either mode against a gold root
+    written by the other raises instead of silently destroying
+    history."""
     silver_path = f"{work_dir}/silver"
+
+    def _commit_versioned(df: DataFrame, root: str, batch_id: int) -> None:
+        """Idempotent per-batch snapshot commit: a foreachBatch retry
+        whose snapshot already landed (same batch note) skips."""
+        from ..sources.versioned import latest_note, write_snapshot
+
+        note = f"batch {batch_id}"
+        if latest_note(root) != note:
+            write_snapshot(df, root, note=note)
+
+    def _guard_layout(root: str) -> None:
+        from ..sources.versioned import is_versioned_root
+
+        import os
+
+        if versioned_gold:
+            plain = os.path.isdir(root) and not is_versioned_root(root)
+            if plain and any(
+                not f.startswith(("v=", "_", "."))
+                for f in os.listdir(root)
+            ):
+                raise ValueError(
+                    f"{root} holds a plain-overwrite gold table; refusing "
+                    "versioned_gold=True on top of it (move it aside first)"
+                )
+        elif is_versioned_root(root):
+            raise ValueError(
+                f"{root} is a versioned snapshot store; running with "
+                "versioned_gold=False would destroy its history — pass "
+                "versioned_gold=True (or move the store aside)"
+            )
 
     def process(batch: DataFrame, _batch_id: int) -> None:
         from ..operators.scd import scd2_merge_batch
@@ -156,24 +195,33 @@ def run_incremental_pipeline(
             return
         cleansed = build_silver(batch)
         merge_silver_batch(cleansed, silver_path)
+        history_path = f"{work_dir}/gold/dim_product_history"
         if maintain_product_history:
             scd2_merge_batch(
                 cleansed,
-                f"{work_dir}/gold/dim_product_history",
+                history_path,
                 keys=["code"],
                 order_col="last_modified_t",
                 tracked_cols=SCD2_TRACKED_PRODUCT_COLS,
             )
         gold = build_gold(batch.sparkSession.read.parquet(silver_path))
+        spark_b = batch.sparkSession
         for name, df in gold.items():
+            root = f"{work_dir}/gold/{name}"
+            _guard_layout(root)
             if versioned_gold:
-                from ..sources.versioned import write_snapshot
-
-                write_snapshot(
-                    df, f"{work_dir}/gold/{name}", note=f"batch {_batch_id}"
-                )
+                _commit_versioned(df, root, _batch_id)
             else:
-                overwrite_parquet_atomically(df, f"{work_dir}/gold/{name}")
+                overwrite_parquet_atomically(df, root)
+        if versioned_gold and maintain_product_history:
+            # the history's own maintenance store is read-merge-
+            # overwrite by design; snapshot its post-merge state so the
+            # history table is time-travelable like every other gold
+            _commit_versioned(
+                spark_b.read.parquet(history_path),
+                f"{work_dir}/gold/dim_product_history_snapshots",
+                _batch_id,
+            )
 
     (
         read_bronze_stream(spark, csv_dir)

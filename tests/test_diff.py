@@ -69,7 +69,9 @@ def test_table_checksum_order_and_partition_invariant(spark):
     b = spark.createDataFrame(list(reversed(rows)), "k long, v string").repartition(7)
     ca = table_checksum(a, ["k", "v"]).first()
     cb = table_checksum(b, ["k", "v"]).first()
-    assert (ca.n_rows, ca.checksum) == (cb.n_rows, cb.checksum)
+    assert (ca.n_rows, ca.checksum, ca.checksum_sq) == (
+        cb.n_rows, cb.checksum, cb.checksum_sq
+    )
     # any single-value change moves the checksum
     c = spark.createDataFrame(
         [(1, "a"), (2, "x"), (3, "c")], "k long, v string"

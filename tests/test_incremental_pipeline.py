@@ -144,3 +144,24 @@ def test_versioned_gold_gives_per_drop_history(spark, tmp_path):
         ).collect()
     }
     assert "added" in st
+
+
+def test_mode_flip_on_versioned_store_refuses(spark, tmp_path):
+    """versioned_gold=False on a versioned gold root must raise, not
+    silently destroy the snapshot history."""
+    src = str(tmp_path / "drops")
+    work = str(tmp_path / "work")
+    os.makedirs(src)
+    with open(os.path.join(src, "drop1.tsv"), "w", encoding="utf-8") as f:
+        f.write(HEADER + "\n" + "\n".join(DROP1) + "\n")
+    run_incremental_pipeline(spark, src, work, versioned_gold=True)
+    with open(os.path.join(src, "drop2.tsv"), "w", encoding="utf-8") as f:
+        f.write(HEADER + "\n" + "\n".join(DROP2) + "\n")
+    with pytest.raises(Exception, match="versioned snapshot store"):
+        run_incremental_pipeline(spark, src, work)  # default: plain mode
+    # history intact after the refusal
+    from data_integration_openfoodfacts_spark.sources.versioned import (
+        latest_version,
+    )
+
+    assert latest_version(f"{work}/gold/dim_product") == 0
