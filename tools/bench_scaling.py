@@ -43,6 +43,8 @@ PROBES = [
     "q14_derived_measures",
     "q27_windowed_event_stats",
     "q32_pricing_summary",
+    "q33_shipping_priority",
+    "q99_returned_items",
     "q112_shipmode_priority",
     "q123_cms_heavy_hitters",
 ]
