@@ -56,6 +56,132 @@ def fit_centroids(
     )
 
 
+def fit_centroids_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic, engine-portable Lloyd's KMeans: every arithmetic
+    step is exact integer math, so a DuckDB oracle that unrolls the
+    same ``n_iters`` iterations reproduces the centroids bit-for-bit
+    (the q104 PageRank fixed-point pattern applied to clustering).
+
+    Recipe (mirrored 1:1 by ``plans/llm_queries._lloyd_cents_sql``):
+      1. quantize each embedding to integer micros:
+         ``FLOOR(x * 1e6 + 0.5)`` — one deterministic rounding, after
+         which no float ever enters the fit;
+      2. init: the k vectors with the smallest ``(md5(id), id)`` —
+         a data-derived pseudo-random sample both engines agree on;
+      3. each iteration: assign every vector to the centroid with the
+         smallest integer squared-Euclidean distance (tiebreak
+         centroid_id asc), then recompute each centroid as the exact
+         floor-division mean ``(s - pmod(s, n)) DIV n`` per dimension;
+         a centroid that owns no vectors keeps its previous center.
+
+    Scale posture: the assignment is a NARROW whole-stage-codegen
+    expression — the k centers ship as a literal array-of-structs
+    (k*dim ints), ``array_min`` picks the (d2, cid) argmin per row with
+    zero shuffle. The update is one (centroid_id, pos) groupBy with
+    map-side combine (k*dim output groups) per iteration; the driver
+    collects only those k*dim aggregate rows per round (the same
+    bounded-collect contract as ``pca.py``). The quantized corpus is
+    localCheckpointed once and re-read by all iterations.
+
+    Exactness bounds: |micros| <= ~1e6 for unit-scale embeddings, so
+    d2 <= dim * 4e12 and per-cluster sums stay far inside int64; the
+    floor-division operands are exactly divisible by construction, so
+    Spark's DIV (truncating) and DuckDB's ``//`` agree regardless of
+    sign. Returns (centroid_id long, centroid_vec array<double>) with
+    centroid_vec = micros / 1e6 — exact in both engines.
+    """
+    from pyspark.sql.types import ArrayType, LongType, StructField
+    from pyspark.sql.types import StructType
+
+    spark = embeddings.sparkSession
+    q = embeddings.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    ).localCheckpoint(eager=True)
+
+    seeds = (
+        q.withColumn("h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("h", id_col)
+        .limit(k)
+        .collect()
+    )
+    centers: list[tuple[int, list[int]]] = [
+        (cid, list(r["qv"])) for cid, r in enumerate(seeds)
+    ]
+
+    def _assigned(centers_now):
+        # One F.expr string instead of ~k*dim F.lit calls: building the
+        # centers literal column-by-column costs hundreds of py4j round
+        # trips PER ITERATION (measured ~1.4s/iter of pure driver
+        # overhead at 500 rows); the SQL parser swallows the same
+        # literal in one call.
+        structs = ", ".join(
+            "struct({cid}L AS cid, array({vs}) AS cv)".format(
+                cid=cid, vs=", ".join(f"{int(v)}L" for v in vec)
+            )
+            for cid, vec in centers_now
+        )
+        best = F.expr(
+            f"array_min(transform(array({structs}), c -> struct("
+            "aggregate(zip_with(qv, c.cv, (x, y) -> (x - y) * (x - y)), "
+            "0L, (acc, x) -> acc + x) AS d2, c.cid AS cid))).cid"
+        )
+        return q.select(F.col(id_col), "qv", best.alias("centroid_id"))
+
+    for _ in range(n_iters):
+        means = (
+            _assigned(centers)
+            .select("centroid_id", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "centroid_id",
+                "pos",
+                F.expr("(s - pmod(s, n)) DIV n").alias("m"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in means:
+            by_cid.setdefault(r["centroid_id"], {})[r["pos"]] = r["m"]
+        centers = [
+            (
+                cid,
+                [by_cid[cid][p] for p in range(len(vec))]
+                if cid in by_cid
+                else vec,
+            )
+            for cid, vec in centers
+        ]
+
+    schema = StructType(
+        [
+            StructField("centroid_id", LongType()),
+            StructField("centroid_micros", ArrayType(LongType())),
+        ]
+    )
+    out = spark.createDataFrame(
+        [(cid, vec) for cid, vec in centers], schema
+    )
+    return out.select(
+        "centroid_id",
+        F.transform(
+            "centroid_micros", lambda v: v.cast("double") / 1000000.0
+        ).alias("centroid_vec"),
+    )
+
+
 # Driver-side memo of fitted centers: (applicationId, dataset_key, k,
 # max_iter, seed) -> [(centroid_id, centroid_vec)]. The fit is
 # deterministic for fixed input + seed, and the centers are k small

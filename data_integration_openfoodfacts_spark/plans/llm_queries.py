@@ -938,20 +938,118 @@ QUALIFY rank <= 5
 
 
 def q77_kmeans_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production-shaped semantic dedup: centroids come from a real
-    distributed KMeans fit (operators/clustering.py) instead of the
-    oracle-reproducible harness centroids of q75. KMeans is iterative —
-    not SQL-expressible — so this entry takes the driver's rows-only
-    check; q75 carries the hash-checked semantics of the downstream
-    prune."""
-    from ..operators.clustering import fit_centroids_cached
+    """Semantic dedup over REAL KMeans centroids, hash-oracled end to
+    end: the fit is ``operators/clustering.fit_centroids_lloyd`` —
+    deterministic integer-quantized Lloyd's (md5-seeded init, exact
+    floor-division means, 4 unrolled iterations), which the DuckDB
+    oracle replays bit-for-bit (the q104 PageRank fixed-point pattern
+    applied to clustering). The pyspark.ml production fit keeps its
+    separate property-based verification in q88; this entry proves the
+    full cluster-then-prune pipeline (fit -> assign -> within-cluster
+    cosine prune) agrees across engines down to the value hash."""
+    from ..operators.clustering import fit_centroids_lloyd
     from ..operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = fit_centroids_cached(
-        emb, dataset_key=sf_dir, k=8, max_iter=10, seed=42
-    )
+    centroids = fit_centroids_lloyd(emb, k=8, n_iters=4)
     return semantic_dedup(emb, centroids, threshold=0.35)
+
+
+def _lloyd_cents_sql(k: int = 8, n_iters: int = 4) -> str:
+    """DuckDB CTE chain reproducing ``fit_centroids_lloyd`` exactly:
+    same micros quantization, same (md5, id) seed order, same integer
+    argmin assignment and floor-division means, iterations unrolled
+    like q104's PageRank oracle. Emits a final ``cents(centroid_id,
+    cv)`` CTE with cv already scaled back to DOUBLE."""
+    d2 = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, len(z.qv) + 1), "
+        "j -> (z.qv[j] - c.cv[j]) * (z.qv[j] - c.cv[j]))), "
+        "(acc, x) -> acc + x)"
+    )
+    parts = [
+        """qz AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h
+  FROM qz
+  QUALIFY ROW_NUMBER() OVER (ORDER BY h ASC, vec_id ASC) <= %d
+),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h ASC, vec_id ASC) - 1
+              AS BIGINT) AS centroid_id,
+         qv AS cv
+  FROM seeds
+)"""
+        % k
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT z.vec_id, z.qv, c.centroid_id
+  FROM qz z, c{i - 1} c
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY z.vec_id
+    ORDER BY {d2} ASC, c.centroid_id ASC) = 1
+),
+m{i} AS (
+  SELECT centroid_id, u.j AS pos,
+         CAST(SUM(qv[u.j]) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM a{i}, LATERAL (SELECT UNNEST(range(1, len(qv) + 1)) AS j) u
+  GROUP BY 1, 2
+),
+c{i} AS (
+  SELECT c.centroid_id, COALESCE(nl.cv, c.cv) AS cv
+  FROM c{i - 1} c
+  LEFT JOIN (
+    SELECT centroid_id,
+           list((s - ((s % n) + n) % n) // n ORDER BY pos) AS cv
+    FROM m{i} GROUP BY 1
+  ) nl USING (centroid_id)
+)"""
+        )
+    parts.append(
+        f"""cents AS (
+  SELECT centroid_id,
+         list_transform(cv, x -> CAST(x AS DOUBLE) / 1000000) AS cv
+  FROM c{n_iters}
+)"""
+    )
+    return ",\n".join(parts)
+
+
+Q77_ORACLE = f"""
+WITH {_lloyd_cents_sql(k=8, n_iters=4)},
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         COALESCE({_dot_sql('e.embedding', 'c.cv')}
+         / NULLIF(sqrt({_dot_sql('e.embedding', 'e.embedding')})
+            * sqrt({_dot_sql('c.cv', 'c.cv')}), 0.0), -2.0) AS cs
+  FROM embeddings e, cents c
+),
+best AS (
+  SELECT vec_id, centroid_id FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id ASC) = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM embeddings a
+  JOIN best ba ON ba.vec_id = a.vec_id
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  JOIN best bb ON bb.vec_id = b.vec_id AND bb.centroid_id = ba.centroid_id
+  WHERE {_dot_sql('a.embedding', 'b.embedding')}
+        / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+           * sqrt({_dot_sql('b.embedding', 'b.embedding')})) >= 0.35
+)
+SELECT e.vec_id, b.centroid_id,
+       e.vec_id NOT IN (SELECT vec_id FROM dups) AS kept
+FROM embeddings e JOIN best b ON b.vec_id = e.vec_id
+"""
 
 
 def q88_kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1507,6 +1605,7 @@ LLM_ORACLES = {
     "q74_embedding_quantization": Q74_ORACLE,
     "q75_semantic_dedup": Q75_ORACLE,
     "q76_language_heavy_hitters": Q76_ORACLE,
+    "q77_kmeans_semantic_dedup": Q77_ORACLE,
     "q78_bigram_prob_scores": Q78_ORACLE,
     "q82_triangle_counts": Q82_ORACLE,
     "q85_prefix_filter_jaccard": Q85_ORACLE,
