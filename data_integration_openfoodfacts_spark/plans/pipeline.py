@@ -338,6 +338,7 @@ def _save_table(
     df: DataFrame,
     table: str,
     partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
 ) -> None:
     """Overwrite ``table``, tolerating a leftover location from a
     previous session: the default in-memory catalog forgets tables on
@@ -349,6 +350,9 @@ def _save_table(
         w = df.write.mode("overwrite").format("parquet")
         if partition_by:
             w = w.partitionBy(*partition_by)
+        if bucket_by:
+            n, cols = bucket_by
+            w = w.bucketBy(n, *cols).sortBy(*cols)
         w.saveAsTable(table)
 
     try:
@@ -380,6 +384,7 @@ def run_pipeline(
     partition_fact_by_year: bool = False,
     analyze_tables: bool = False,
     sk_strategy: str = "row_number",
+    bucket_fact_buckets: int | None = None,
 ) -> PipelineResult:
     """Full Bronze->Gold run. If ``database`` is given, persists Silver +
     Gold as Parquet tables ``<database>_silver.products`` /
@@ -391,6 +396,14 @@ def run_pipeline(
     is verified unique in-run (``assert_unique``) since hash keys are
     probabilistic — a collision fails the run instead of silently
     corrupting the star schema.
+
+    ``bucket_fact_buckets`` buckets the persisted fact AND dim_product
+    by product_sk: every later product-grain join or aggregation over
+    the stored gold tables then reads pre-shuffled buckets instead of
+    exchanging the fact — the recurring-workload amortization a 100 TB
+    gold layer lives on (one shuffle at write time, zero per query).
+    Plan-pinned by tests/test_plan_shapes.py::
+    test_bucketed_gold_fact_joins_and_aggs_without_exchange.
 
     Metrics parity with pipeline_etl.ipynb:708-717, computed in ONE
     aggregation pass over the fact instead of 5 separate actions.
@@ -434,7 +447,13 @@ def run_pipeline(
                     F.year(F.from_unixtime("time_sk").cast("date")).cast("int"),
                 )
                 part_cols = ["snapshot_year"]
-            _save_table(spark, df, f"{database}_gold.{name}", part_cols)
+            bucket = None
+            if bucket_fact_buckets and name in (
+                "fact_nutrition_snapshot",
+                "dim_product",
+            ):
+                bucket = (bucket_fact_buckets, ["product_sk"])
+            _save_table(spark, df, f"{database}_gold.{name}", part_cols, bucket)
         if analyze_tables:
             # Feed the cost-based optimizer (join reordering, broadcast
             # decisions from real sizes — SURVEY §4 "Join reordering").

@@ -111,6 +111,61 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_bucketed_gold_fact_joins_and_aggs_without_exchange(spark, tmp_path):
+    """Pipeline gold persisted with ``bucket_fact_buckets``: repeated
+    product_sk joins AND product-grain aggregations over the stored
+    fact run with NO Exchange on the bucketed side — the write-once /
+    query-many amortization VERDICT r04 item 3 asked to prove, not just
+    support (SURVEY §7 Phase E17)."""
+    import os
+
+    from data_integration_openfoodfacts_spark.plans.pipeline import run_pipeline
+    from data_integration_openfoodfacts_spark.sources.csv_source import (
+        read_openfoodfacts_csv,
+    )
+    from tests.test_pipeline import HEADER, ROWS
+
+    path = os.path.join(str(tmp_path), "products.tsv")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(HEADER + "\n" + "\n".join(ROWS) + "\n")
+    bronze = read_openfoodfacts_csv(spark, path)
+    try:
+        run_pipeline(spark, bronze, database="bktoff", bucket_fact_buckets=4)
+        fact = spark.table("bktoff_gold.fact_nutrition_snapshot")
+        dim = spark.table("bktoff_gold.dim_product")
+
+        # product-grain agg: bucketing satisfies the required hash
+        # distribution, so the partial/final agg collapses to one stage
+        agg = fact.groupBy("product_sk").agg(
+            {"completeness_score": "avg", "sugars_100g": "sum"}
+        )
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in agg_plan
+
+        # fact-to-dim join on the bucket key, broadcast disabled the
+        # way a fact-sized dim at 100 TB would plan: both sides read
+        # pre-bucketed, zero Exchange anywhere in the join
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = fact.join(dim, "product_sk")
+        j_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in j_plan
+        assert "Exchange" not in j_plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        for t in (
+            "bktoff_gold.fact_nutrition_snapshot",
+            "bktoff_gold.dim_product",
+            "bktoff_gold.dim_time",
+            "bktoff_gold.dim_brand",
+            "bktoff_gold.dim_category",
+            "bktoff_gold.dim_country",
+            "bktoff_silver.products",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_q43_lsh_pair_dedup_has_no_distinct_shuffle(spark):
     """The band join dedups pairs via the first-matching-band bitmask
     filter INSIDE the join stage — a regression to distinct() would

@@ -4,7 +4,15 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at the given scale factor, then compares row count, column
 names/ordering-insensitive schema, and exact sorted values.
 
-Usage: python tools/check_oracle.py [--record] [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--record] [--budget=SEC] [sf_dir]
+       [query ...]
+
+``--budget`` (default 15s) flags — does not fail — any query whose
+Spark+oracle wall time exceeds it: the driver's 50-query gate window
+has a finite time budget, and a pathological plan regression should
+surface as a visible SLOW line here before it silently eats the gate
+(VERDICT r04 item 4). The end-of-run summary lists every flagged query
+with its time.
 
 ``--record`` updates ``plans/gate_state.json``: every PASS (and
 rows-only SKIP with >0 rows) stores the query's CURRENT code+oracle
@@ -53,7 +61,15 @@ def normalize(df):
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--record"]
+    budget = 15.0
+    argv = []
+    for a in sys.argv[1:]:
+        if a == "--record":
+            continue
+        if a.startswith("--budget="):
+            budget = float(a.split("=", 1)[1])
+            continue
+        argv.append(a)
     record = "--record" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
@@ -72,6 +88,14 @@ def main() -> int:
         return 2
     failures = 0
     greens: list[str] = []
+    slow: list[tuple[str, float]] = []
+
+    def clock(name: str, t0: float) -> float:
+        dt = time.time() - t0
+        if dt > budget:
+            slow.append((name, round(dt, 1)))
+        return dt
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -83,7 +107,11 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
-            print(f"SKIP {name}: no oracle (rows-only: {len(sdf)} rows)")
+            dt = clock(name, t0)
+            print(
+                f"SKIP {name}: no oracle (rows-only: {len(sdf)} rows, "
+                f"{dt:.1f}s)"
+            )
             if len(sdf) > 0:
                 greens.append(name)
             continue
@@ -93,7 +121,7 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
             continue
-        dt = time.time() - t0
+        dt = clock(name, t0)
         if len(sdf) != len(ddf):
             print(f"FAIL {name}: rows spark={len(sdf)} duckdb={len(ddf)}")
             failures += 1
@@ -136,6 +164,13 @@ def main() -> int:
             continue
         print(f"PASS {name} ({len(sdf)} rows, {dt:.1f}s)")
         greens.append(name)
+    if slow:
+        # The first query of a session eats ~8s of one-time JVM/session
+        # warmup; anything ELSE over budget is a real plan-cost signal.
+        print(
+            f"SLOW (> {budget:g}s wall at this sf): "
+            + ", ".join(f"{n}={t}s" for n, t in slow)
+        )
     if record and greens:
         from tools import gate_state
 
