@@ -156,20 +156,46 @@ def main() -> None:
         # run-to-run spread on one-shot runs is 18-32s for a ~6s-warm
         # silver stage, i.e. the one-shot number measures warmup, not
         # the pipeline.
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            bronze = read_openfoodfacts_csv(spark, bp.TSV, multi_line=False)
-            run_pipeline(spark, bronze, database="benchpipe")
-            best = min(best, time.time() - t0)
-        pipeline_sec = round(best, 2)
-    except Exception:  # noqa: BLE001 — bench must still emit its line
-        pass
+        # BOTH surrogate-key modes (VERDICT r04 item 5): row_number is
+        # the small-data default; hash is the 100 TB shuffle-free mint.
+        # Their DQ metrics must agree exactly (same rows kept/rejected,
+        # same fact aggregates — SKs differ, accounting must not).
+        def run_mode(strategy: str):
+            best, metrics = float("inf"), None
+            for _ in range(2):
+                t0 = time.time()
+                bronze = read_openfoodfacts_csv(
+                    spark, bp.TSV, multi_line=False
+                )
+                res = run_pipeline(
+                    spark,
+                    bronze,
+                    database=f"benchpipe_{strategy}",
+                    sk_strategy=strategy,
+                )
+                best = min(best, time.time() - t0)
+                metrics = {
+                    k: v
+                    for k, v in res.metrics.items()
+                    if k != "duration_sec"
+                }
+            return round(best, 2), metrics
 
-    # Regression flags vs the latest committed same-sf round record:
-    # >2x slower AND >0.5s absolute (absolute floor keeps 0.1s-query
-    # jitter out). Compact {qN: [prev, cur]} map so the emitted line
-    # stays inside the driver's output-tail capture.
+        pipeline_sec, dq_rn = run_mode("row_number")
+        pipeline_hash_sec, dq_hash = run_mode("hash")
+        pipeline_modes_dq_match = dq_rn == dq_hash
+    except Exception:  # noqa: BLE001 — bench must still emit its line
+        pipeline_hash_sec, pipeline_modes_dq_match = None, None
+
+    # Tiered regression gate vs the latest committed same-sf record
+    # (VERDICT r04 item 8: at 133 queries, sub-second entries live in
+    # the noisy-neighbor jitter band, so a flat 2x rule would cry wolf
+    # while a real drift on a big query matters at far less than 2x):
+    # - heavy tier (prev >= 0.5s): flag at >2x;
+    # - light tier (prev < 0.5s): flag only when the query ALSO grew by
+    #   >0.5s absolute — i.e. it left the jitter band entirely.
+    # Every query is still value-hash-gated by the oracle run
+    # regardless of tier; this gate is time-only.
     prev_round, prev_q = load_prev_timings(
         os.path.dirname(os.path.abspath(__file__)), sf
     )
@@ -187,6 +213,8 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "pipeline_e2e_418k_sec": pipeline_sec,
+            "pipeline_e2e_418k_hash_sk_sec": pipeline_hash_sec,
+            "pipeline_modes_dq_match": pipeline_modes_dq_match,
             "baseline_pipeline_e2e_418k_sec": 393,
             "prev_round": prev_round,
             "regressions": regressions,

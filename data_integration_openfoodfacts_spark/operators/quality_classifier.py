@@ -1,0 +1,99 @@
+"""Classifier-based quality filtering: fastText-style linear scorer
+INFERENCE over a document corpus — the model-based filter stage of
+modern LLM data pipelines (DCLM, FineWeb-Edu style: a cheap linear
+classifier scores every crawled document; only high-scoring docs enter
+the training mix).
+
+Spark-first shape: tokenize (split — same convention as the rest of
+the text stack), hash each token into one of ``num_buckets`` feature
+buckets (md5-derived, engine-portable), broadcast-join the (tiny)
+weight table, one map-side-combined groupBy per document, sigmoid.
+Work is O(total tokens); the weight table is ``num_buckets`` rows and
+always broadcasts. No Python in the path — pure JVM expressions.
+
+Cross-engine exactness: weights are integer MILLI-weights, so the
+per-document accumulation is an exact integer sum (order-independent —
+the decimal/integer-sum determinism rule, see plans/analytics.py);
+only the final sigmoid touches doubles, in a fixed operation order
+both engines replay bit-identically.
+
+Production swap-in: ``synthetic_weights`` is the deterministic test
+harness (hash-derived weights, reproducible in the DuckDB oracle). A
+real deployment loads its trained weights parquet as the same
+(bucket, w_milli) shape — train offline (fastText/sklearn), quantize
+to millis, ship the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity_dedup import md5_long
+
+
+def synthetic_weights(
+    spark: SparkSession, num_buckets: int = 4096, tag: str = "qw"
+) -> DataFrame:
+    """Deterministic (bucket, w_milli) weight table: w_milli =
+    md5_long(tag || bucket) % 2001 - 1000, i.e. integer millis in
+    [-1000, 1000]. Same construction as the oracle's SQL twin."""
+    return spark.range(num_buckets).select(
+        F.col("id").alias("bucket"),
+        (
+            F.pmod(
+                md5_long(F.concat(F.lit(tag), F.col("id").cast("string"))),
+                F.lit(2001),
+            )
+            - 1000
+        ).cast("long").alias("w_milli"),
+    )
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    num_buckets: int = 4096,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document with a hashed bag-of-words linear model:
+    score = sigmoid(mean over tokens of w[md5(token) % num_buckets]).
+
+    Returns (id_col, n_tokens, score, keep) — ``keep`` is the filter
+    decision at ``threshold``. ``weights`` must be (bucket, w_milli)
+    with w_milli integer milli-weights (see module docstring).
+
+    Scale: explode to tokens (narrow), broadcast-join the weight table
+    (num_buckets rows — small by construction), ONE shuffle on
+    ``id_col`` with map-side partial sums of exact integers. At 100 TB
+    this is the same cost envelope as a token count.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    feats = toks.select(
+        F.col(id_col),
+        F.pmod(md5_long(F.col("tok")), F.lit(num_buckets)).alias("bucket"),
+    )
+    agg = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("w_milli").alias("s"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    # fixed double op order: (s as double) / (n as double * 1000.0)
+    mean = F.col("s").cast("double") / (
+        F.col("n_tokens").cast("double") * F.lit(1000.0)
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-mean))
+    return agg.select(
+        id_col,
+        "n_tokens",
+        score.alias("score"),
+        (score >= F.lit(threshold)).alias("keep"),
+    )

@@ -1549,6 +1549,58 @@ LEFT JOIN vocab v USING (token)
 """
 
 
+def q134_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering (DCLM/FineWeb-Edu stage):
+    fastText-style hashed bag-of-words linear scorer inference over the
+    corpus — `operators/quality_classifier.py::hashed_linear_score`.
+    Weights here are the deterministic harness table
+    (``synthetic_weights``: md5-derived integer millis, which is what
+    lets DuckDB replay inference exactly); production loads a trained
+    (bucket, w_milli) parquet in its place. One explode + broadcast
+    weight join + one map-side-combined groupBy — token-count cost."""
+    from ..operators.quality_classifier import (
+        hashed_linear_score,
+        synthetic_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = synthetic_weights(spark, num_buckets=4096)
+    return hashed_linear_score(docs, w, num_buckets=4096, threshold=0.5)
+
+
+Q134_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) % 4096
+           AS bucket
+  FROM toks
+),
+w AS (
+  SELECT i AS bucket,
+         CAST(concat('0x', substring(md5('qw' || i), 1, 15)) AS BIGINT)
+           % 2001 - 1000 AS w_milli
+  FROM range(4096) t(i)
+),
+agg AS (
+  SELECT f.doc_id,
+         CAST(SUM(w.w_milli) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM feats f JOIN w USING (bucket)
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       1.0 / (1.0 + exp(-(CAST(s AS DOUBLE)
+                          / (CAST(n_tokens AS DOUBLE) * 1000.0)))) AS score,
+       1.0 / (1.0 + exp(-(CAST(s AS DOUBLE)
+                          / (CAST(n_tokens AS DOUBLE) * 1000.0)))) >= 0.5
+         AS keep
+FROM agg
+"""
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -1580,6 +1632,7 @@ LLM_QUERIES = {
     "q95_tfidf_top_terms": q95_tfidf_top_terms,
     "q96_bm25_search": q96_bm25_search,
     "q106_token_entropy": q106_token_entropy,
+    "q134_quality_classifier": q134_quality_classifier,
 }
 
 LLM_ORACLES = {
@@ -1613,4 +1666,5 @@ LLM_ORACLES = {
     "q95_tfidf_top_terms": Q95_ORACLE,
     "q96_bm25_search": Q96_ORACLE,
     "q106_token_entropy": Q106_ORACLE,
+    "q134_quality_classifier": Q134_ORACLE,
 }

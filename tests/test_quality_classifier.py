@@ -1,0 +1,72 @@
+"""fastText-style hashed linear quality classifier
+(operators/quality_classifier.py) — inference semantics + plan shape."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data_integration_openfoodfacts_spark.operators.quality_classifier import (
+    hashed_linear_score,
+    synthetic_weights,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_all_positive_weights_keep_everything(spark):
+    docs = _docs(spark, [(1, "a b c"), (2, "x"), (3, "longer doc here ok")])
+    w = spark.range(16).select(
+        F.col("id").alias("bucket"), F.lit(1000).cast("long").alias("w_milli")
+    )
+    out = hashed_linear_score(docs, w, num_buckets=16).collect()
+    assert len(out) == 3
+    for r in out:
+        # every token weighs +1.0 -> mean 1.0 -> sigmoid(1) ~ 0.731
+        assert abs(r["score"] - 0.7310585786300049) < 1e-12
+        assert r["keep"] is True
+
+
+def test_all_negative_weights_drop_everything(spark):
+    docs = _docs(spark, [(1, "a b c"), (2, "x y")])
+    w = spark.range(16).select(
+        F.col("id").alias("bucket"),
+        F.lit(-1000).cast("long").alias("w_milli"),
+    )
+    out = hashed_linear_score(docs, w, num_buckets=16).collect()
+    assert all(r["keep"] is False for r in out)
+    assert all(abs(r["score"] - (1 - 0.7310585786300049)) < 1e-12 for r in out)
+
+
+def test_n_tokens_is_split_count_and_every_doc_scored(spark):
+    docs = _docs(spark, [(1, "one two three four"), (2, ""), (3, "solo")])
+    w = synthetic_weights(spark, num_buckets=64)
+    out = {r["doc_id"]: r for r in hashed_linear_score(
+        docs, w, num_buckets=64
+    ).collect()}
+    # split("") -> [""]: the empty doc still yields one (hashed) token,
+    # so no document silently disappears from the filter decision
+    assert out[1]["n_tokens"] == 4
+    assert out[2]["n_tokens"] == 1
+    assert out[3]["n_tokens"] == 1
+    assert all(0.0 < r["score"] < 1.0 for r in out.values())
+
+
+def test_synthetic_weights_deterministic_and_bounded(spark):
+    a = synthetic_weights(spark, num_buckets=128).collect()
+    b = synthetic_weights(spark, num_buckets=128).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert len(a) == 128
+    assert all(-1000 <= r["w_milli"] <= 1000 for r in a)
+
+
+def test_plan_broadcasts_weights_single_doc_shuffle(spark):
+    docs = _docs(spark, [(1, "a b"), (2, "c")])
+    w = synthetic_weights(spark, num_buckets=256)
+    plan = (
+        hashed_linear_score(docs, w, num_buckets=256)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
