@@ -181,6 +181,63 @@ def _packed_signbits_udf(planes: list[list[float]]):
     return packed_signbits
 
 
+def _packed_signbits_multi_udf(
+    planes: list[list[float]], rows_per_band: int, num_bands: int
+):
+    """Arrow-batched UDF: sign bits packed into an ``array<long>`` with
+    a band-aligned layout — band b's ``rows_per_band`` bits live wholly
+    inside long ``b // bands_per_long`` at bit offset
+    ``(b % bands_per_long) * rows_per_band`` (``bands_per_long =
+    64 // rows_per_band``), so no band ever straddles a long boundary
+    and per-band extraction stays a single shift+mask. Same exact
+    numerics as :func:`_packed_signbits_udf` (strict left-to-right
+    cumsum fold, exact +-1.0 products); logical plane order is
+    band-major: plane ``b * rows_per_band + r`` is band b, row r."""
+    from pyspark.sql.types import ArrayType
+
+    P = np.asarray(planes, dtype=np.float64)  # (num_planes, dim)
+    bands_per_long = 64 // rows_per_band
+    n_longs = -(-num_bands // bands_per_long)
+    plane_long = np.array(
+        [
+            (p // rows_per_band) // bands_per_long
+            for p in range(P.shape[0])
+        ],
+        dtype=np.int64,
+    )
+    plane_weight = np.array(
+        [
+            1
+            << (
+                ((p // rows_per_band) % bands_per_long) * rows_per_band
+                + p % rows_per_band
+            )
+            for p in range(P.shape[0])
+        ],
+        dtype=np.uint64,
+    )
+
+    @pandas_udf(ArrayType(LongType()))
+    def packed_signbits_multi(v: pd.Series) -> pd.Series:
+        n = len(v)
+        if n == 0:
+            return pd.Series([])
+        A = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        prod = A[:, None, :] * P[None, :, :]
+        dots = np.cumsum(prod, axis=2)[:, :, -1]
+        bits = (dots >= 0).astype(np.uint64)  # (n, planes)
+        out = np.zeros((n, n_longs), dtype=np.uint64)
+        for li in range(n_longs):
+            sel = plane_long == li
+            out[:, li] = (bits[:, sel] * plane_weight[sel]).sum(
+                axis=1, dtype=np.uint64
+            )
+        signed = out.view(np.int64)
+        return pd.Series(list(signed))
+
+    return packed_signbits_multi
+
+
 def hyperplane_lsh_candidates(
     embeddings: DataFrame,
     dim: int,
@@ -220,40 +277,86 @@ def hyperplane_lsh_candidates(
     *multiplied* join output — bands x candidate pairs rows) with a
     per-row bitmask filter applied inside the join stage.
 
-    Requires ``rows_per_band * num_bands <= 64`` (one long of packed
-    signatures — 16x2 and 8x8 configurations both fit; bit 63 is the
-    long's sign bit, which two's-complement bitwise ops handle fine).
+    Packing: up to 64 sign bits fit one long; beyond that (the log-
+    scaled tuning rule — band bits ~ log n — wants MORE total bits as
+    the corpus grows, see SCALING_LLM.json) signatures pack into an
+    ``array<long>`` with every band fully inside one long
+    (``bands_per_long = 64 // rows_per_band``), so per-band extraction
+    and the XOR first-match dedup stay single-long bit ops either way.
+    Requires ``rows_per_band <= 64``; bit 63 is the long's sign bit,
+    which two's-complement bitwise ops handle fine.
 
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
     from .skew import spread_partitions
 
+    if rows_per_band > 64:
+        raise ValueError("rows_per_band must be <= 64 (one band per long)")
     num_planes = rows_per_band * num_bands
-    if num_planes > 64:
-        raise ValueError(
-            "rows_per_band * num_bands must be <= 64 to pack signatures"
-        )
+    single = num_planes <= 64
     # a single-file scan would serialize the (CPU-heavy) sign-bit
     # projection and the band join on one core; no-op at real scale
     embeddings = spread_partitions(embeddings, id_col)
-    planes = rademacher_hyperplanes(num_planes, dim)
     mask = (1 << rows_per_band) - 1
-    # all sign bits packed into one long: plane i is bit i, so band b's
-    # signature occupies bits [b*rows_per_band, (b+1)*rows_per_band) —
-    # integer join keys shuffle far less than strings, and one packed
-    # long per row lets the pair join dedup bands without a shuffle
-    with_sigs = embeddings.select(
-        F.col(id_col),
-        _packed_signbits_udf(planes)(F.col(vec_col)).alias("allsigs"),
-    )
-    band_sigs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
+    bands_per_long = 64 // rows_per_band
+
+    if single:
+        # plane i is bit i of ONE long; band b occupies bits
+        # [b*rows_per_band, (b+1)*rows_per_band)
+        planes = rademacher_hyperplanes(num_planes, dim)
+        sig_col = _packed_signbits_udf(planes)(F.col(vec_col))
+
+        def band_sig(b):
+            return (
                 F.shiftright(F.col("allsigs"), b * rows_per_band)
                 .bitwiseAND(F.lit(mask))
-                .alias("sig"),
             )
+
+        def band_xor_zero(b):
+            # shiftleft, not a Python literal: the top band's mask
+            # overflows a signed 64-bit literal
+            return (
+                F.col("__sa").bitwiseXOR(F.col("__sb")).bitwiseAND(
+                    F.shiftleft(
+                        F.lit(mask).cast("long"), b * rows_per_band
+                    )
+                )
+                == 0
+            )
+
+    else:
+        # band-aligned multi-long layout: band b lives in long
+        # b // bands_per_long at bit offset (b % bands_per_long) * rpb
+        planes = rademacher_hyperplanes(num_planes, dim)
+        sig_col = _packed_signbits_multi_udf(
+            planes, rows_per_band, num_bands
+        )(F.col(vec_col))
+
+        def band_sig(b):
+            return (
+                F.shiftright(
+                    F.element_at("allsigs", b // bands_per_long + 1),
+                    (b % bands_per_long) * rows_per_band,
+                ).bitwiseAND(F.lit(mask))
+            )
+
+        def band_xor_zero(b):
+            li, off = b // bands_per_long, (b % bands_per_long)
+            return (
+                F.element_at("__sa", li + 1)
+                .bitwiseXOR(F.element_at("__sb", li + 1))
+                .bitwiseAND(
+                    F.shiftleft(
+                        F.lit(mask).cast("long"), off * rows_per_band
+                    )
+                )
+                == 0
+            )
+
+    with_sigs = embeddings.select(F.col(id_col), sig_col.alias("allsigs"))
+    band_sigs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
             for b in range(num_bands)
         ]
     )
@@ -284,7 +387,6 @@ def hyperplane_lsh_candidates(
         F.col(id_col).alias("id_b"), "band", "sig",
         F.col("allsigs").alias("__sb"),
     )
-    x = F.col("__sa").bitwiseXOR(F.col("__sb"))
     # least() skips NULLs -> the minimum band whose signature group is
     # identical for the pair; the joined band always matches, so this
     # is never NULL. NOTE under max_bucket_size a pair's first matching
@@ -293,17 +395,7 @@ def hyperplane_lsh_candidates(
     # ALL bands) — same recall trade the cap already documents.
     first_match = F.least(
         *[
-            F.when(
-                # shiftleft, not a Python literal: the top band's mask
-                # overflows a signed 64-bit literal
-                x.bitwiseAND(
-                    F.shiftleft(
-                        F.lit(mask).cast("long"), bb * rows_per_band
-                    )
-                )
-                == 0,
-                F.lit(bb),
-            )
+            F.when(band_xor_zero(bb), F.lit(bb))
             for bb in range(num_bands)
         ]
     )
