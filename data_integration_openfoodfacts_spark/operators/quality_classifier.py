@@ -97,3 +97,53 @@ def hashed_linear_score(
         score.alias("score"),
         (score >= F.lit(threshold)).alias("keep"),
     )
+
+
+def quality_bucket_sample(
+    scored: DataFrame,
+    rates_permille: list[int],
+    lo: float = 0.4,
+    hi: float = 0.6,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    salt: str = "qmix",
+) -> DataFrame:
+    """Quality-curriculum sampling (FineWeb/DCLM mixing shape): bucket
+    documents by classifier score into ``len(rates_permille)`` equal
+    score bands over [lo, hi) (clamped at the ends), then keep each
+    document with its band's deterministic per-mille rate — higher
+    bands keep more, so the output corpus is tilted toward quality
+    without discarding the tail outright.
+
+    Bucketing is FIXED-THRESHOLD (a narrow per-row expression), not
+    ntile: a global rank window would single-partition the corpus —
+    the exact antipattern the plan-shape suite bans. Sampling is the
+    md5-bucket Bernoulli used across the engine (deterministic,
+    partition-layout independent, engine-portable).
+
+    Returns (id_col, bucket, score_col, kept) for every input doc —
+    callers filter ``kept`` for the mix; keeping the decision column
+    makes the selection auditable (and oracle-checkable) per band.
+    """
+    from .similarity_dedup import md5_long
+
+    k = len(rates_permille)
+    # band = clamp(floor((score - lo) / (hi - lo) * k), 0, k-1)
+    raw = F.floor(
+        (F.col(score_col) - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(k))
+    ).cast("long")
+    bucket = F.greatest(F.lit(0), F.least(F.lit(k - 1), raw))
+    rate = F.element_at(
+        F.array(*[F.lit(r).cast("long") for r in rates_permille]),
+        (bucket + 1).cast("int"),
+    )
+    draw = F.pmod(
+        md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(1000),
+    )
+    return scored.select(
+        id_col,
+        bucket.alias("bucket"),
+        score_col,
+        (draw < rate).alias("kept"),
+    )

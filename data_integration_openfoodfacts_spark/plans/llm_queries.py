@@ -1601,6 +1601,65 @@ FROM agg
 """
 
 
+def q135_quality_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum corpus mix (FineWeb/DCLM shape): classifier
+    scores (q134's hashed linear model) band documents into 5 fixed
+    score bands; each band keeps a deterministic per-mille fraction
+    (100/300/500/700/900 — quality-tilted, tail not discarded).
+    Fixed-threshold banding (narrow) instead of ntile (global-window
+    antipattern); md5-bucket Bernoulli per band (layout-independent).
+    One explode + broadcast join + one groupBy then pure narrow ops."""
+    from ..operators.quality_classifier import (
+        hashed_linear_score,
+        quality_bucket_sample,
+        synthetic_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = synthetic_weights(spark, num_buckets=4096)
+    scored = hashed_linear_score(docs, w, num_buckets=4096)
+    return quality_bucket_sample(
+        scored, rates_permille=[100, 300, 500, 700, 900]
+    )
+
+
+Q135_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) % 4096
+           AS bucket
+  FROM toks
+),
+w AS (
+  SELECT i AS bucket,
+         CAST(concat('0x', substring(md5('qw' || i), 1, 15)) AS BIGINT)
+           % 2001 - 1000 AS w_milli
+  FROM range(4096) t(i)
+),
+scored AS (
+  SELECT f.doc_id,
+         1.0 / (1.0 + exp(-(CAST(CAST(SUM(w.w_milli) AS BIGINT) AS DOUBLE)
+                / (CAST(COUNT(*) AS DOUBLE) * 1000.0)))) AS score
+  FROM feats f JOIN w USING (bucket)
+  GROUP BY 1
+),
+banded AS (
+  SELECT doc_id, score,
+         GREATEST(0, LEAST(4,
+           CAST(FLOOR((score - 0.4) / 0.2 * 5.0) AS BIGINT))) AS bucket
+  FROM scored
+)
+SELECT doc_id, bucket, score,
+       CAST(concat('0x', substring(md5('qmix' || doc_id), 1, 15)) AS BIGINT)
+         % 1000
+         < ([100, 300, 500, 700, 900])[CAST(bucket AS INTEGER) + 1] AS kept
+FROM banded
+"""
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -1633,6 +1692,7 @@ LLM_QUERIES = {
     "q96_bm25_search": q96_bm25_search,
     "q106_token_entropy": q106_token_entropy,
     "q134_quality_classifier": q134_quality_classifier,
+    "q135_quality_curriculum_mix": q135_quality_curriculum_mix,
 }
 
 LLM_ORACLES = {
@@ -1667,4 +1727,5 @@ LLM_ORACLES = {
     "q96_bm25_search": Q96_ORACLE,
     "q106_token_entropy": Q106_ORACLE,
     "q134_quality_classifier": Q134_ORACLE,
+    "q135_quality_curriculum_mix": Q135_ORACLE,
 }

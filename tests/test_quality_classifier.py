@@ -61,6 +61,63 @@ def test_synthetic_weights_deterministic_and_bounded(spark):
     assert all(-1000 <= r["w_milli"] <= 1000 for r in a)
 
 
+def test_quality_bucket_sample_bands_and_clamping(spark):
+    from data_integration_openfoodfacts_spark.operators.quality_classifier import (
+        quality_bucket_sample,
+    )
+
+    scored = spark.createDataFrame(
+        [
+            (1, 0.10),  # below lo -> clamps to band 0
+            (2, 0.41),  # band 0
+            (3, 0.45),  # band 1
+            (4, 0.52),  # band 3
+            (5, 0.99),  # above hi -> clamps to band 4
+        ],
+        "doc_id long, score double",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality_bucket_sample(
+            scored, rates_permille=[0, 0, 0, 1000, 1000]
+        ).collect()
+    }
+    assert [out[i]["bucket"] for i in (1, 2, 3, 4, 5)] == [0, 0, 1, 3, 4]
+    # rate 0 bands never keep; rate 1000 bands always keep
+    assert [out[i]["kept"] for i in (1, 2, 3, 4, 5)] == [
+        False, False, False, True, True,
+    ]
+    assert len(out) == 5  # every doc gets an auditable decision row
+
+
+def test_quality_bucket_sample_deterministic_rates(spark):
+    """Uniform scores into one band at rate 500: the md5 draw keeps
+    ~half, and re-running keeps the IDENTICAL subset."""
+    from data_integration_openfoodfacts_spark.operators.quality_classifier import (
+        quality_bucket_sample,
+    )
+
+    scored = spark.createDataFrame(
+        [(i, 0.5) for i in range(1000)], "doc_id long, score double"
+    )
+    kept1 = sorted(
+        r["doc_id"]
+        for r in quality_bucket_sample(
+            scored, rates_permille=[500, 500, 500, 500, 500]
+        ).collect()
+        if r["kept"]
+    )
+    kept2 = sorted(
+        r["doc_id"]
+        for r in quality_bucket_sample(
+            scored, rates_permille=[500, 500, 500, 500, 500]
+        ).collect()
+        if r["kept"]
+    )
+    assert kept1 == kept2
+    assert 400 < len(kept1) < 600
+
+
 def test_plan_broadcasts_weights_single_doc_shuffle(spark):
     docs = _docs(spark, [(1, "a b"), (2, "c")])
     w = synthetic_weights(spark, num_buckets=256)
