@@ -193,7 +193,13 @@ def main() -> None:
                 return False
             for k in a:
                 x, y = a[k], b[k]
-                if isinstance(x, float) or isinstance(y, float):
+                if x is None or y is None:
+                    # None-vs-value IS a parity failure (e.g.
+                    # pct_nutriscore NULL in one mode only) — report
+                    # false, never raise into the blanket except
+                    if x is not y:
+                        return False
+                elif isinstance(x, float) or isinstance(y, float):
                     if abs(x - y) > 1e-9 * max(1.0, abs(x), abs(y)):
                         return False
                 elif x != y:

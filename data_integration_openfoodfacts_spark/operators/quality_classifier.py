@@ -125,12 +125,18 @@ def quality_bucket_sample(
     callers filter ``kept`` for the mix; keeping the decision column
     makes the selection auditable (and oracle-checkable) per band.
     """
-    from .similarity_dedup import md5_long
-
     k = len(rates_permille)
-    # band = clamp(floor((score - lo) / (hi - lo) * k), 0, k-1)
+    # band = clamp(floor((score - lo) / (hi - lo) * k), 0, k-1).
+    # The divisor is the COLUMN expression lit(hi) - lit(lo), never the
+    # Python value hi - lo: the oracle's SQL twin writes (0.6 - 0.4),
+    # and 0.6 - 0.4 = 0.19999999999999996 != the literal 0.2 — both
+    # engines must perform the same subtraction on the same doubles or
+    # boundary scores floor into different bands (cross-engine
+    # determinism rule, plans/analytics.py).
     raw = F.floor(
-        (F.col(score_col) - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(k))
+        (F.col(score_col) - F.lit(lo))
+        / (F.lit(hi) - F.lit(lo))
+        * F.lit(float(k))
     ).cast("long")
     bucket = F.greatest(F.lit(0), F.least(F.lit(k - 1), raw))
     rate = F.element_at(

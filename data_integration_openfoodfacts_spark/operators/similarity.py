@@ -145,13 +145,29 @@ def rademacher_hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def _fold_dots(A: np.ndarray, P: np.ndarray) -> np.ndarray:
+    """(n, dim) x (planes, dim) -> (n, planes) dot products with the
+    EXACT left-to-right fold rounding (one IEEE rounding per added
+    element, same as the HOF/list_reduce fold), accumulated
+    sequentially over dim — O(n * planes) memory, never the
+    (n, planes, dim) product tensor a cumsum formulation materializes
+    (553 MB transient per 10k-row batch at 108 planes x 64 dims).
+    Module-level but referenced ONLY from inside the UDF factories via
+    the module-global; local mode shares the process and cluster mode
+    ships the repo as a py-files/wheel either way (see session.py)."""
+    dots = np.zeros((A.shape[0], P.shape[0]), dtype=np.float64)
+    for j in range(A.shape[1]):
+        dots += A[:, j, None] * P[None, :, j]
+    return dots
+
+
 def _packed_signbits_udf(planes: list[list[float]]):
     """Arrow-batched UDF: all hyperplane sign bits of a vector packed
     into one long (plane i -> bit i).
 
     Vectorized numpy with the same numerics as the interpreted HOF
     fold it replaces: elementwise products accumulated strictly
-    left-to-right via ``np.cumsum`` (one IEEE rounding per element),
+    left-to-right (:func:`_fold_dots` — one IEEE rounding per element),
     so each sign matches the oracle's ``list_reduce`` fold bit-for-bit
     — and +-1.0 products are themselves exact. The HOF formulation
     evaluated num_planes folds per row interpreted; this is one numpy
@@ -168,11 +184,7 @@ def _packed_signbits_udf(planes: list[list[float]]):
         if n == 0:
             return pd.Series(np.empty(0, dtype=np.int64))
         A = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
-        # (n, planes, dim) products; cumsum along dim = left-to-right
-        # fold; last column = the dot products
-        prod = A[:, None, :] * P[None, :, :]
-        dots = np.cumsum(prod, axis=2)[:, :, -1]
-        bits = (dots >= 0).astype(np.uint64)
+        bits = (_fold_dots(A, P) >= 0).astype(np.uint64)
         vals = (bits * weights).sum(axis=1, dtype=np.uint64)
         # view, not astype: bit 63 set means the uint64 exceeds the
         # signed range; reinterpret preserves the bit pattern
@@ -223,9 +235,7 @@ def _packed_signbits_multi_udf(
         if n == 0:
             return pd.Series([])
         A = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
-        prod = A[:, None, :] * P[None, :, :]
-        dots = np.cumsum(prod, axis=2)[:, :, -1]
-        bits = (dots >= 0).astype(np.uint64)  # (n, planes)
+        bits = (_fold_dots(A, P) >= 0).astype(np.uint64)  # (n, planes)
         out = np.zeros((n, n_longs), dtype=np.uint64)
         for li in range(n_longs):
             sel = plane_long == li
@@ -283,15 +293,19 @@ def hyperplane_lsh_candidates(
     ``array<long>`` with every band fully inside one long
     (``bands_per_long = 64 // rows_per_band``), so per-band extraction
     and the XOR first-match dedup stay single-long bit ops either way.
-    Requires ``rows_per_band <= 64``; bit 63 is the long's sign bit,
+    Requires ``rows_per_band <= 63`` (a 64-bit band mask would
+    overflow the signed-long literal); bit 63 is the long's sign bit,
     which two's-complement bitwise ops handle fine.
 
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
     from .skew import spread_partitions
 
-    if rows_per_band > 64:
-        raise ValueError("rows_per_band must be <= 64 (one band per long)")
+    if rows_per_band > 63:
+        # 64 would need mask = (1 << 64) - 1, which overflows the
+        # signed-long literal F.lit() builds; 63 bits per band is
+        # already far past any useful selectivity (2^-63 per band)
+        raise ValueError("rows_per_band must be <= 63 (one band per long)")
     num_planes = rows_per_band * num_bands
     single = num_planes <= 64
     # a single-file scan would serialize the (CPU-heavy) sign-bit

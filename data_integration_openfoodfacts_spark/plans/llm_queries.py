@@ -250,8 +250,8 @@ Q24_ORACLE = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
        {_dot_sql('e.embedding', 'q.qv')}
-       / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
-          * sqrt({_dot_sql('q.qv', 'q.qv')})) AS cosine
+       / NULLIF(sqrt({_dot_sql('e.embedding', 'e.embedding')})
+          * sqrt({_dot_sql('q.qv', 'q.qv')}), 0.0) AS cosine
 FROM embeddings e, q
 WHERE e.vec_id <> 0
 ORDER BY cosine DESC, e.vec_id ASC
@@ -292,8 +292,8 @@ qc AS (
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
        {_dot_sql('e.embedding', 'q.qv')}
-       / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
-          * sqrt({_dot_sql('q.qv', 'q.qv')})) AS cosine
+       / NULLIF(sqrt({_dot_sql('e.embedding', 'e.embedding')})
+          * sqrt({_dot_sql('q.qv', 'q.qv')}), 0.0) AS cosine
 FROM embeddings e
 JOIN best b ON b.vec_id = e.vec_id
 JOIN qc ON qc.centroid_id = b.centroid_id, q
@@ -367,12 +367,12 @@ def q26_embedding_neardup_pairs(
 Q26_ORACLE = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_dot_sql('a.embedding', 'b.embedding')}
-       / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
-          * sqrt({_dot_sql('b.embedding', 'b.embedding')})) AS cosine
+       / NULLIF(sqrt({_dot_sql('a.embedding', 'a.embedding')})
+          * sqrt({_dot_sql('b.embedding', 'b.embedding')}), 0.0) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_dot_sql('a.embedding', 'b.embedding')}
-      / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
-         * sqrt({_dot_sql('b.embedding', 'b.embedding')})) >= 0.35
+      / NULLIF(sqrt({_dot_sql('a.embedding', 'a.embedding')})
+         * sqrt({_dot_sql('b.embedding', 'b.embedding')}), 0.0) >= 0.35
 """
 
 def q43_hyperplane_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,8 +405,8 @@ def _q43_oracle() -> str:
     )
     cos = (
         f"{_dot_sql('a.embedding', 'b.embedding')}"
-        f" / (sqrt({_dot_sql('a.embedding', 'a.embedding')})"
-        f" * sqrt({_dot_sql('b.embedding', 'b.embedding')}))"
+        f" / NULLIF(sqrt({_dot_sql('a.embedding', 'a.embedding')})"
+        f" * sqrt({_dot_sql('b.embedding', 'b.embedding')}), 0.0)"
     )
     return f"""
 WITH planes(p, band, pv) AS (VALUES {rows}),
@@ -630,8 +630,8 @@ WITH q AS (
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
          {_dot_sql('e.embedding', 'q.qv')}
-         / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
-            * sqrt({_dot_sql('q.qv', 'q.qv')})) AS cosine
+         / NULLIF(sqrt({_dot_sql('e.embedding', 'e.embedding')})
+            * sqrt({_dot_sql('q.qv', 'q.qv')}), 0.0) AS cosine
   FROM embeddings e, q
   WHERE e.vec_id <> q.query_id
 )
@@ -891,8 +891,8 @@ dups AS (
   JOIN embeddings b ON a.vec_id < b.vec_id
   JOIN best bb ON bb.vec_id = b.vec_id AND bb.centroid_id = ba.centroid_id
   WHERE {_dot_sql('a.embedding', 'b.embedding')}
-        / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
-           * sqrt({_dot_sql('b.embedding', 'b.embedding')})) >= 0.35
+        / NULLIF(sqrt({_dot_sql('a.embedding', 'a.embedding')})
+           * sqrt({_dot_sql('b.embedding', 'b.embedding')}), 0.0) >= 0.35
 )
 SELECT e.vec_id, b.centroid_id,
        e.vec_id NOT IN (SELECT vec_id FROM dups) AS kept
@@ -1043,8 +1043,8 @@ dups AS (
   JOIN embeddings b ON a.vec_id < b.vec_id
   JOIN best bb ON bb.vec_id = b.vec_id AND bb.centroid_id = ba.centroid_id
   WHERE {_dot_sql('a.embedding', 'b.embedding')}
-        / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
-           * sqrt({_dot_sql('b.embedding', 'b.embedding')})) >= 0.35
+        / NULLIF(sqrt({_dot_sql('a.embedding', 'a.embedding')})
+           * sqrt({_dot_sql('b.embedding', 'b.embedding')}), 0.0) >= 0.35
 )
 SELECT e.vec_id, b.centroid_id,
        e.vec_id NOT IN (SELECT vec_id FROM dups) AS kept
@@ -1053,14 +1053,17 @@ FROM embeddings e JOIN best b ON b.vec_id = e.vec_id
 
 
 def q88_kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-checkable verification for the KMeans fit behind q77
-    (VERDICT r03 next-round #3). KMeans itself is iterative and not
-    SQL-expressible, so the oracle instead pins the INVARIANTS any
-    correct Lloyd's fit must satisfy as constants (a property-based
-    oracle); Spark computes the actual violation counts over the SAME
-    centroids q77 uses (k=8, max_iter=10, seed=42). A broken fit,
-    assignment, or centroid emission turns a count nonzero / a flag
-    false -> driver hash mismatch.
+    """Property-based verification of the PRODUCTION pyspark.ml KMeans
+    fit path (``fit_centroids_cached``, k=8, max_iter=10, seed=42).
+    Since r05, q77 runs on the hash-oracled deterministic Lloyd fit
+    (``fit_centroids_lloyd`` — its centroids are verified exactly, not
+    just by invariants), so this entry is what keeps the ml production
+    alternative certified: the fit is iterative and not
+    SQL-expressible, so the oracle pins the INVARIANTS any correct
+    Lloyd's-style fit must satisfy as constants; Spark computes the
+    actual violation counts. A broken fit, assignment, or centroid
+    emission turns a count nonzero / a flag false -> driver hash
+    mismatch.
 
     Single row:
       - n_vectors / k_centroids: corpus and center cardinalities;
@@ -1647,9 +1650,12 @@ scored AS (
   GROUP BY 1
 ),
 banded AS (
+  -- divisor is the SUBTRACTION (0.6 - 0.4), matching Spark's
+  -- lit(hi) - lit(lo) column op bit-for-bit (!= the literal 0.2)
   SELECT doc_id, score,
          GREATEST(0, LEAST(4,
-           CAST(FLOOR((score - 0.4) / 0.2 * 5.0) AS BIGINT))) AS bucket
+           CAST(FLOOR((score - 0.4) / (0.6 - 0.4) * 5.0) AS BIGINT)))
+           AS bucket
   FROM scored
 )
 SELECT doc_id, bucket, score,

@@ -142,9 +142,11 @@ def probe_all(spark, sf_dir: str) -> dict:
     # - logscaled: band bits grow with log2(n) (b = log2(n) - 3, the
     #   constant calibrated so b=8 at n~2000), which pins the chance
     #   floor at ~linear-in-n — the correct production tuning rule.
-    #   num_bands refills the rest of the 64-bit packed signature;
-    #   recall at fixed threshold is then a num_bands knob (wider
-    #   packing = more longs, at larger n).
+    #   num_bands stays CONSTANT at 8 (recall at a fixed threshold is
+    #   the num_bands knob, so it must not silently shrink): past 64
+    #   total bits the signatures pack into multiple longs
+    #   (hyperplane_lsh_candidates' array<long> path), so at 10x this
+    #   probe genuinely exercises 11x8 = 88-bit packing.
     import math as _math
 
     from data_integration_openfoodfacts_spark.operators.similarity import (
@@ -156,7 +158,7 @@ def probe_all(spark, sf_dir: str) -> dict:
         ("fixed8x8", 8),
         ("logscaled", max(8, round(_math.log2(max(n_vec, 2))) - 3)),
     ):
-        nb = min(8, 64 // rpb)
+        nb = 8
         res[f"hyperplane_lsh_{tag}"] = {
             "sec": time_df(
                 lambda: hyperplane_lsh_pairs(
