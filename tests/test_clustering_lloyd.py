@@ -84,6 +84,24 @@ def test_lloyd_empty_cluster_keeps_previous_center(spark):
         assert list(r["centroid_vec"]) == [0.5, 0.5]
 
 
+def test_lloyd_invariant_to_row_order_and_partitioning(spark):
+    """The fit must not depend on physical layout: seeds are chosen by
+    (md5, id) — a total order — and means are exact integer floor
+    divisions, so shuffling/repartitioning the input cannot move a
+    centroid by even one micro."""
+    from data_integration_openfoodfacts_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = fit_centroids_lloyd(emb, k=4, n_iters=2).collect()
+    scrambled = emb.repartition(7, "label").sortWithinPartitions(
+        F.desc("vec_id")
+    )
+    again = fit_centroids_lloyd(scrambled, k=4, n_iters=2).collect()
+    assert [r.asDict() for r in base] == [r.asDict() for r in again]
+
+
 def test_lloyd_negative_means_floor_not_truncate(spark):
     """Means of negative coordinates use FLOOR division (matches the
     oracle's ((s % n) + n) % n construction): mean of -0.1 and -0.2
