@@ -76,6 +76,54 @@ def finalize_summary(summary: DataFrame, measures: list[str]) -> DataFrame:
     return summary.select(*cols)
 
 
+def build_distinct_summary(
+    df: DataFrame, keys: list[str], distinct_cols: list[str]
+) -> DataFrame:
+    """Mergeable DISTINCT-COUNT state: an HLL sketch per group per
+    column (Spark 3.5+ ``hll_sketch_agg``, Apache DataSketches).
+
+    ``build_summary`` can't maintain COUNT(DISTINCT) because it is not
+    algebraic — merging per-batch exact distincts overcounts overlap.
+    Sketches make it mergeable: registers are per-item maxima, so
+    union(sketch(A), sketch(B)) == sketch(A ∪ B) EXACTLY (not
+    approximately — the estimate is approximate, the merge is not),
+    which is what lets a summary table answer "distinct users per
+    group, all history" at O(kB) state per group with O(|batch|)
+    refresh. The estimate error bound is oracle-pinned in q136 the
+    same way q100 pins ``approx_count_distinct``."""
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in distinct_cols:
+        aggs.append(F.hll_sketch_agg(c).alias(f"__hll_{c}"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_distinct_summaries(
+    existing: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    distinct_cols: list[str],
+) -> DataFrame:
+    """Merge two distinct-summary tables (register-wise max union —
+    associative, commutative, idempotent per item)."""
+    aggs: list[F.Column] = [F.sum("__n").cast("long").alias("__n")]
+    for c in distinct_cols:
+        aggs.append(F.hll_union_agg(f"__hll_{c}").alias(f"__hll_{c}"))
+    return existing.unionByName(delta).groupBy(*keys).agg(*aggs)
+
+
+def finalize_distinct_summary(
+    summary: DataFrame, distinct_cols: list[str]
+) -> DataFrame:
+    """Reader view: row count + the distinct-count estimate per col."""
+    cols = [F.col(c) for c in summary.columns if not c.startswith("__")]
+    cols.append(F.col("__n").alias("n_rows"))
+    for c in distinct_cols:
+        cols.append(
+            F.hll_sketch_estimate(f"__hll_{c}").alias(f"approx_distinct_{c}")
+        )
+    return summary.select(*cols)
+
+
 def refresh_materialized_summary(
     spark: SparkSession,
     path: str,

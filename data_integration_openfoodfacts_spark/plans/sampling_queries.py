@@ -477,6 +477,90 @@ GROUP BY 1
 """
 
 
+def q136_hll_incremental_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental COUNT(DISTINCT) maintenance via mergeable HLL
+    sketch state (`operators/matview.py::build_distinct_summary` +
+    merge + finalize) — the one aggregate the algebraic summary-table
+    pattern cannot carry, made maintainable by sketches.
+
+    The events stream is split into two disjoint batches (event_id
+    parity); each batch builds per-event_type sketch state, the states
+    merge, and the reader view estimates distinct users. Oracle pins
+    (q100-style):
+      - exact_distinct per group (DuckDB recomputes independently);
+      - violation = 0: merged estimate within 5% of exact (2.5x margin
+        over the sketch's default precision, deterministic for fixed
+        input);
+      - merge_mismatch = 0: the merged-from-batches estimate equals
+        the single-pass whole-history estimate EXACTLY — sketch union
+        is register-wise max, so incremental maintenance loses nothing
+        vs a full rebuild. This is the property that makes O(kB)-state
+        summary tables safe to refresh per batch at 100 TB.
+    """
+    from ..operators.matview import (
+        build_distinct_summary,
+        finalize_distinct_summary,
+        merge_distinct_summaries,
+    )
+    from ..sources.parquet_source import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    keys, dcols = ["event_type"], ["user_id"]
+    s_old = build_distinct_summary(
+        ev.filter(F.col("event_id") % 2 == 0), keys, dcols
+    )
+    s_new = build_distinct_summary(
+        ev.filter(F.col("event_id") % 2 == 1), keys, dcols
+    )
+    merged = finalize_distinct_summary(
+        merge_distinct_summaries(s_old, s_new, keys, dcols), dcols
+    ).select(
+        "event_type",
+        "n_rows",
+        F.col("approx_distinct_user_id").alias("__est_merged"),
+    )
+    single = finalize_distinct_summary(
+        build_distinct_summary(ev, keys, dcols), dcols
+    ).select(
+        "event_type", F.col("approx_distinct_user_id").alias("__est_single")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        exact.join(merged, "event_type")
+        .join(single, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "exact_distinct",
+            (
+                (
+                    F.abs(F.col("__est_merged") - F.col("exact_distinct"))
+                    / F.col("exact_distinct")
+                    > 0.05
+                ).cast("long")
+            ).alias("violation"),
+            (F.col("__est_merged") != F.col("__est_single"))
+            .cast("long")
+            .alias("merge_mismatch"),
+        )
+    )
+
+
+Q136_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       CAST(0 AS BIGINT) AS violation,
+       CAST(0 AS BIGINT) AS merge_mismatch
+FROM events
+GROUP BY 1
+"""
+
+
 SAMPLING_QUERIES = {
     "q59_deterministic_sample": q59_deterministic_sample,
     "q60_stratified_sample": q60_stratified_sample,
@@ -488,6 +572,7 @@ SAMPLING_QUERIES = {
     "q100_approx_distinct_bounds": q100_approx_distinct_bounds,
     "q101_weighted_sample": q101_weighted_sample,
     "q105_mixture_sample": q105_mixture_sample,
+    "q136_hll_incremental_distinct": q136_hll_incremental_distinct,
 }
 
 SAMPLING_ORACLES = {
@@ -501,4 +586,5 @@ SAMPLING_ORACLES = {
     "q100_approx_distinct_bounds": Q100_ORACLE,
     "q101_weighted_sample": Q101_ORACLE,
     "q105_mixture_sample": Q105_ORACLE,
+    "q136_hll_incremental_distinct": Q136_ORACLE,
 }

@@ -75,3 +75,79 @@ def test_refresh_cost_reads_only_summary(spark, tmp_path):
     # (paths are truncated in toString(), so count scan nodes instead)
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 2, plan
+
+
+def test_distinct_summary_merge_handles_overlap_exactly(spark):
+    """COUNT(DISTINCT) via HLL sketch state: merging two OVERLAPPING
+    batches must equal the single-pass sketch of the union exactly
+    (register-wise max is idempotent per item) — the case where the
+    algebraic pattern (summing per-batch exact distincts) overcounts."""
+    from data_integration_openfoodfacts_spark.operators.matview import (
+        build_distinct_summary,
+        finalize_distinct_summary,
+        merge_distinct_summaries,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    # overlapping halves: keys 0..2/3 and 1/3..end share the middle third
+    a = orders.filter(F.col("o_orderkey") % 3 != 2)
+    b = orders.filter(F.col("o_orderkey") % 3 != 0)
+    keys, dcols = ["o_orderpriority"], ["o_custkey"]
+    merged = finalize_distinct_summary(
+        merge_distinct_summaries(
+            build_distinct_summary(a, keys, dcols),
+            build_distinct_summary(b, keys, dcols),
+            keys,
+            dcols,
+        ),
+        dcols,
+    )
+    single = finalize_distinct_summary(
+        build_distinct_summary(a.unionByName(b), keys, dcols), dcols
+    )
+    m = {
+        r["o_orderpriority"]: r["approx_distinct_o_custkey"]
+        for r in merged.collect()
+    }
+    s = {
+        r["o_orderpriority"]: r["approx_distinct_o_custkey"]
+        for r in single.collect()
+    }
+    assert m == s
+    # and the estimate tracks the exact distinct within 5%
+    exact = {
+        r["o_orderpriority"]: r["d"]
+        for r in a.unionByName(b)
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    for k, d in exact.items():
+        assert abs(m[k] - d) <= 0.05 * d, (k, m[k], d)
+
+
+def test_distinct_summary_merge_order_invariant(spark):
+    from data_integration_openfoodfacts_spark.operators.matview import (
+        build_distinct_summary,
+        finalize_distinct_summary,
+        merge_distinct_summaries,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    keys, dcols = ["o_orderpriority"], ["o_custkey"]
+    sa, sb = (
+        build_distinct_summary(x, keys, dcols) for x in (a, b)
+    )
+    ab = _rows(
+        finalize_distinct_summary(
+            merge_distinct_summaries(sa, sb, keys, dcols), dcols
+        )
+    )
+    ba = _rows(
+        finalize_distinct_summary(
+            merge_distinct_summaries(sb, sa, keys, dcols), dcols
+        )
+    )
+    assert ab == ba
