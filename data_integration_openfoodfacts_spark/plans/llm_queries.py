@@ -1666,6 +1666,69 @@ FROM banded
 """
 
 
+def q137_bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FITTING: learn the first 3 BPE merges over the corpus
+    (`operators/bpe.py::learn_bpe_merges` — word-frequency working set,
+    one distributed pair-count agg + narrow replace per round). The
+    DuckDB oracle unrolls the same rounds (q104 pattern): integer
+    pair counts, binary-collation tiebreak, identical plain-replace
+    merge application — the learned merge table matches exactly."""
+    from ..operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, n_merges=3)
+
+
+def _bpe_oracle(n_merges: int = 3) -> str:
+    parts = [
+        """w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY 1
+),
+s0 AS (
+  SELECT array_to_string(string_split(word, ''), chr(31)) AS seq, cnt
+  FROM w0
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT u.pair, CAST(SUM(u.cnt) AS BIGINT) AS c
+  FROM (
+    SELECT cnt,
+           unnest(list_transform(
+             range(1, len(string_split(seq, chr(31)))),
+             i -> string_split(seq, chr(31))[i] || chr(30)
+                  || string_split(seq, chr(31))[i + 1])) AS pair
+    FROM s{r - 1}
+    WHERE len(string_split(seq, chr(31))) >= 2
+  ) u
+  GROUP BY 1
+),
+m{r} AS (SELECT pair, c FROM p{r} ORDER BY c DESC, pair ASC LIMIT 1),
+s{r} AS (
+  SELECT replace(seq,
+           (SELECT replace(pair, chr(30), chr(31)) FROM m{r}),
+           (SELECT replace(pair, chr(30), '') FROM m{r})) AS seq, cnt
+  FROM s{r - 1}
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS BIGINT) AS rank,
+       string_split(pair, chr(30))[1] AS "left",
+       string_split(pair, chr(30))[2] AS "right",
+       c AS pair_count
+FROM m{r}"""
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + finals
+
+
+Q137_ORACLE = _bpe_oracle(3)
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -1699,6 +1762,7 @@ LLM_QUERIES = {
     "q106_token_entropy": q106_token_entropy,
     "q134_quality_classifier": q134_quality_classifier,
     "q135_quality_curriculum_mix": q135_quality_curriculum_mix,
+    "q137_bpe_merge_learning": q137_bpe_merge_learning,
 }
 
 LLM_ORACLES = {
@@ -1734,4 +1798,5 @@ LLM_ORACLES = {
     "q106_token_entropy": Q106_ORACLE,
     "q134_quality_classifier": Q134_ORACLE,
     "q135_quality_curriculum_mix": Q135_ORACLE,
+    "q137_bpe_merge_learning": Q137_ORACLE,
 }

@@ -1,0 +1,56 @@
+"""Distributed BPE merge learning (operators/bpe.py) — hand-computed
+merge sequences; the cross-engine replay is pinned by q137's unrolled
+DuckDB oracle."""
+
+from __future__ import annotations
+
+from data_integration_openfoodfacts_spark.operators.bpe import (
+    learn_bpe_merges,
+    word_freq_table,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bpe_textbook_sequence(spark):
+    # words: aaab x2, ab x1
+    # r1: (a,a)=4 > (a,b)=3           -> merge a+a    (aaab -> aa,a,b)
+    # r2: (a,b)=3 > (aa,a)=2          -> merge a+b    (-> aa,ab / ab)
+    # r3: (aa,ab)=2                    -> merge aa+ab
+    docs = _docs(spark, ["aaab aaab ab"])
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in learn_bpe_merges(docs, n_merges=3).collect()
+    ]
+    assert got == [(1, "a", "a", 4), (2, "a", "b", 3), (3, "aa", "ab", 2)]
+
+
+def test_bpe_tiebreak_is_pair_string_asc(spark):
+    # (x,y) and (y,x) both count 1 -> lexicographically smaller pair
+    # key wins deterministically
+    docs = _docs(spark, ["xy yx"])
+    first = learn_bpe_merges(docs, n_merges=1).collect()[0]
+    assert (first["left"], first["right"]) == ("x", "y")
+
+
+def test_bpe_stops_when_no_pairs_remain(spark):
+    # single-char words only: zero mergeable pairs -> empty merge table
+    docs = _docs(spark, ["a b c a"])
+    assert learn_bpe_merges(docs, n_merges=5).count() == 0
+
+
+def test_bpe_word_freq_weighting(spark):
+    # frequency weighting: 'zz' appearing 3x beats 'qqqq' appearing
+    # once ((z,z)=3 vs (q,q)=3 -> tiebreak 'q'<'z' picks (q,q)); make
+    # counts unambiguous instead: zz x4 -> (z,z)=4 > (q,q)=3
+    docs = _docs(spark, ["zz zz", "zz zz qqqq"])
+    first = learn_bpe_merges(docs, n_merges=1).collect()[0]
+    assert (first["left"], first["right"], first["pair_count"]) == (
+        "z", "z", 4,
+    )
+    wf = {r["word"]: r["cnt"] for r in word_freq_table(docs).collect()}
+    assert wf == {"zz": 4, "qqqq": 1}
