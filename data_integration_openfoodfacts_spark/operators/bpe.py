@@ -49,6 +49,63 @@ def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# (applicationId, dataset_key, n_merges, text_col) -> merge list.
+# Same invalidation reasoning as clustering._CENTERS_MEMO: the fit is
+# deterministic for fixed input, tiny (n rows), and consumed by both
+# the merge-table query (q137) and the encoder (q138) — refitting per
+# consumer would re-run the rounds for identical output.
+_MERGES_MEMO: dict[tuple, list] = {}
+
+
+def learn_bpe_merges_cached(
+    docs: DataFrame,
+    dataset_key: str,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    spark = docs.sparkSession
+    key = (
+        spark.sparkContext.applicationId, dataset_key, n_merges, text_col,
+    )
+    if key not in _MERGES_MEMO:
+        _MERGES_MEMO[key] = [
+            (r["rank"], r["left"], r["right"], r["pair_count"])
+            for r in learn_bpe_merges(docs, n_merges, text_col).collect()
+        ]
+    return _MERGES_MEMO[key]
+
+
+def apply_bpe_merges(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode the corpus with a learned merge table: every word splits
+    to characters, the merges apply in rank order (plain left-to-right
+    replace — the exact inverse-free BPE inference rule matching how
+    the fit applied them), and the doc's token stream is the flattened
+    per-word symbol arrays. Entirely narrow expressions — zero
+    shuffle; at 100 TB this is scan-bound like tokenize.py.
+
+    Returns (id_col, tokens array<string>).
+    """
+
+    def encode_word(w):
+        s = F.array_join(F.split(w, ""), SEP)
+        for left, right in merges:
+            s = F.replace(s, F.lit(left + SEP + right), F.lit(left + right))
+        return F.split(s, SEP)
+
+    toks = F.filter(
+        F.flatten(
+            F.transform(F.split(F.col(text_col), " "), encode_word)
+        ),
+        lambda t: t != "",
+    )
+    return docs.select(F.col(id_col), toks.alias("tokens"))
+
+
 def learn_bpe_merges(
     docs: DataFrame,
     n_merges: int = 3,

@@ -1673,13 +1673,68 @@ def q137_bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle unrolls the same rounds (q104 pattern): integer
     pair counts, binary-collation tiebreak, identical plain-replace
     merge application — the learned merge table matches exactly."""
-    from ..operators.bpe import learn_bpe_merges
+    from ..operators.bpe import learn_bpe_merges_cached
 
     docs = load_table(spark, sf_dir, "documents")
-    return learn_bpe_merges(docs, n_merges=3)
+    merges = learn_bpe_merges_cached(docs, dataset_key=sf_dir, n_merges=3)
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    )
 
 
-def _bpe_oracle(n_merges: int = 3) -> str:
+def q138_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE INFERENCE with the q137-learned merge table: every document
+    encodes to its token stream via char split + rank-ordered merge
+    replaces (`operators/bpe.py::apply_bpe_merges` — all narrow
+    expressions, zero shuffle). Output per doc: token count + an md5
+    fingerprint of the full token stream, so the oracle verifies every
+    token of every document without shipping the streams. The oracle
+    re-derives the merges from ITS OWN unrolled q137 rounds — fit and
+    inference both replay cross-engine."""
+    from ..operators.bpe import apply_bpe_merges, learn_bpe_merges_cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges_cached(docs, dataset_key=sf_dir, n_merges=3)
+    enc = apply_bpe_merges(docs, [(l, r) for _, l, r, _ in merges])
+    return enc.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("tokens", "\x1e")).alias("tokens_md5"),
+    )
+
+
+def _bpe_encode_oracle(n_merges: int = 3) -> str:
+    reps = "array_to_string(string_split(w, ''), chr(31))"
+    for r in range(1, n_merges + 1):
+        reps = f"replace({reps}, mm.f{r}, mm.t{r})"
+    cols = ", ".join(
+        f"(SELECT replace(pair, chr(30), chr(31)) FROM m{r}) AS f{r}, "
+        f"(SELECT replace(pair, chr(30), '') FROM m{r}) AS t{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+WITH {_bpe_cte_chain(n_merges)},
+mm AS (SELECT {cols}),
+enc AS (
+  SELECT d.doc_id,
+         list_filter(
+           flatten(list_transform(string_split(d.text, ' '),
+                                  w -> string_split({reps}, chr(31)))),
+           t -> t <> '') AS toks
+  FROM documents d, mm
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       md5(array_to_string(toks, chr(30))) AS tokens_md5
+FROM enc
+"""
+
+
+
+def _bpe_cte_chain(n_merges: int = 3) -> str:
+    """Shared CTE chain deriving s0..s{n} and m1..m{n} (the per-round
+    argmax merges) — consumed by both the merge-table oracle (q137)
+    and the encoder oracle (q138)."""
     parts = [
         """w0 AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1715,6 +1770,10 @@ s{r} AS (
   FROM s{r - 1}
 )"""
         )
+    return ",\n".join(parts)
+
+
+def _bpe_oracle(n_merges: int = 3) -> str:
     finals = "\nUNION ALL\n".join(
         f"""SELECT CAST({r} AS BIGINT) AS rank,
        string_split(pair, chr(30))[1] AS "left",
@@ -1723,10 +1782,11 @@ s{r} AS (
 FROM m{r}"""
         for r in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + finals
+    return "WITH " + _bpe_cte_chain(n_merges) + "\n" + finals
 
 
 Q137_ORACLE = _bpe_oracle(3)
+Q138_ORACLE = _bpe_encode_oracle(3)
 
 
 LLM_QUERIES = {
@@ -1763,6 +1823,7 @@ LLM_QUERIES = {
     "q134_quality_classifier": q134_quality_classifier,
     "q135_quality_curriculum_mix": q135_quality_curriculum_mix,
     "q137_bpe_merge_learning": q137_bpe_merge_learning,
+    "q138_bpe_encode": q138_bpe_encode,
 }
 
 LLM_ORACLES = {
@@ -1799,4 +1860,5 @@ LLM_ORACLES = {
     "q134_quality_classifier": Q134_ORACLE,
     "q135_quality_curriculum_mix": Q135_ORACLE,
     "q137_bpe_merge_learning": Q137_ORACLE,
+    "q138_bpe_encode": Q138_ORACLE,
 }

@@ -54,3 +54,25 @@ def test_bpe_word_freq_weighting(spark):
     )
     wf = {r["word"]: r["cnt"] for r in word_freq_table(docs).collect()}
     assert wf == {"zz": 4, "qqqq": 1}
+
+
+def test_bpe_apply_encodes_with_rank_ordered_merges(spark):
+    from data_integration_openfoodfacts_spark.operators.bpe import (
+        apply_bpe_merges,
+    )
+
+    docs = _docs(spark, ["aaab ab"])
+    out = apply_bpe_merges(docs, [("a", "a"), ("a", "b")]).collect()
+    assert list(out[0]["tokens"]) == ["aa", "ab", "ab"]
+
+
+def test_bpe_apply_drops_empty_words_keeps_unknowns(spark):
+    from data_integration_openfoodfacts_spark.operators.bpe import (
+        apply_bpe_merges,
+    )
+
+    # double space -> empty word filtered; chars not covered by any
+    # merge stay as single-char symbols
+    docs = _docs(spark, ["ab  xyz"])
+    out = apply_bpe_merges(docs, [("a", "b")]).collect()
+    assert list(out[0]["tokens"]) == ["ab", "x", "y", "z"]
