@@ -11,6 +11,17 @@ Textbook byte-pair encoding (Sennrich et al. 2016), Spark-first:
    combined) + a driver-side argmax of a single row + a NARROW
    string-replace applying the merge.
 
+Symbol representation — load-bearing for correctness: every symbol is
+WRAPPED as ``\\x1d symbol \\x1f`` (group-separator open, unit-separator
+close; neither occurs in natural text). A merge of (left, right) is the
+plain replace of ``\\x1d left \\x1f \\x1d right \\x1f`` with
+``\\x1d leftright \\x1f``: the pattern can only match two WHOLE adjacent
+symbols (a bare separator scheme lets ``b<sep>c`` match the tail of
+symbol "ab" followed by "c" — merging a pair that was never counted),
+and adjacent disjoint occurrences share no characters, so left-to-right
+non-overlapping replace merges them all (``abab -> [ab][ab]``, while
+``aaa -> [aa][a]`` exactly like reference BPE's greedy scan).
+
 Scale posture: the corpus is touched exactly once (step 1); every
 round after that costs O(|vocab|), and |vocab| is millions of rows at
 100 TB, not billions. The driver receives one (pair, count) row per
@@ -20,9 +31,7 @@ Production vocabularies (30k+ merges) batch the application step
 structure here is the unbatched reference semantics the q137 oracle
 can replay exactly (unrolled rounds, q104-style).
 
-Cross-engine exactness: symbols are joined with the unit separator
-(U+001F) and pair keys with the record separator (U+001E) — neither
-occurs in natural text; counts are exact integer sums; the argmax
+Cross-engine exactness: counts are exact integer sums; the argmax
 tiebreak is (count DESC, pair-string ASC) under binary collation; the
 merge application is plain (non-regex) left-to-right replace, which
 Spark's ``replace`` and DuckDB's ``replace`` implement identically.
@@ -33,8 +42,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: joins symbols inside a word ("h\x1fe\x1fl\x1fl\x1fo")
-SEP = "\x1f"
+#: opens a symbol ("\x1dh\x1f\x1de\x1f..." for word "he")
+OPEN = "\x1d"
+#: closes a symbol
+CLOSE = "\x1f"
 #: joins the two symbols of a candidate pair key
 PJ = "\x1e"
 
@@ -47,6 +58,24 @@ def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def _wrap_chars(col: F.Column) -> F.Column:
+    """word -> concatenated wrapped single-char symbols."""
+    return F.array_join(
+        F.transform(
+            F.split(col, ""),
+            lambda c: F.concat(F.lit(OPEN), c, F.lit(CLOSE)),
+        ),
+        "",
+    )
+
+
+def _symbols(seq_col: str) -> F.Column:
+    """wrapped sequence column name -> array of symbols (strip the
+    outer markers, split on the close+open boundary)."""
+    inner = F.expr(f"substring({seq_col}, 2, length({seq_col}) - 2)")
+    return F.split(inner, CLOSE + OPEN)
 
 
 # (applicationId, dataset_key, n_merges, text_col) -> merge list.
@@ -82,9 +111,9 @@ def apply_bpe_merges(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Encode the corpus with a learned merge table: every word splits
-    to characters, the merges apply in rank order (plain left-to-right
-    replace — the exact inverse-free BPE inference rule matching how
-    the fit applied them), and the doc's token stream is the flattened
+    to wrapped characters, the merges apply in rank order (plain
+    left-to-right replace of whole adjacent wrapped symbols — the same
+    rule the fit applied), and the doc's token stream is the flattened
     per-word symbol arrays. Entirely narrow expressions — zero
     shuffle; at 100 TB this is scan-bound like tokenize.py.
 
@@ -92,10 +121,17 @@ def apply_bpe_merges(
     """
 
     def encode_word(w):
-        s = F.array_join(F.split(w, ""), SEP)
+        s = _wrap_chars(w)
         for left, right in merges:
-            s = F.replace(s, F.lit(left + SEP + right), F.lit(left + right))
-        return F.split(s, SEP)
+            s = F.replace(
+                s,
+                F.lit(OPEN + left + CLOSE + OPEN + right + CLOSE),
+                F.lit(OPEN + left + right + CLOSE),
+            )
+        # strip the outer markers, split on the symbol boundary
+        return F.split(
+            F.regexp_replace(s, f"^{OPEN}|{CLOSE}$", ""), CLOSE + OPEN
+        )
 
     toks = F.filter(
         F.flatten(
@@ -114,17 +150,17 @@ def learn_bpe_merges(
     """Learn ``n_merges`` BPE merges over the corpus; returns a
     DataFrame (rank, left, right, pair_count) — the merge table a
     tokenizer ships. rank is 1-based merge order."""
+    import gc
+
     spark = docs.sparkSession
     seqs = (
         word_freq_table(docs, text_col)
-        .select(
-            F.array_join(F.split("word", ""), SEP).alias("seq"), "cnt"
-        )
+        .select(_wrap_chars(F.col("word")).alias("seq"), "cnt")
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        arr = F.split("seq", SEP)
+        arr = _symbols("seq")
         pairs = (
             seqs.filter(F.size(arr) >= 2)
             .select(
@@ -152,12 +188,24 @@ def learn_bpe_merges(
             break
         left, right = best[0]["pair"].split(PJ)
         merges.append((rank, left, right, best[0]["c"]))
-        seqs = seqs.select(
+        # Re-checkpoint per round (flat lineage); DROP the previous
+        # round's handle so its checkpoint blocks become collectable —
+        # localCheckpoint storage frees when the referencing RDD is
+        # GC'd (same mechanism bench.py documents), and at production
+        # merge counts thousands of pinned vocab copies would otherwise
+        # accumulate in executor storage.
+        new_seqs = seqs.select(
             F.replace(
-                "seq", F.lit(left + SEP + right), F.lit(left + right)
+                "seq",
+                F.lit(OPEN + left + CLOSE + OPEN + right + CLOSE),
+                F.lit(OPEN + left + right + CLOSE),
             ).alias("seq"),
             "cnt",
         ).localCheckpoint(eager=True)
+        seqs = new_seqs
+        if rank % 16 == 0:
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
     return spark.createDataFrame(
         merges, "rank long, left string, right string, pair_count long"
     )

@@ -1704,12 +1704,21 @@ def q138_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_encode_oracle(n_merges: int = 3) -> str:
-    reps = "array_to_string(string_split(w, ''), chr(31))"
+    # wrapped-symbol scheme + empty-merge no-op guard: see
+    # _bpe_cte_chain's docstring
+    reps = (
+        "array_to_string(list_transform(string_split(w, ''),"
+        " c -> chr(29) || c || chr(31)), '')"
+    )
     for r in range(1, n_merges + 1):
         reps = f"replace({reps}, mm.f{r}, mm.t{r})"
+    unwrapped = f"substring({reps}, 2, length({reps}) - 2)"
     cols = ", ".join(
-        f"(SELECT replace(pair, chr(30), chr(31)) FROM m{r}) AS f{r}, "
-        f"(SELECT replace(pair, chr(30), '') FROM m{r}) AS t{r}"
+        f"COALESCE((SELECT chr(29) || replace(pair, chr(30),"
+        f" chr(31) || chr(29)) || chr(31) FROM m{r}),"
+        f" chr(29) || chr(31)) AS f{r}, "
+        f"COALESCE((SELECT chr(29) || replace(pair, chr(30), '')"
+        f" || chr(31) FROM m{r}), '') AS t{r}"
         for r in range(1, n_merges + 1)
     )
     return f"""
@@ -1717,10 +1726,9 @@ WITH {_bpe_cte_chain(n_merges)},
 mm AS (SELECT {cols}),
 enc AS (
   SELECT d.doc_id,
-         list_filter(
-           flatten(list_transform(string_split(d.text, ' '),
-                                  w -> string_split({reps}, chr(31)))),
-           t -> t <> '') AS toks
+         flatten(list_transform(
+           list_filter(string_split(d.text, ' '), w -> w <> ''),
+           w -> string_split({unwrapped}, chr(31) || chr(29)))) AS toks
   FROM documents d, mm
 )
 SELECT doc_id,
@@ -1734,7 +1742,19 @@ FROM enc
 def _bpe_cte_chain(n_merges: int = 3) -> str:
     """Shared CTE chain deriving s0..s{n} and m1..m{n} (the per-round
     argmax merges) — consumed by both the merge-table oracle (q137)
-    and the encoder oracle (q138)."""
+    and the encoder oracle (q138). Mirrors operators/bpe.py's WRAPPED
+    symbol scheme: chr(29) symbol chr(31), so a merge replace can only
+    match two whole adjacent symbols (a bare-separator scheme lets the
+    pattern match a symbol's SUFFIX — merging pairs that were never
+    counted). Empty m{r} (merges dried up before round n, which the
+    Spark side handles with break) COALESCEs to the impossible pattern
+    chr(29)||chr(31) (a wrapped empty symbol), making the round's
+    replace a no-op instead of NULLing every sequence."""
+    # symbol array of a wrapped sequence
+    sym = (
+        "string_split(substring(seq, 2, length(seq) - 2), "
+        "chr(31) || chr(29))"
+    )
     parts = [
         """w0 AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1743,7 +1763,10 @@ def _bpe_cte_chain(n_merges: int = 3) -> str:
   GROUP BY 1
 ),
 s0 AS (
-  SELECT array_to_string(string_split(word, ''), chr(31)) AS seq, cnt
+  SELECT array_to_string(list_transform(string_split(word, ''),
+                                        c -> chr(29) || c || chr(31)),
+                         '') AS seq,
+         cnt
   FROM w0
 )"""
     ]
@@ -1754,19 +1777,23 @@ s0 AS (
   FROM (
     SELECT cnt,
            unnest(list_transform(
-             range(1, len(string_split(seq, chr(31)))),
-             i -> string_split(seq, chr(31))[i] || chr(30)
-                  || string_split(seq, chr(31))[i + 1])) AS pair
+             range(1, len({sym})),
+             i -> {sym}[i] || chr(30)
+                  || {sym}[i + 1])) AS pair
     FROM s{r - 1}
-    WHERE len(string_split(seq, chr(31))) >= 2
+    WHERE len({sym}) >= 2
   ) u
   GROUP BY 1
 ),
 m{r} AS (SELECT pair, c FROM p{r} ORDER BY c DESC, pair ASC LIMIT 1),
 s{r} AS (
   SELECT replace(seq,
-           (SELECT replace(pair, chr(30), chr(31)) FROM m{r}),
-           (SELECT replace(pair, chr(30), '') FROM m{r})) AS seq, cnt
+           COALESCE((SELECT chr(29) || replace(pair, chr(30),
+                              chr(31) || chr(29)) || chr(31)
+                     FROM m{r}), chr(29) || chr(31)),
+           COALESCE((SELECT chr(29) || replace(pair, chr(30), '')
+                              || chr(31)
+                     FROM m{r}), '')) AS seq, cnt
   FROM s{r - 1}
 )"""
         )

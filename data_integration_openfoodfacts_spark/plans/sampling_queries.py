@@ -458,13 +458,16 @@ def q100_approx_distinct_bounds(
     return per_group.select(
         "l_returnflag",
         "exact_distinct",
-        (
-            (
-                F.abs(F.col("approx") - F.col("exact_distinct"))
-                / F.col("exact_distinct")
-                > 0.05
-            ).cast("long")
-        ).alias("violation"),
+        # CASE guards the ANSI divide for an exact count of 0 (same
+        # rationale as q136's violation column)
+        F.when(F.col("exact_distinct") == 0, F.col("approx") != 0)
+        .otherwise(
+            F.abs(F.col("approx") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            > 0.05
+        )
+        .cast("long")
+        .alias("violation"),
     )
 
 
@@ -536,13 +539,19 @@ def q136_hll_incremental_distinct(
             "event_type",
             "n_rows",
             "exact_distinct",
-            (
-                (
-                    F.abs(F.col("__est_merged") - F.col("exact_distinct"))
-                    / F.col("exact_distinct")
-                    > 0.05
-                ).cast("long")
-            ).alias("violation"),
+            # CASE guards the ANSI divide: an all-NULL-user group has
+            # exact_distinct 0, where "violation" means a nonzero
+            # estimate (lazy CaseWhen branches — no DIVIDE_BY_ZERO)
+            F.when(
+                F.col("exact_distinct") == 0, F.col("__est_merged") != 0
+            )
+            .otherwise(
+                F.abs(F.col("__est_merged") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                > 0.05
+            )
+            .cast("long")
+            .alias("violation"),
             (F.col("__est_merged") != F.col("__est_single"))
             .cast("long")
             .alias("merge_mismatch"),

@@ -76,3 +76,30 @@ def test_bpe_apply_drops_empty_words_keeps_unknowns(spark):
     docs = _docs(spark, ["ab  xyz"])
     out = apply_bpe_merges(docs, [("a", "b")]).collect()
     assert list(out[0]["tokens"]) == ["ab", "x", "y", "z"]
+
+
+def test_bpe_merge_cannot_cross_symbol_boundaries(spark):
+    """Wrapped-symbol regression (review finding): after merge (a,b),
+    the word 'xabc' is [x, ab, c]; merge (b,c) must NOT match the
+    suffix 'b' of symbol 'ab' followed by 'c' — a bare-separator
+    replace scheme does exactly that and corrupts both the merge table
+    and the encoding."""
+    from data_integration_openfoodfacts_spark.operators.bpe import (
+        apply_bpe_merges,
+    )
+
+    docs = _docs(spark, ["ab ab ab bc bc xabc"])
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in learn_bpe_merges(docs, n_merges=3).collect()
+    ]
+    # r1 (a,b)=4; r2 (b,c)=2 (bc words only — [x,ab,c] has no (b,c)
+    # adjacency); r3 tie (x,ab)=1 vs (ab,c)=1 -> pair-string asc
+    assert got == [(1, "a", "b", 4), (2, "b", "c", 2), (3, "ab", "c", 1)]
+    enc = {
+        r["doc_id"]: list(r["tokens"])
+        for r in apply_bpe_merges(
+            docs, [(l, r_) for _, l, r_, _ in got]
+        ).collect()
+    }
+    assert enc[0] == ["ab", "ab", "ab", "bc", "bc", "x", "abc"]
