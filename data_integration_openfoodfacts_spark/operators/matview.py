@@ -84,13 +84,17 @@ def build_distinct_summary(
 
     ``build_summary`` can't maintain COUNT(DISTINCT) because it is not
     algebraic — merging per-batch exact distincts overcounts overlap.
-    Sketches make it mergeable: registers are per-item maxima, so
-    union(sketch(A), sketch(B)) == sketch(A ∪ B) EXACTLY (not
-    approximately — the estimate is approximate, the merge is not),
-    which is what lets a summary table answer "distinct users per
-    group, all history" at O(kB) state per group with O(|batch|)
-    refresh. The estimate error bound is oracle-pinned in q136 the
-    same way q100 pins ``approx_count_distinct``."""
+    Sketches make it mergeable: REGISTER state unions by per-item
+    maxima, losslessly and idempotently (overlapping batches never
+    double-count). One honesty note: DataSketches estimates a
+    never-merged sketch with the HIP estimator but a merged one with
+    the composite estimator, so a merged sketch's ESTIMATE tracks the
+    single-pass estimate within the error bound (~0.5% measured at
+    sf0.1), not bit-exactly. That bounded drift is what lets a summary
+    table answer "distinct users per group, all history" at O(kB)
+    state per group with O(|batch|) refresh. Both the 5%-of-exact
+    bound and the merged-vs-single drift bound are oracle-pinned in
+    q136 the same way q100 pins ``approx_count_distinct``."""
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
     for c in distinct_cols:
         aggs.append(F.hll_sketch_agg(c).alias(f"__hll_{c}"))

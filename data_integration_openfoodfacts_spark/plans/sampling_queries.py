@@ -496,11 +496,15 @@ def q136_hll_incremental_distinct(
       - violation = 0: merged estimate within 5% of exact (2.5x margin
         over the sketch's default precision, deterministic for fixed
         input);
-      - merge_mismatch = 0: the merged-from-batches estimate equals
-        the single-pass whole-history estimate EXACTLY — sketch union
-        is register-wise max, so incremental maintenance loses nothing
-        vs a full rebuild. This is the property that makes O(kB)-state
-        summary tables safe to refresh per batch at 100 TB.
+      - merge_drift_violation = 0: the merged-from-batches estimate
+        stays within 5%-of-exact of the single-pass whole-history
+        estimate. The REGISTER merge is lossless (register-wise max),
+        but DataSketches estimates a never-merged sketch with the HIP
+        estimator and a merged one with the composite estimator, so
+        the two ESTIMATES agree within the error bound, not
+        bit-exactly (measured ~0.5% apart at sf0.1) — this bounded
+        drift is what makes O(kB)-state summary tables safe to refresh
+        per batch at 100 TB instead of full rebuilds.
     """
     from ..operators.matview import (
         build_distinct_summary,
@@ -552,9 +556,17 @@ def q136_hll_incremental_distinct(
             )
             .cast("long")
             .alias("violation"),
-            (F.col("__est_merged") != F.col("__est_single"))
+            F.when(
+                F.col("exact_distinct") == 0,
+                F.col("__est_merged") != F.col("__est_single"),
+            )
+            .otherwise(
+                F.abs(F.col("__est_merged") - F.col("__est_single"))
+                / F.col("exact_distinct")
+                > 0.05
+            )
             .cast("long")
-            .alias("merge_mismatch"),
+            .alias("merge_drift_violation"),
         )
     )
 
@@ -564,7 +576,7 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
        CAST(0 AS BIGINT) AS violation,
-       CAST(0 AS BIGINT) AS merge_mismatch
+       CAST(0 AS BIGINT) AS merge_drift_violation
 FROM events
 GROUP BY 1
 """

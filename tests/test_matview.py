@@ -77,11 +77,14 @@ def test_refresh_cost_reads_only_summary(spark, tmp_path):
     assert plan.count("Scan parquet") == 2, plan
 
 
-def test_distinct_summary_merge_handles_overlap_exactly(spark):
+def test_distinct_summary_merge_handles_overlap(spark):
     """COUNT(DISTINCT) via HLL sketch state: merging two OVERLAPPING
-    batches must equal the single-pass sketch of the union exactly
-    (register-wise max is idempotent per item) — the case where the
-    algebraic pattern (summing per-batch exact distincts) overcounts."""
+    batches must track the single-pass sketch of the union within the
+    error bound (register merge is lossless and idempotent per item,
+    but DataSketches estimates merged sketches with the composite
+    estimator vs HIP for unmerged — see build_distinct_summary) — the
+    case where the algebraic pattern (summing per-batch exact
+    distincts) overcounts outright."""
     from data_integration_openfoodfacts_spark.operators.matview import (
         build_distinct_summary,
         finalize_distinct_summary,
@@ -113,7 +116,8 @@ def test_distinct_summary_merge_handles_overlap_exactly(spark):
         r["o_orderpriority"]: r["approx_distinct_o_custkey"]
         for r in single.collect()
     }
-    assert m == s
+    for k in s:
+        assert abs(m[k] - s[k]) <= max(1.0, 0.05 * s[k]), (k, m[k], s[k])
     # and the estimate tracks the exact distinct within 5%
     exact = {
         r["o_orderpriority"]: r["d"]
