@@ -152,3 +152,127 @@ def refresh_materialized_summary(
     )
     overwrite_parquet_atomically(merged, path)
     return spark.read.parquet(path)
+
+
+def build_histogram_summary(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    bin_width: float,
+    n_bins: int,
+) -> DataFrame:
+    """Mergeable FIXED-BIN HISTOGRAM state: per-group counts in
+    ``n_bins`` equal-width bins of ``col`` (bin = floor(value/width),
+    clamped to [0, n_bins-1] so out-of-domain values land in the edge
+    bins instead of minting unbounded state).
+
+    This is the LOSSLESS counterpart to ``build_distinct_summary``'s
+    HLL sketch: histogram registers are plain counts, so the merge
+    (per-bin sum) is exact — a merged-from-batches state is
+    bit-identical to a single-pass state, which q141 pins as a
+    zero-tolerance oracle column (vs q136's bounded estimator drift).
+    The price is bounded resolution: quantile READS come back as
+    [bin_lo, bin_hi) bounds, not exact values. State is O(n_bins) per
+    group regardless of history size — the summary-table contract.
+    """
+    b = (
+        F.least(
+            F.greatest(
+                F.floor(F.col(col) / F.lit(float(bin_width))), F.lit(0)
+            ),
+            F.lit(n_bins - 1),
+        )
+        .cast("long")
+        .alias("__bin")
+    )
+    # NULL measures are excluded (a NULL has no bin; mirroring the
+    # oracle's WHERE col IS NOT NULL).
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*keys, b)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+
+
+def merge_histogram_summaries(
+    existing: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Merge histogram states (per-bin count sum — associative,
+    commutative, and EXACT; any refresh order yields identical
+    registers)."""
+    return (
+        existing.unionByName(delta)
+        .groupBy(*keys, "__bin")
+        .agg(F.sum("__cnt").cast("long").alias("__cnt"))
+    )
+
+
+def histogram_quantile_bounds(
+    state: DataFrame,
+    keys: list[str],
+    quantiles: list[tuple[str, int, int]],
+    bin_width: float,
+) -> DataFrame:
+    """Read quantile BOUNDS from histogram state: for each group and
+    each quantile q = num/den, the percentile_disc rank is
+    ceil(num*n/den) computed in EXACT integer arithmetic
+    ((num*n + den - 1) DIV den — no float q*n), and the answer is the
+    first bin whose cumulative count reaches that rank, reported as
+    [lo, hi) decimal bounds.
+
+    One shuffle on ``keys`` (the running-sum window and the per-group
+    argmin share its partitioning); the quantile list is a literal
+    explode, not a join. Output columns:
+    ``*keys, q_label, n_total, rank_idx, bin_idx, lo, hi``.
+    """
+    qlit = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("q_label"),
+                F.lit(num).cast("long").alias("__num"),
+                F.lit(den).cast("long").alias("__den"),
+            )
+            for (label, num, den) in quantiles
+        ]
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = state.withColumn("__cum", F.sum("__cnt").over(w)).withColumn(
+        "__total", F.sum("__cnt").over(Window.partitionBy(*keys))
+    )
+    # ceil(num*n/den) via SQL DIV — exact BIGINT arithmetic, never a
+    # double q*n (0.99*n is already inexact in IEEE).
+    per_q = cum.withColumn("__q", F.explode(qlit)).withColumn(
+        "__rank",
+        F.expr(
+            "CAST((__q.__num * __total + __q.__den - 1) DIV __q.__den"
+            " AS BIGINT)"
+        ),
+    )
+    hit = per_q.filter(F.col("__cum") >= F.col("__rank"))
+    out = hit.groupBy(*keys, F.col("__q.q_label").alias("q_label")).agg(
+        F.min("__total").cast("long").alias("n_total"),
+        F.min("__rank").cast("long").alias("rank_idx"),
+        F.min("__bin").cast("long").alias("bin_idx"),
+    )
+    return out.select(
+        *keys,
+        "q_label",
+        "n_total",
+        "rank_idx",
+        "bin_idx",
+        # bin edges are exact small-integer multiples of the width —
+        # bit-identical doubles in both engines (output-boundary
+        # doubles per the repo's determinism rules).
+        (F.col("bin_idx") * F.lit(float(bin_width)))
+        .cast("double")
+        .alias("lo"),
+        ((F.col("bin_idx") + 1) * F.lit(float(bin_width)))
+        .cast("double")
+        .alias("hi"),
+    )

@@ -1,0 +1,224 @@
+"""Exact-substring duplicate detection and removal over token streams.
+
+Two corpus-hygiene operators the shingle/MinHash family
+(`operators/similarity_dedup.py`) does not cover:
+
+- ``duplicate_window_stats``: the detection half of exact-substring
+  deduplication (Lee et al., "Deduplicating Training Data Makes
+  Language Models Better" — suffix-array substring dedup re-expressed
+  for Spark): every length-W token window is hashed; windows whose
+  hash occurs in >= 2 DISTINCT documents are duplicated passages, and
+  each document reports how many of its windows are duplicated and how
+  many token positions those windows cover.
+- ``remove_repeated_chunks``: the removal half at chunk granularity
+  (the RefinedWeb/Gopher "repeated lines across documents" filter,
+  adapted to newline-free token text): documents are cut into
+  NON-overlapping C-token chunks; any chunk text appearing in
+  >= min_docs distinct documents is boilerplate and is dropped, and
+  the cleaned text is reassembled from the surviving chunks in order.
+
+Scale shape (both operators):
+- window/chunk construction is a NARROW per-row expression
+  (``transform`` over ``sequence`` + ``slice``) — no join, no UDF;
+  the explode multiplies rows by tokens-per-doc exactly like the
+  tokenizers in ``functions/text_analysis.py``.
+- the duplicated set is found with ONE hash aggregation on the window
+  hash (map-side partial aggregation absorbs locally-repeated
+  windows) and is typically a tiny fraction of the corpus; joining it
+  back is AQE-broadcastable in the common case and a plain shuffled
+  hash join in the worst case — never all-pairs.
+- coverage counting explodes positions ONLY for duplicated windows
+  (bounded by the duplicate set, not the corpus).
+
+Portability: hashes are md5 over the space-joined window text
+(engine-neutral, matching DuckDB ``md5(array_to_string(...))``);
+every output is an integer or a deterministic string — nothing
+floating. Reassembly sorts surviving chunks by chunk index via
+``array_sort`` over (index, text) structs, so the result does not
+depend on ``collect_list`` order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str) -> Column:
+    # array_remove keeps order; mirrors DuckDB list_filter(x <> '').
+    return F.array_remove(F.split(F.col(text_col), " "), "")
+
+
+def duplicate_window_stats(
+    docs: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-passage stats at token-window grain.
+
+    Returns one row per input document:
+      ``id_col, n_tokens, dup_windows, dup_tokens``
+    where ``dup_windows`` counts this document's length-``window``
+    sliding windows whose md5 also occurs in another document, and
+    ``dup_tokens`` counts the DISTINCT token positions covered by
+    those windows (the union of their [i, i+W-1] spans — the number
+    of tokens an exact-substring dedup pass would cut).
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    base = docs.select(
+        id_col, _tokens(text_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+
+    # Window starts 1..n-W+1 (empty when the doc is shorter than W);
+    # the guard avoids sequence()'s descending [1,0] for short docs.
+    idx = F.when(
+        F.col("__n") >= window,
+        F.sequence(F.lit(1), F.col("__n") - (window - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        id_col,
+        "__n",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.concat_ws(
+                            " ", F.slice(F.col("__toks"), i, window)
+                        )
+                    ).alias("h"),
+                ),
+            )
+        ).alias("w"),
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+
+    dup_hashes = (
+        wins.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("h")
+    )
+    dwins = wins.join(dup_hashes, "h")
+
+    per_doc_windows = dwins.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dup_windows")
+    )
+    per_doc_cover = (
+        dwins.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (window - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+    )
+    return (
+        base.select(id_col, F.col("__n").alias("n_tokens"))
+        .join(per_doc_windows, id_col, "left")
+        .join(per_doc_cover, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("dup_windows", F.lit(0)).cast("long").alias(
+                "dup_windows"
+            ),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+        )
+    )
+
+
+def remove_repeated_chunks(
+    docs: DataFrame,
+    chunk: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Strip cross-document boilerplate chunks and rebuild the text.
+
+    Documents are cut into NON-overlapping ``chunk``-token pieces
+    (the last piece may be shorter); a piece whose exact text occurs
+    in >= ``min_docs`` distinct documents is removed everywhere it
+    appears. Returns one row per input document:
+      ``id_col, n_chunks, removed_chunks, clean_text``
+    with ``clean_text`` the surviving chunks rejoined by single
+    spaces in original order ('' when everything was boilerplate).
+    """
+    if chunk < 1:
+        raise ValueError("chunk must be >= 1")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    base = (
+        docs.select(id_col, _tokens(text_col).alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        # ceil(n / chunk) in exact integer arithmetic (SQL DIV), the
+        # same expression the DuckDB oracle uses (// on BIGINT).
+        .withColumn(
+            "__nc",
+            F.expr(f"CAST((__n + {chunk - 1}) DIV {chunk} AS BIGINT)"),
+        )
+    )
+    cidx = F.when(
+        F.col("__nc") > 0,
+        F.sequence(F.lit(0), (F.col("__nc") - 1).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                cidx,
+                lambda c: F.struct(
+                    c.alias("c"),
+                    F.concat_ws(
+                        " ",
+                        F.slice(F.col("__toks"), c * chunk + 1, chunk),
+                    ).alias("chunk_text"),
+                ),
+            )
+        ).alias("ch"),
+    ).select(
+        id_col, F.col("ch.c").alias("c"), F.col("ch.chunk_text").alias(
+            "chunk_text"
+        )
+    )
+
+    repeated = (
+        chunks.groupBy("chunk_text")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("chunk_text")
+    )
+    kept = chunks.join(repeated, "chunk_text", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept_chunks"),
+        # Deterministic reassembly: sort (c, text) structs by chunk
+        # index, then join — immune to collect_list ordering.
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("c", "chunk_text"))
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select(id_col, F.col("__nc").alias("n_chunks"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            (
+                F.col("n_chunks") - F.coalesce("kept_chunks", F.lit(0))
+            ).cast("long").alias("removed_chunks"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -1816,6 +1816,129 @@ Q137_ORACLE = _bpe_oracle(3)
 Q138_ORACLE = _bpe_encode_oracle(3)
 
 
+def q139_duplicate_window_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-substring duplicate-passage detection (the suffix-array
+    dedup of Lee et al. 2022 re-expressed as one hash aggregation):
+    every 8-token sliding window is md5-hashed; windows shared by >= 2
+    distinct documents are duplicated passages, and each doc reports
+    its duplicated-window count and the distinct token positions they
+    cover — exactly the spans an exact-substring cut pass would remove.
+
+    Complements the MinHash family: LSH finds near-duplicate WHOLE
+    documents; this finds verbatim PASSAGES inside otherwise-distinct
+    documents (licence blocks, templates, quoted text). Scale shape:
+    window construction is a narrow transform/slice expression (no
+    UDF); the duplicate set comes from one map-side-combined hash agg;
+    position explode runs only over duplicated windows.
+    See operators/substring_dedup.py.
+    """
+    from ..operators.substring_dedup import duplicate_window_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_window_stats(docs, window=8)
+
+
+Q139_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i,
+         md5(array_to_string(toks[i:i+7], ' ')) AS h
+  FROM tok,
+       LATERAL (SELECT UNNEST(generate_series(1, len(toks) - 7)) AS i) g
+  WHERE len(toks) >= 8
+),
+dup AS (
+  SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dwins AS (SELECT w.doc_id, w.i FROM wins w JOIN dup USING (h)),
+per_doc_windows AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_windows
+  FROM dwins GROUP BY 1
+),
+cover AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT) AS dup_tokens
+  FROM dwins,
+       LATERAL (SELECT UNNEST(generate_series(i, i + 7)) AS p) g
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       COALESCE(w.dup_windows, 0) AS dup_windows,
+       COALESCE(c.dup_tokens, 0) AS dup_tokens
+FROM tok t
+LEFT JOIN per_doc_windows w USING (doc_id)
+LEFT JOIN cover c USING (doc_id)
+"""
+
+
+def q140_boilerplate_chunk_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-document boilerplate REMOVAL (the RefinedWeb/Gopher
+    "repeated lines across documents" filter adapted to newline-free
+    token text): documents are cut into non-overlapping 5-token
+    chunks; any chunk text appearing verbatim in >= 2 distinct
+    documents is stripped everywhere, and the cleaned text is
+    reassembled in order. Output pins the REWRITTEN STRING itself,
+    not just counts — the rebuild path (array_sort over (idx, text)
+    structs, immune to collect_list order) is what the hash gates.
+
+    Unlike q139 (detection stats, overlapping windows), this is the
+    destructive rewrite at coarser grain. Scale shape: chunking is a
+    narrow expression; boilerplate discovery is one hash agg; removal
+    is a left_anti join against the (small) repeated-chunk set; one
+    groupBy rebuilds each doc. See operators/substring_dedup.py.
+    """
+    from ..operators.substring_dedup import remove_repeated_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_repeated_chunks(docs, chunk=5, min_docs=2)
+
+
+Q140_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, toks,
+         CAST((len(toks) + 4) // 5 AS BIGINT) AS n_chunks
+  FROM tok
+),
+chunks AS (
+  SELECT doc_id, c,
+         array_to_string(toks[(c*5 + 1):(c*5 + 5)], ' ') AS chunk_text
+  FROM base,
+       LATERAL (SELECT UNNEST(generate_series(0, n_chunks - 1)) AS c) g
+  WHERE n_chunks > 0
+),
+rep AS (
+  SELECT chunk_text FROM chunks
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT * FROM chunks
+  WHERE chunk_text NOT IN (SELECT chunk_text FROM rep)
+),
+rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_chunks,
+         string_agg(chunk_text, ' ' ORDER BY c) AS clean_text
+  FROM kept GROUP BY 1
+)
+SELECT b.doc_id, b.n_chunks,
+       b.n_chunks - COALESCE(r.kept_chunks, 0) AS removed_chunks,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -1851,6 +1974,8 @@ LLM_QUERIES = {
     "q135_quality_curriculum_mix": q135_quality_curriculum_mix,
     "q137_bpe_merge_learning": q137_bpe_merge_learning,
     "q138_bpe_encode": q138_bpe_encode,
+    "q139_duplicate_window_spans": q139_duplicate_window_spans,
+    "q140_boilerplate_chunk_removal": q140_boilerplate_chunk_removal,
 }
 
 LLM_ORACLES = {
@@ -1888,4 +2013,6 @@ LLM_ORACLES = {
     "q135_quality_curriculum_mix": Q135_ORACLE,
     "q137_bpe_merge_learning": Q137_ORACLE,
     "q138_bpe_encode": Q138_ORACLE,
+    "q139_duplicate_window_spans": Q139_ORACLE,
+    "q140_boilerplate_chunk_removal": Q140_ORACLE,
 }

@@ -582,6 +582,176 @@ GROUP BY 1
 """
 
 
+def q141_histogram_incremental_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental QUANTILE maintenance via mergeable fixed-bin
+    histogram state (`operators/matview.py::build_histogram_summary`
+    + merge + `histogram_quantile_bounds`) — the lossless counterpart
+    to q136's HLL distinct sketch: histogram registers are plain
+    counts, so merged-from-batches state is BIT-IDENTICAL to
+    single-pass state (merge_mismatch pinned to exactly 0, no drift
+    bound needed), and quantile reads come back as [lo, hi) bin
+    bounds at O(n_bins) state per group.
+
+    The events stream splits into two disjoint batches (event_id
+    parity); each builds per-event_type bin counts (width 10, 50
+    bins); states merge; p50/p90/p99 bounds read from the merged
+    state with ranks in EXACT integer arithmetic
+    (ceil(num*n/den) = (num*n+den-1) DIV den — never a float q*n).
+    Oracle recomputes the histogram single-pass in DuckDB, the same
+    integer ranks, AND the exact rank-th value independently
+    (row_number over the sorted values), then both engines evaluate
+    the same in-bounds check — `violation` must be 0 from real
+    arithmetic on both sides, not a pinned literal.
+
+    Scale: exact percentiles at 100 TB need a full sort or a
+    multi-pass select; this summary answers any quantile to
+    bin-width resolution from kB-sized mergeable state refreshed in
+    O(|batch|). The exact rank-th value here exists only to power
+    the oracle check (q100's pattern).
+    """
+    from ..operators.matview import (
+        build_histogram_summary,
+        histogram_quantile_bounds,
+        merge_histogram_summaries,
+    )
+    from ..sources.parquet_source import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    keys, width, n_bins = ["event_type"], 10.0, 50
+    s_old = build_histogram_summary(
+        ev.filter(F.col("event_id") % 2 == 0), keys, "value", width, n_bins
+    )
+    s_new = build_histogram_summary(
+        ev.filter(F.col("event_id") % 2 == 1), keys, "value", width, n_bins
+    )
+    merged = merge_histogram_summaries(s_old, s_new, keys)
+    single = build_histogram_summary(ev, keys, "value", width, n_bins)
+
+    # Lossless-merge proof: per (group, bin) the merged and
+    # single-pass registers must agree EXACTLY (full outer join so a
+    # bin present on only one side counts as a mismatch).
+    mism = (
+        merged.select(
+            "event_type", "__bin", F.col("__cnt").alias("__m")
+        )
+        .join(
+            single.select(
+                "event_type", "__bin", F.col("__cnt").alias("__s")
+            ),
+            ["event_type", "__bin"],
+            "full_outer",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (~F.col("__m").eqNullSafe(F.col("__s"))).cast("long")
+            ).alias("merge_mismatch")
+        )
+    )
+
+    bounds = histogram_quantile_bounds(
+        merged,
+        keys,
+        [("0.5", 1, 2), ("0.9", 9, 10), ("0.99", 99, 100)],
+        width,
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__et").orderBy("value")
+    ordered = (
+        ev.filter(F.col("value").isNotNull())
+        .select(F.col("event_type").alias("__et"), "value")
+        .withColumn("__rn", F.row_number().over(w))
+    )
+    return (
+        bounds.join(
+            ordered,
+            (F.col("event_type") == F.col("__et"))
+            & (F.col("__rn") == F.col("rank_idx")),
+        )
+        .join(mism, "event_type")
+        .select(
+            "event_type",
+            "q_label",
+            "n_total",
+            "rank_idx",
+            "bin_idx",
+            "lo",
+            "hi",
+            F.col("value").cast("double").alias("exact_value"),
+            F.when(
+                (F.col("value") >= F.col("lo"))
+                & (
+                    (F.col("value") < F.col("hi"))
+                    | (F.col("bin_idx") == n_bins - 1)
+                ),
+                0,
+            )
+            .otherwise(1)
+            .cast("long")
+            .alias("violation"),
+            F.col("merge_mismatch").cast("long").alias("merge_mismatch"),
+        )
+    )
+
+
+Q141_ORACLE = """
+WITH ev AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+),
+hist AS (
+  SELECT event_type,
+         CAST(LEAST(GREATEST(FLOOR(value / 10.0), 0), 49) AS BIGINT)
+           AS bin,
+         COUNT(*) AS cnt
+  FROM ev GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS total
+  FROM hist
+),
+q(q_label, num, den) AS (
+  VALUES ('0.5', 1, 2), ('0.9', 9, 10), ('0.99', 99, 100)
+),
+sel AS (
+  SELECT c.event_type, q.q_label,
+         CAST(MIN(c.total) AS BIGINT) AS n_total,
+         CAST(MIN((q.num * c.total + q.den - 1) // q.den) AS BIGINT)
+           AS rank_idx,
+         CAST(MIN(CASE WHEN c.cum >=
+                         (q.num * c.total + q.den - 1) // q.den
+                       THEN c.bin END) AS BIGINT) AS bin_idx
+  FROM cum c CROSS JOIN q
+  GROUP BY 1, 2
+),
+ordered AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value)
+           AS rn
+  FROM ev
+)
+SELECT s.event_type, s.q_label, s.n_total, s.rank_idx, s.bin_idx,
+       CAST(s.bin_idx * 10.0 AS DOUBLE) AS lo,
+       CAST((s.bin_idx + 1) * 10.0 AS DOUBLE) AS hi,
+       CAST(o.value AS DOUBLE) AS exact_value,
+       CAST(CASE WHEN o.value >= s.bin_idx * 10.0
+                  AND (o.value < (s.bin_idx + 1) * 10.0
+                       OR s.bin_idx = 49)
+                 THEN 0 ELSE 1 END AS BIGINT) AS violation,
+       CAST(0 AS BIGINT) AS merge_mismatch
+FROM sel s
+JOIN ordered o
+  ON o.event_type = s.event_type AND o.rn = s.rank_idx
+"""
+
+
 SAMPLING_QUERIES = {
     "q59_deterministic_sample": q59_deterministic_sample,
     "q60_stratified_sample": q60_stratified_sample,
@@ -594,6 +764,9 @@ SAMPLING_QUERIES = {
     "q101_weighted_sample": q101_weighted_sample,
     "q105_mixture_sample": q105_mixture_sample,
     "q136_hll_incremental_distinct": q136_hll_incremental_distinct,
+    "q141_histogram_incremental_quantiles": (
+        q141_histogram_incremental_quantiles
+    ),
 }
 
 SAMPLING_ORACLES = {
@@ -608,4 +781,5 @@ SAMPLING_ORACLES = {
     "q101_weighted_sample": Q101_ORACLE,
     "q105_mixture_sample": Q105_ORACLE,
     "q136_hll_incremental_distinct": Q136_ORACLE,
+    "q141_histogram_incremental_quantiles": Q141_ORACLE,
 }

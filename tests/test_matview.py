@@ -155,3 +155,64 @@ def test_distinct_summary_merge_order_invariant(spark):
         )
     )
     assert ab == ba
+
+
+def test_histogram_merge_is_lossless_and_order_independent(spark):
+    from data_integration_openfoodfacts_spark.operators.matview import (
+        build_histogram_summary,
+        merge_histogram_summaries,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    keys = ["o_orderpriority"]
+    a = build_histogram_summary(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        keys, "o_totalprice", 50000.0, 10,
+    )
+    b = build_histogram_summary(
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+        keys, "o_totalprice", 50000.0, 10,
+    )
+    single = _rows(
+        build_histogram_summary(orders, keys, "o_totalprice", 50000.0, 10)
+    )
+    assert _rows(merge_histogram_summaries(a, b, keys)) == single
+    assert _rows(merge_histogram_summaries(b, a, keys)) == single
+
+
+def test_histogram_quantile_bounds_known_values(spark):
+    from data_integration_openfoodfacts_spark.operators.matview import (
+        build_histogram_summary,
+        histogram_quantile_bounds,
+    )
+
+    # 10 values in group g: 1..10 → width-2 bins [0,2),[2,4),...
+    # p50 rank = ceil(0.5*10) = 5 → value 5 → bin 2 ([4,6));
+    # p90 rank = 9 → value 9 → bin 4 ([8,10)).
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 11)], ["k", "v"]
+    )
+    state = build_histogram_summary(df, ["k"], "v", 2.0, 5)
+    got = {
+        r["q_label"]: (r["rank_idx"], r["bin_idx"], r["lo"], r["hi"])
+        for r in histogram_quantile_bounds(
+            state, ["k"], [("0.5", 1, 2), ("0.9", 9, 10)], 2.0
+        ).collect()
+    }
+    assert got["0.5"] == (5, 2, 4.0, 6.0)
+    assert got["0.9"] == (9, 4, 8.0, 10.0)
+
+
+def test_histogram_clamps_out_of_domain_values(spark):
+    from data_integration_openfoodfacts_spark.operators.matview import (
+        build_histogram_summary,
+    )
+
+    df = spark.createDataFrame(
+        [("g", -5.0), ("g", 0.5), ("g", 999.0)], ["k", "v"]
+    )
+    got = {
+        r["__bin"]: r["__cnt"]
+        for r in build_histogram_summary(df, ["k"], "v", 1.0, 3).collect()
+    }
+    assert got == {0: 2, 2: 1}
