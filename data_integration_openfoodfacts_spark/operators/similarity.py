@@ -128,6 +128,78 @@ def ivf_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def triplet_mining(
+    embeddings: DataFrame,
+    anchor_mod: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative / positive TRIPLET mining for embedding training
+    (the data-prep step behind contrastive / triplet-loss fine-tuning):
+    for every anchor (a deterministic 1/anchor_mod id-sample standing
+    in for a training batch), find its hardest negative — the
+    MAX-cosine vector with a DIFFERENT label — and its best positive
+    (max-cosine, same label), plus the margin between them.
+
+    Scale shape: the anchor batch is small by construction and is
+    BROADCAST against one scan of the corpus (this is a bounded
+    query-batch x corpus product, the same contract as q24/q47 — the
+    per-training-step pattern, never corpus x corpus); both argmaxes
+    are conditional ``max_by`` in ONE hash aggregation on anchor_id
+    (map-side combined), so the corpus shuffles once, keyed by a
+    batch-sized key space.
+
+    Zero-norm vectors score NULL cosine (try_divide) and are coalesced
+    to -2.0 — below every real cosine — so they can never be chosen as
+    hardest negative/positive while keeping both engines' argmax
+    deterministic (q25's convention). Ties break toward the LOWEST
+    candidate id via the (cosine, -id) ordering struct. ``margin`` is
+    one IEEE subtraction of two identical doubles — engine-portable.
+    Anchors with no same-label peer yield NULL positive columns.
+    """
+    anchors = embeddings.filter(
+        F.col(id_col) % anchor_mod == 0
+    ).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("__av"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(anchors))
+        .filter(F.col(id_col) != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col(id_col).alias("__cid"),
+            F.col(label_col).alias("__clabel"),
+            F.coalesce(
+                cosine_similarity_expr(vec_col, "__av"), F.lit(-2.0)
+            ).alias("__c"),
+        )
+    )
+    val = F.struct(F.col("__c").alias("c"), F.col("__cid").alias("i"))
+    order = F.struct(F.col("__c"), (-F.col("__cid")).alias("__ti"))
+    pos_match = F.col("__clabel") == F.col("anchor_label")
+    agg = scored.groupBy("anchor_id", "anchor_label").agg(
+        F.max_by(
+            F.when(pos_match, val), F.when(pos_match, order)
+        ).alias("__pos"),
+        F.max_by(
+            F.when(~pos_match, val), F.when(~pos_match, order)
+        ).alias("__neg"),
+    )
+    return agg.select(
+        "anchor_id",
+        "anchor_label",
+        F.col("__pos.i").alias("pos_id"),
+        F.col("__pos.c").alias("pos_cosine"),
+        F.col("__neg.i").alias("neg_id"),
+        F.col("__neg.c").alias("neg_cosine"),
+        (F.col("__pos.c") - F.col("__neg.c")).alias("margin"),
+    )
+
+
 def rademacher_hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random +-1 (Rademacher) hyperplanes derived
     from md5 — engine-neutral, so a DuckDB oracle can embed the exact

@@ -1939,6 +1939,60 @@ FROM base b LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q142_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative triplet mining over the embeddings table: for a
+    deterministic 1% anchor batch (vec_id % 100 == 0), the hardest
+    negative (max cosine, different label) and best positive (max
+    cosine, same label) with their margin — the contrastive-training
+    data-prep op. See operators/similarity.py::triplet_mining for the
+    broadcast-batch x single-corpus-scan shape and the zero-norm /
+    tiebreak conventions."""
+    from ..operators.similarity import triplet_mining
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return triplet_mining(emb, anchor_mod=100)
+
+
+Q142_ORACLE = f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, embedding AS av, label AS anchor_label
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
+         COALESCE({_dot_sql('e.embedding', 'a.av')}
+           / NULLIF(sqrt({_dot_sql('e.embedding', 'e.embedding')})
+              * sqrt({_dot_sql('a.av', 'a.av')}), 0.0), -2.0) AS c
+  FROM embeddings e, anchors a
+  WHERE e.vec_id <> a.anchor_id
+),
+pos AS (
+  SELECT anchor_id, vec_id AS pos_id, c AS pos_cosine
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY anchor_id ORDER BY c DESC, vec_id ASC
+    ) AS rn
+    FROM scored WHERE label = anchor_label
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT anchor_id, vec_id AS neg_id, c AS neg_cosine
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY anchor_id ORDER BY c DESC, vec_id ASC
+    ) AS rn
+    FROM scored WHERE label <> anchor_label
+  ) WHERE rn = 1
+)
+SELECT a.anchor_id, a.anchor_label,
+       p.pos_id, p.pos_cosine, n.neg_id, n.neg_cosine,
+       p.pos_cosine - n.neg_cosine AS margin
+FROM anchors a
+LEFT JOIN pos p USING (anchor_id)
+LEFT JOIN neg n USING (anchor_id)
+"""
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -1976,6 +2030,7 @@ LLM_QUERIES = {
     "q138_bpe_encode": q138_bpe_encode,
     "q139_duplicate_window_spans": q139_duplicate_window_spans,
     "q140_boilerplate_chunk_removal": q140_boilerplate_chunk_removal,
+    "q142_triplet_mining": q142_triplet_mining,
 }
 
 LLM_ORACLES = {
@@ -2015,4 +2070,5 @@ LLM_ORACLES = {
     "q138_bpe_encode": Q138_ORACLE,
     "q139_duplicate_window_spans": Q139_ORACLE,
     "q140_boilerplate_chunk_removal": Q140_ORACLE,
+    "q142_triplet_mining": Q142_ORACLE,
 }

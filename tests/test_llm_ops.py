@@ -758,3 +758,37 @@ def test_vocab_and_encoding_roundtrip(spark):
         (1, 1): 0, (1, 2): 1, (1, 3): 0, (1, 4): 2,
         (2, 1): 0, (2, 3): 3,
     }
+
+
+def test_triplet_mining_edges(spark):
+    from data_integration_openfoodfacts_spark.operators.similarity import (
+        triplet_mining,
+    )
+
+    # anchor 0 (label A): positives {2: identical vec}, negatives
+    # {1: orthogonal, 3: zero-norm (must never win), 4: opposite}.
+    # anchor 100 (label C): NO same-label peer -> NULL positive.
+    rows = [
+        (0, [1.0, 0.0], "A"),
+        (1, [0.0, 1.0], "B"),
+        (2, [2.0, 0.0], "A"),
+        (3, [0.0, 0.0], "B"),
+        (4, [-1.0, 0.0], "B"),
+        (100, [1.0, 1.0], "C"),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {
+        r["anchor_id"]: r.asDict()
+        for r in triplet_mining(emb, anchor_mod=100).collect()
+    }
+    a0 = got[0]
+    assert a0["pos_id"] == 2 and a0["pos_cosine"] == 1.0
+    # hardest negative is vec 100 at cos 1/sqrt(2) — harder than the
+    # orthogonal vec (cos 0); never the zero-norm row (coalesced to
+    # -2.0) nor the opposite (-1.0)
+    assert a0["neg_id"] == 100
+    assert 0.70 < a0["neg_cosine"] < 0.71
+    assert a0["margin"] == 1.0 - a0["neg_cosine"]
+    a100 = got[100]
+    assert a100["pos_id"] is None and a100["pos_cosine"] is None
+    assert a100["neg_id"] is not None

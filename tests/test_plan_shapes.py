@@ -292,3 +292,47 @@ def test_q132_vocab_rank_is_take_ordered_not_global_sort(spark):
     partial top-k); the rank window runs over only V rows."""
     plan = plan_of(spark, "q132_token_id_encoding")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffled_fact_join(spark):
+    """When a selective dim filter feeds a SHUFFLED fact join (the
+    100 TB case where the dim outgrows broadcast), Catalyst's runtime
+    bloom filter must inject: build bloom_filter_agg over the filtered
+    dim keys and apply might_contain on the fact side BEFORE the
+    shuffle — rows for pruned keys never cross the wire. Thresholds
+    are lowered only because the test tables are tiny; production
+    defaults (creation side <=10MB) fire exactly in the
+    selective-dim-at-scale regime this pins."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": (
+            "100MB"
+        ),
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
