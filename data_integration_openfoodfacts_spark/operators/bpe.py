@@ -50,10 +50,18 @@ CLOSE = "\x1f"
 PJ = "\x1e"
 
 
+#: the three control chars the wrapped-symbol scheme reserves; they
+#: are stripped from input text (here AND in the oracle SQL twins) so
+#: corpus bytes can never forge a symbol boundary or break the
+#: driver-side ``pair.split(PJ)`` (round-5 advisor finding).
+_RESERVED = OPEN + PJ + CLOSE
+
+
 def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt) over whitespace-split words — BPE's working set."""
+    clean = F.translate(F.col(text_col), _RESERVED, "")
     return (
-        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        docs.select(F.explode(F.split(clean, " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -133,10 +141,9 @@ def apply_bpe_merges(
             F.regexp_replace(s, f"^{OPEN}|{CLOSE}$", ""), CLOSE + OPEN
         )
 
+    clean = F.translate(F.col(text_col), _RESERVED, "")
     toks = F.filter(
-        F.flatten(
-            F.transform(F.split(F.col(text_col), " "), encode_word)
-        ),
+        F.flatten(F.transform(F.split(clean, " "), encode_word)),
         lambda t: t != "",
     )
     return docs.select(F.col(id_col), toks.alias("tokens"))

@@ -78,11 +78,16 @@ def hashed_linear_score(
         F.col(id_col),
         F.pmod(md5_long(F.col("tok")), F.lit(num_buckets)).alias("bucket"),
     )
+    # LEFT join + coalesce(w_milli, 0): a production weight table may
+    # be SPARSE (zero-weight buckets omitted after training); an inner
+    # join would silently drop those tokens from n_tokens and emit no
+    # row at all for a document whose tokens all miss the table. The
+    # dense synthetic table is unaffected (every bucket present).
     agg = (
-        feats.join(F.broadcast(weights), "bucket")
+        feats.join(F.broadcast(weights), "bucket", "left")
         .groupBy(id_col)
         .agg(
-            F.sum("w_milli").alias("s"),
+            F.sum(F.coalesce(F.col("w_milli"), F.lit(0))).alias("s"),
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )

@@ -1727,7 +1727,9 @@ mm AS (SELECT {cols}),
 enc AS (
   SELECT d.doc_id,
          flatten(list_transform(
-           list_filter(string_split(d.text, ' '), w -> w <> ''),
+           list_filter(string_split(
+             translate(d.text, chr(29) || chr(30) || chr(31), ''), ' '),
+             w -> w <> ''),
            w -> string_split({unwrapped}, chr(31) || chr(29)))) AS toks
   FROM documents d, mm
 )
@@ -1758,7 +1760,9 @@ def _bpe_cte_chain(n_merges: int = 3) -> str:
     parts = [
         """w0 AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  FROM (SELECT unnest(string_split(
+          translate(text, chr(29) || chr(30) || chr(31), ''), ' '))
+          AS word FROM documents)
   WHERE word <> ''
   GROUP BY 1
 ),

@@ -103,3 +103,31 @@ def test_bpe_merge_cannot_cross_symbol_boundaries(spark):
         ).collect()
     }
     assert enc[0] == ["ab", "ab", "ab", "bc", "bc", "x", "abc"]
+
+
+def test_bpe_reserved_control_chars_stripped(spark):
+    """Corpus text containing the scheme's reserved control chars
+    (\\x1d, \\x1e, \\x1f) must not corrupt the wrapped-symbol encoding
+    or crash the driver-side pair split (round-5 advisor finding) —
+    they are translated out before any symbol work, both here and in
+    the q137/q138 oracle twins."""
+    from data_integration_openfoodfacts_spark.operators.bpe import (
+        apply_bpe_merges,
+    )
+
+    dirty = _docs(spark, ["aa\x1eab a\x1da\x1fab ab"])
+    clean = _docs(spark, ["aaab aaab ab"])
+    got_d = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in learn_bpe_merges(dirty, n_merges=3).collect()
+    ]
+    got_c = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in learn_bpe_merges(clean, n_merges=3).collect()
+    ]
+    assert got_d == got_c == [
+        (1, "a", "a", 4), (2, "a", "b", 3), (3, "aa", "ab", 2),
+    ]
+    enc_d = apply_bpe_merges(dirty, [("a", "a"), ("a", "b")]).collect()
+    enc_c = apply_bpe_merges(clean, [("a", "a"), ("a", "b")]).collect()
+    assert [r["tokens"] for r in enc_d] == [r["tokens"] for r in enc_c]

@@ -127,3 +127,47 @@ def test_plan_broadcasts_weights_single_doc_shuffle(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning(doc_id") == 1
+
+
+def test_sparse_weight_table_left_join_semantics(spark):
+    """A trained weight table may omit zero-weight buckets. Tokens
+    missing from the table must count toward n_tokens with weight 0,
+    and a doc whose tokens ALL miss the table must still get a row
+    (round-5 advisor finding: the old inner join dropped both)."""
+    docs = _docs(spark, [(1, "a b c d"), (2, "a a")])
+    # keep only the buckets that none of doc 2's tokens hash into:
+    # compute doc tokens' buckets, then build a table missing them all.
+    from data_integration_openfoodfacts_spark.operators.similarity_dedup import (
+        md5_long,
+    )
+
+    tok_buckets = {
+        r["b"]
+        for r in spark.createDataFrame(
+            [("a",), ("b",), ("c",), ("d",)], "tok string"
+        )
+        .select(F.pmod(md5_long(F.col("tok")), F.lit(16)).alias("b"))
+        .collect()
+    }
+    a_bucket = (
+        spark.createDataFrame([("a",)], "tok string")
+        .select(F.pmod(md5_long(F.col("tok")), F.lit(16)).alias("b"))
+        .collect()[0]["b"]
+    )
+    sparse = (
+        spark.range(16)
+        .filter(~F.col("id").isin(*[int(b) for b in tok_buckets]))
+        .select(
+            F.col("id").alias("bucket"),
+            F.lit(1000).cast("long").alias("w_milli"),
+        )
+    )
+    out = {r["doc_id"]: r for r in hashed_linear_score(
+        docs, sparse, num_buckets=16
+    ).collect()}
+    assert set(out) == {1, 2}, "doc with zero table hits must still appear"
+    assert out[1]["n_tokens"] == 4  # all tokens counted, hit or miss
+    assert out[2]["n_tokens"] == 2
+    # all-miss doc: integer sum 0 -> mean 0 -> sigmoid(0) = 0.5 exactly
+    assert out[2]["score"] == 0.5
+    assert a_bucket in tok_buckets  # sanity: the filter really excluded "a"

@@ -165,3 +165,28 @@ def test_all_tier0_queries_inside_window():
             assert v.get("fingerprint") == fps.get(q), (
                 f"tier0 query {q} not locally verified at current code"
             )
+
+
+def test_gate_state_verified_matches_head_fingerprints():
+    """Every registry query must be locally verified at its CURRENT
+    fingerprint.  This is the end-of-round protocol invariant: a code
+    commit after the last ``check_oracle --record`` re-fingerprints the
+    edited import closure and strands the committed record (round-5
+    judge finding).  If this fails, run:
+
+        python tools/check_oracle.py --record /root/testdata/sf0.01
+        python tools/update_gate_state.py
+
+    and commit ``plans/gate_state.json``.
+    """
+    fps = gate_state.current_fingerprints()
+    verified = gate_state.load_state().get("verified", {})
+    stale = sorted(
+        k
+        for k in registry._ALL_QUERIES
+        if verified.get(k, {}).get("fingerprint") != fps.get(k)
+    )
+    assert not stale, (
+        f"{len(stale)} queries not verified at HEAD fingerprints "
+        f"(first 10: {stale[:10]}) — re-run the end-of-round protocol"
+    )

@@ -71,8 +71,29 @@ def main() -> int:
             continue
         argv.append(a)
     record = "--record" in sys.argv[1:]
+    stale_only = "--stale" in sys.argv[1:]
+    argv = [a for a in argv if a != "--stale"]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    if stale_only:
+        # Run exactly the queries whose code/oracle fingerprint drifted
+        # since their last recorded local green — the cheap path for the
+        # end-of-round protocol (and per-commit hygiene): after an edit,
+        # `--stale --record` re-verifies the churned import closure only.
+        from tools import gate_state
+
+        fps = gate_state.current_fingerprints()
+        verified = gate_state.load_state().get("verified", {})
+        drifted = {
+            k
+            for k in fps
+            if verified.get(k, {}).get("fingerprint") != fps[k]
+        }
+        only = (only & drifted) if only else drifted
+        if not only:
+            print("no stale queries — all fingerprints verified at HEAD")
+            return 0
+        print(f"{len(only)} stale queries to re-verify")
 
     import __spark_entry__ as entrymod
     from data_integration_openfoodfacts_spark.session import get_spark
