@@ -105,11 +105,17 @@ def main() -> None:
             # a time; when the two runs disagree badly, one of them ate
             # a stall — a third run breaks the tie so the recorded min
             # reflects the query, not the neighbor's noisy timeslice.
-            if max(runs) > 1.5 * min(runs) + 0.2:
+            # Heavy queries (>=2s) additionally always get a third run
+            # and record the MEDIAN: min-of-2 let q127/q43-class numbers
+            # wobble round-to-round with host noise (round-5 VERDICT
+            # #8); the median of 3 is stable against one lucky AND one
+            # unlucky run.
+            heavy = min(runs) >= 2.0
+            if heavy or max(runs) > 1.5 * min(runs) + 0.2:
                 t0 = time.time()
                 run_query(fn(spark, sf_dir))
                 runs.append(time.time() - t0)
-            best = min(runs)
+            best = sorted(runs)[1] if heavy else min(runs)
         except Exception as exc:  # noqa: BLE001 — one failing query
             # (e.g. q26's cartesian guard at a larger sf) must not
             # abort the suite and lose the round's bench record

@@ -320,6 +320,125 @@ def _packed_signbits_multi_udf(
     return packed_signbits_multi
 
 
+def _band_layout(dim: int, rows_per_band: int, num_bands: int, vec_col: str):
+    """Shared packed-signature layout for the self-join
+    (:func:`hyperplane_lsh_candidates`) and cross-corpus
+    (:func:`hyperplane_lsh_cross_candidates`) band joins.
+
+    Returns ``(sig_col, band_sig, band_xor_zero)``:
+
+    * ``sig_col`` — expression computing ALL band signatures of
+      ``vec_col`` packed into one long (<= 64 planes) or a
+      band-aligned ``array<long>``;
+    * ``band_sig(b)`` — extracts band ``b``'s signature from a column
+      named ``allsigs``;
+    * ``band_xor_zero(b)`` — true iff band ``b`` matches between two
+      packed columns named ``__sa`` / ``__sb`` (the XOR first-match
+      dedup that replaces a post-join ``distinct()``).
+    """
+    if rows_per_band > 63:
+        # 64 would need mask = (1 << 64) - 1, which overflows the
+        # signed-long literal F.lit() builds; 63 bits per band is
+        # already far past any useful selectivity (2^-63 per band)
+        raise ValueError("rows_per_band must be <= 63 (one band per long)")
+    num_planes = rows_per_band * num_bands
+    mask = (1 << rows_per_band) - 1
+    bands_per_long = 64 // rows_per_band
+    planes = rademacher_hyperplanes(num_planes, dim)
+
+    if num_planes <= 64:
+        # plane i is bit i of ONE long; band b occupies bits
+        # [b*rows_per_band, (b+1)*rows_per_band)
+        sig_col = _packed_signbits_udf(planes)(F.col(vec_col))
+
+        def band_sig(b):
+            return (
+                F.shiftright(F.col("allsigs"), b * rows_per_band)
+                .bitwiseAND(F.lit(mask))
+            )
+
+        def band_xor_zero(b):
+            # shiftleft, not a Python literal: the top band's mask
+            # overflows a signed 64-bit literal
+            return (
+                F.col("__sa").bitwiseXOR(F.col("__sb")).bitwiseAND(
+                    F.shiftleft(
+                        F.lit(mask).cast("long"), b * rows_per_band
+                    )
+                )
+                == 0
+            )
+
+    else:
+        # band-aligned multi-long layout: band b lives in long
+        # b // bands_per_long at bit offset (b % bands_per_long) * rpb
+        sig_col = _packed_signbits_multi_udf(
+            planes, rows_per_band, num_bands
+        )(F.col(vec_col))
+
+        def band_sig(b):
+            return (
+                F.shiftright(
+                    F.element_at("allsigs", b // bands_per_long + 1),
+                    (b % bands_per_long) * rows_per_band,
+                ).bitwiseAND(F.lit(mask))
+            )
+
+        def band_xor_zero(b):
+            li, off = b // bands_per_long, (b % bands_per_long)
+            return (
+                F.element_at("__sa", li + 1)
+                .bitwiseXOR(F.element_at("__sb", li + 1))
+                .bitwiseAND(
+                    F.shiftleft(
+                        F.lit(mask).cast("long"), off * rows_per_band
+                    )
+                )
+                == 0
+            )
+
+    return sig_col, band_sig, band_xor_zero
+
+
+def _banded_tags(
+    df: DataFrame,
+    id_col: str,
+    sig_col,
+    band_sig,
+    num_bands: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """One (id, band, sig, allsigs) row per (vector, band), with
+    oversized (band, sig) buckets dropped when capped."""
+    with_sigs = df.select(F.col(id_col), sig_col.alias("allsigs"))
+    band_sigs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
+            for b in range(num_bands)
+        ]
+    )
+    tagged = (
+        with_sigs.select(
+            F.col(id_col), "allsigs", F.explode(band_sigs).alias("bs")
+        )
+        .select(
+            id_col,
+            F.col("bs.band").alias("band"),
+            F.col("bs.sig").alias("sig"),
+            "allsigs",
+        )
+    )
+    if max_bucket_size is not None:
+        ok = (
+            tagged.groupBy("band", "sig")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .select("band", "sig")
+        )
+        tagged = tagged.join(ok, ["band", "sig"])
+    return tagged
+
+
 def hyperplane_lsh_candidates(
     embeddings: DataFrame,
     dim: int,
@@ -373,98 +492,13 @@ def hyperplane_lsh_candidates(
     """
     from .skew import spread_partitions
 
-    if rows_per_band > 63:
-        # 64 would need mask = (1 << 64) - 1, which overflows the
-        # signed-long literal F.lit() builds; 63 bits per band is
-        # already far past any useful selectivity (2^-63 per band)
-        raise ValueError("rows_per_band must be <= 63 (one band per long)")
-    num_planes = rows_per_band * num_bands
-    single = num_planes <= 64
-    # a single-file scan would serialize the (CPU-heavy) sign-bit
-    # projection and the band join on one core; no-op at real scale
     embeddings = spread_partitions(embeddings, id_col)
-    mask = (1 << rows_per_band) - 1
-    bands_per_long = 64 // rows_per_band
-
-    if single:
-        # plane i is bit i of ONE long; band b occupies bits
-        # [b*rows_per_band, (b+1)*rows_per_band)
-        planes = rademacher_hyperplanes(num_planes, dim)
-        sig_col = _packed_signbits_udf(planes)(F.col(vec_col))
-
-        def band_sig(b):
-            return (
-                F.shiftright(F.col("allsigs"), b * rows_per_band)
-                .bitwiseAND(F.lit(mask))
-            )
-
-        def band_xor_zero(b):
-            # shiftleft, not a Python literal: the top band's mask
-            # overflows a signed 64-bit literal
-            return (
-                F.col("__sa").bitwiseXOR(F.col("__sb")).bitwiseAND(
-                    F.shiftleft(
-                        F.lit(mask).cast("long"), b * rows_per_band
-                    )
-                )
-                == 0
-            )
-
-    else:
-        # band-aligned multi-long layout: band b lives in long
-        # b // bands_per_long at bit offset (b % bands_per_long) * rpb
-        planes = rademacher_hyperplanes(num_planes, dim)
-        sig_col = _packed_signbits_multi_udf(
-            planes, rows_per_band, num_bands
-        )(F.col(vec_col))
-
-        def band_sig(b):
-            return (
-                F.shiftright(
-                    F.element_at("allsigs", b // bands_per_long + 1),
-                    (b % bands_per_long) * rows_per_band,
-                ).bitwiseAND(F.lit(mask))
-            )
-
-        def band_xor_zero(b):
-            li, off = b // bands_per_long, (b % bands_per_long)
-            return (
-                F.element_at("__sa", li + 1)
-                .bitwiseXOR(F.element_at("__sb", li + 1))
-                .bitwiseAND(
-                    F.shiftleft(
-                        F.lit(mask).cast("long"), off * rows_per_band
-                    )
-                )
-                == 0
-            )
-
-    with_sigs = embeddings.select(F.col(id_col), sig_col.alias("allsigs"))
-    band_sigs = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
-            for b in range(num_bands)
-        ]
+    sig_col, band_sig, band_xor_zero = _band_layout(
+        dim, rows_per_band, num_bands, vec_col
     )
-    tagged = (
-        with_sigs.select(
-            F.col(id_col), "allsigs", F.explode(band_sigs).alias("bs")
-        )
-        .select(
-            id_col,
-            F.col("bs.band").alias("band"),
-            F.col("bs.sig").alias("sig"),
-            "allsigs",
-        )
+    tagged = _banded_tags(
+        embeddings, id_col, sig_col, band_sig, num_bands, max_bucket_size
     )
-    if max_bucket_size is not None:
-        ok = (
-            tagged.groupBy("band", "sig")
-            .count()
-            .filter(F.col("count") <= max_bucket_size)
-            .select("band", "sig")
-        )
-        tagged = tagged.join(ok, ["band", "sig"])
     a = tagged.select(
         F.col(id_col).alias("id_a"), "band", "sig",
         F.col("allsigs").alias("__sa"),
@@ -544,6 +578,122 @@ def hyperplane_lsh_pairs(
             # verify as candidates; plain division would abort the job
             # under ANSI mode, try_divide yields NULL which the
             # threshold filter drops.
+            F.try_divide(
+                pair_dot_fold("__va", "__vb"),
+                F.col("__na") * F.col("__nb"),
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def hyperplane_lsh_cross_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    dim: int,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    vec_col: str = "embedding",
+    rows_per_band: int = 2,
+    num_bands: int = 16,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Banded LSH candidates BETWEEN two corpora (text <-> image-caption
+    alignment, query <-> document retrieval, crawl <-> benchmark
+    matching): both sides hash with the SAME md5-derived hyperplanes,
+    and the only shuffle is the (band, signature) equi-join of left
+    tags to right tags — never a |left| x |right| cross join.
+
+    The XOR first-match dedup carries over unchanged from the self-join
+    path: a pair co-bucketed in several bands is emitted only from its
+    minimum matching band, so no post-join ``distinct()`` shuffle of
+    the multiplied join output is needed. ``max_bucket_size`` caps each
+    side's (band, sig) bucket independently (degenerate buckets — e.g.
+    all-zero vectors — are dropped on whichever side explodes).
+
+    Returns distinct (left_id, right_id) candidate pairs. Unlike the
+    self-join there is no ``id_a < id_b`` constraint: the two ID spaces
+    are unrelated.
+    """
+    from .skew import spread_partitions
+
+    sig_col, band_sig, band_xor_zero = _band_layout(
+        dim, rows_per_band, num_bands, vec_col
+    )
+    a = _banded_tags(
+        spread_partitions(left, left_id),
+        left_id, sig_col, band_sig, num_bands, max_bucket_size,
+    ).select(
+        F.col(left_id), "band", "sig", F.col("allsigs").alias("__sa")
+    )
+    b = _banded_tags(
+        spread_partitions(right, right_id),
+        right_id, sig_col, band_sig, num_bands, max_bucket_size,
+    ).select(
+        F.col(right_id), "band", "sig", F.col("allsigs").alias("__sb")
+    )
+    first_match = F.least(
+        *[
+            F.when(band_xor_zero(bb), F.lit(bb))
+            for bb in range(num_bands)
+        ]
+    )
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("band") == first_match)
+        .select(left_id, right_id)
+    )
+
+
+def cross_corpus_align(
+    left: DataFrame,
+    right: DataFrame,
+    dim: int,
+    threshold: float,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    vec_col: str = "embedding",
+    rows_per_band: int = 2,
+    num_bands: int = 16,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cross-corpus embedding alignment: banded LSH candidates between
+    two corpora (:func:`hyperplane_lsh_cross_candidates`), verified
+    with exact cosine >= ``threshold``. The verify joins each side's
+    vectors back to the candidate pairs only, so exact-cosine work is
+    bounded by the candidate count — the multimodal pairing shape
+    (align 100 TB of text with an image-caption corpus without ever
+    forming the cross product).
+
+    Returns (left_id, right_id, cosine).
+    """
+    cand = hyperplane_lsh_cross_candidates(
+        left, right, dim,
+        left_id=left_id, right_id=right_id, vec_col=vec_col,
+        rows_per_band=rows_per_band, num_bands=num_bands,
+        max_bucket_size=max_bucket_size,
+    )
+    from ..functions.vectors import pair_dot_fold
+
+    ea = left.select(
+        F.col(left_id),
+        F.col(vec_col).alias("__va"),
+        F.sqrt(dot_product_expr(vec_col, vec_col)).alias("__na"),
+    )
+    eb = right.select(
+        F.col(right_id),
+        F.col(vec_col).alias("__vb"),
+        F.sqrt(dot_product_expr(vec_col, vec_col)).alias("__nb"),
+    )
+    return (
+        cand.join(ea, left_id)
+        .join(eb, right_id)
+        .select(
+            left_id,
+            right_id,
+            # try_divide: all-zero vectors share every bucket (all dots
+            # 0.0) and reach the verify; NULL cosine drops at the
+            # threshold instead of aborting under ANSI mode.
             F.try_divide(
                 pair_dot_fold("__va", "__vb"),
                 F.col("__na") * F.col("__nb"),

@@ -1997,6 +1997,75 @@ LEFT JOIN neg n USING (anchor_id)
 """
 
 
+def q143_cross_corpus_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-CORPUS banded LSH alignment — the multimodal pairing shape
+    (text <-> image-caption, query <-> document): two corpora hash with
+    the same md5-derived hyperplanes and meet ONLY in a (band,
+    signature) equi-join; candidates verify with exact cosine >= 0.35
+    (`operators/similarity.py::cross_corpus_align`). Here the two
+    corpora are the even- and odd-id halves of the embeddings table
+    (deterministic, oracle-reproducible); a production run passes the
+    text-encoder output as `left` and the caption-encoder output as
+    `right`. Never |left| x |right|: work is bucket-bounded on both
+    sides, with no cartesian node in the plan (plan-shape-tested) —
+    recall vs the exact cross product is pinned at 1.0 by test."""
+    from ..operators.similarity import cross_corpus_align
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id_a"), "embedding"
+    )
+    right = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("id_b"), "embedding"
+    )
+    return cross_corpus_align(
+        left, right, dim=64, threshold=0.35,
+        rows_per_band=2, num_bands=16,
+    )
+
+
+def _q143_oracle() -> str:
+    from ..operators.similarity import rademacher_hyperplanes
+
+    planes = rademacher_hyperplanes(32, 64)
+    rows = ",\n".join(
+        f"({p}, {p // 2}, [{', '.join(str(v) for v in row)}]::DOUBLE[])"
+        for p, row in enumerate(planes)
+    )
+    cos = (
+        f"{_dot_sql('a.embedding', 'b.embedding')}"
+        f" / NULLIF(sqrt({_dot_sql('a.embedding', 'a.embedding')})"
+        f" * sqrt({_dot_sql('b.embedding', 'b.embedding')}), 0.0)"
+    )
+    return f"""
+WITH planes(p, band, pv) AS (VALUES {rows}),
+bits AS (
+  SELECT e.vec_id, e.vec_id % 2 AS side, pl.band,
+         CASE WHEN {_dot_sql('e.embedding', 'pl.pv')} >= 0
+              THEN 1 ELSE 0 END << (pl.p % 2) AS bit
+  FROM embeddings e, planes pl
+),
+sig AS (
+  SELECT vec_id, side, band, SUM(bit) AS sig
+  FROM bits GROUP BY vec_id, side, band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a
+  JOIN sig b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.side = 0 AND b.side = 1
+)
+SELECT c.id_a, c.id_b, {cos} AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.id_a
+JOIN embeddings b ON b.vec_id = c.id_b
+WHERE {cos} >= 0.35
+"""
+
+
+Q143_ORACLE = _q143_oracle()
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -2035,6 +2104,7 @@ LLM_QUERIES = {
     "q139_duplicate_window_spans": q139_duplicate_window_spans,
     "q140_boilerplate_chunk_removal": q140_boilerplate_chunk_removal,
     "q142_triplet_mining": q142_triplet_mining,
+    "q143_cross_corpus_alignment": q143_cross_corpus_alignment,
 }
 
 LLM_ORACLES = {
@@ -2075,4 +2145,5 @@ LLM_ORACLES = {
     "q139_duplicate_window_spans": Q139_ORACLE,
     "q140_boilerplate_chunk_removal": Q140_ORACLE,
     "q142_triplet_mining": Q142_ORACLE,
+    "q143_cross_corpus_alignment": Q143_ORACLE,
 }

@@ -792,3 +792,97 @@ def test_triplet_mining_edges(spark):
     a100 = got[100]
     assert a100["pos_id"] is None and a100["pos_cosine"] is None
     assert a100["neg_id"] is not None
+
+
+# --- cross-corpus alignment (q143) ------------------------------------
+
+
+def test_cross_corpus_align_recall_vs_exact(spark):
+    """q143's verified pairs == the exact cross-product baseline at
+    sf0.001 (recall 1.0 at the short-band setting — the q43 acceptance
+    applied across corpora)."""
+    from data_integration_openfoodfacts_spark.functions.vectors import (
+        cosine_similarity_expr,
+    )
+    from data_integration_openfoodfacts_spark.plans.llm_queries import (
+        q143_cross_corpus_alignment,
+    )
+    from data_integration_openfoodfacts_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(cosine_similarity_expr("va", "vb") >= 0.35)
+        .collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in q143_cross_corpus_alignment(spark, SF_DIR).collect()
+    }
+    assert got == exact
+    assert len(exact) > 0
+
+
+def test_cross_corpus_align_ids_disjoint_sides(spark):
+    """Every emitted pair has an even left id and an odd right id —
+    the operator never pairs within one corpus."""
+    from data_integration_openfoodfacts_spark.plans.llm_queries import (
+        q143_cross_corpus_alignment,
+    )
+
+    for r in q143_cross_corpus_alignment(spark, SF_DIR).collect():
+        assert r["id_a"] % 2 == 0 and r["id_b"] % 2 == 1
+
+
+def test_cross_corpus_candidates_no_duplicate_pairs(spark):
+    """The XOR first-match dedup holds across corpora: a pair
+    co-bucketed in several bands appears exactly once."""
+    from data_integration_openfoodfacts_spark.operators.similarity import (
+        hyperplane_lsh_cross_candidates,
+    )
+
+    emb = _planted_embeddings(spark)
+    left = emb.filter(F.col("vec_id") < 60).withColumnRenamed(
+        "vec_id", "id_a"
+    )
+    right = emb.filter(F.col("vec_id") >= 60).withColumnRenamed(
+        "vec_id", "id_b"
+    )
+    rows = hyperplane_lsh_cross_candidates(
+        left, right, dim=64, rows_per_band=2, num_bands=16
+    ).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    # planted (base i, noisy i=i+60) twins are near-identical -> every
+    # band agrees -> all must surface as candidates (once)
+    assert {(i, i + 60) for i in range(60)} <= set(pairs)
+
+
+def test_cross_corpus_align_bucket_cap_per_side(spark):
+    """A degenerate bucket on ONE side (all-identical right corpus)
+    is dropped by that side's cap without touching the left."""
+    from data_integration_openfoodfacts_spark.operators.similarity import (
+        hyperplane_lsh_cross_candidates,
+    )
+
+    left = spark.createDataFrame(
+        [(i, [1.0] * 64) for i in range(3)], ["id_a", "embedding"]
+    )
+    right = spark.createDataFrame(
+        [(i, [1.0] * 64) for i in range(40)], ["id_b", "embedding"]
+    )
+    uncapped = hyperplane_lsh_cross_candidates(left, right, dim=64).count()
+    capped = hyperplane_lsh_cross_candidates(
+        left, right, dim=64, max_bucket_size=10
+    ).count()
+    assert uncapped == 3 * 40
+    assert capped == 0

@@ -336,3 +336,20 @@ def test_runtime_bloom_filter_prunes_shuffled_fact_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q143_cross_corpus_no_cartesian_and_no_pair_distinct(spark):
+    """The cross-corpus alignment meets the two corpora ONLY in the
+    (band, sig) equi-join: no CartesianProduct / nested-loop cross
+    product anywhere, and pair dedup stays the in-join XOR bitmask
+    (no distinct() re-shuffle of the multiplied join output)."""
+    plan = plan_of(spark, "q143_cross_corpus_alignment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # a distinct() regression shuffles the band-multiplied join output
+    # on BOTH pair keys; the input spread's REPARTITION_BY_NUM on the
+    # single id column is fine
+    assert not any(
+        "Exchange hashpartitioning(id_a" in ln and "id_b" in ln
+        for ln in plan.splitlines()
+    )

@@ -110,9 +110,11 @@ def main() -> int:
     failures = 0
     greens: list[str] = []
     slow: list[tuple[str, float]] = []
+    timings: dict[str, float] = {}
 
     def clock(name: str, t0: float) -> float:
         dt = time.time() - t0
+        timings[name] = dt
         if dt > budget:
             slow.append((name, round(dt, 1)))
         return dt
@@ -202,6 +204,33 @@ def main() -> int:
             verified[name] = {"fingerprint": fps[name], "sf": sf_dir}
         gate_state.save_state(state)
         print(f"recorded {len(greens)} green fingerprints -> {gate_state.STATE_PATH}")
+    if record and timings:
+        # Persist per-query wall times next to gate_state so SLOW drift
+        # is visible ACROSS rounds, not just in the run's stdout
+        # (round-5 VERDICT #4). Merged per query; the first query of a
+        # session carries ~8s of JVM warmup — compare positions, not
+        # absolutes, for the warmup entry.
+        import json
+
+        slow_path = gate_state.STATE_PATH.parent / "slow_report.json"
+        try:
+            report = json.loads(slow_path.read_text())
+        except Exception:  # noqa: BLE001 — first run or corrupt file
+            report = {}
+        merged = report.get("timings", {})
+        merged.update({n: round(t, 2) for n, t in timings.items()})
+        report.update(
+            {
+                "sf": sf_dir,
+                "budget_sec": budget,
+                "timings": dict(sorted(merged.items())),
+                "over_budget": sorted(
+                    n for n, t in merged.items() if t > budget
+                ),
+            }
+        )
+        slow_path.write_text(json.dumps(report, indent=1) + "\n")
+        print(f"persisted {len(timings)} query timings -> {slow_path}")
     return 1 if failures else 0
 
 
