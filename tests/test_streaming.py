@@ -236,3 +236,68 @@ def test_hopping_windows_stream_matches_batch(spark, stream_dir):
     assert sum(r.nb_events for r in got) == 4 * sum(
         r.nb_events for r in tumb
     )
+
+
+def test_watermark_bounds_dedup_state(spark, tmp_path):
+    """State-eviction invariant behind SCALING_STREAM.json, at test
+    scale: with a bounded watermark the dedup state store PLATEAUS as
+    event time advances (old keys evicted); with an effectively
+    unbounded horizon it grows with every batch. Every row is a
+    distinct event_id — dedup's worst case."""
+    from data_integration_openfoodfacts_spark.streaming.events_stream import (
+        dedup_events_stream,
+    )
+
+    src = str(tmp_path / "hourly")
+    os.makedirs(src)
+    per_hour, hours = 200, 6
+    for h in range(hours):
+        spark.range(per_hour).select(
+            (F.lit(h) * per_hour + F.col("id")).alias("event_id"),
+            (
+                F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+                + F.make_interval(hours=F.lit(h))
+            ).alias("ts"),
+            F.lit(0).cast("long").alias("user_id"),
+            F.lit("view").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        ).coalesce(1).write.parquet(str(tmp_path / f"stage{h}"))
+        part = next(
+            f
+            for f in os.listdir(tmp_path / f"stage{h}")
+            if f.endswith(".parquet")
+        )
+        shutil.move(
+            str(tmp_path / f"stage{h}" / part),
+            os.path.join(src, f"h{h:02d}.parquet"),
+        )
+
+    def peak_and_final(name, watermark):
+        stream = read_events_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            dedup_events_stream(stream, watermark=watermark)
+            .writeStream.format("noop")
+            .outputMode("append")
+            .option(
+                "checkpointLocation", str(tmp_path / f"ckpt_{name}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = [
+            op["numRowsTotal"]
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        ]
+        return max(rows), rows[-1]
+
+    peak_b, _final_b = peak_and_final("bounded", "1 hour")
+    peak_u, final_u = peak_and_final("unbounded", "1000 hours")
+    # bounded: ~watermark-horizon worth of keys, strictly less than the
+    # full key population; unbounded: every key ever seen is retained
+    assert final_u == per_hour * hours
+    assert peak_u == per_hour * hours
+    assert peak_b < per_hour * hours
+    assert peak_b >= per_hour  # at least one hour of keys live
