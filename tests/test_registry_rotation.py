@@ -126,45 +126,39 @@ def test_new_queries_enter_window_first():
 
 
 def test_all_tier0_queries_inside_window():
-    """Everything the driver records have never seen green (plus any
-    code-drifted query) must sit inside the first 50 registry entries."""
+    """Every genuinely-churned query (code-drifted, unverified, or
+    driver-red) must sit inside the first 50 registry entries; every
+    local-green query awaiting its first driver gate (tier 0.5) must
+    sort ahead of all already-driver-green queries."""
+    from data_integration_openfoodfacts_spark.plans.registry import (
+        _FORCE_GATE,
+    )
+
     fps = gate_state.current_fingerprints()
     state = gate_state.load_state()
     records = gate_state.load_driver_records()
-    greens = set()
-    for rnd in sorted(records):
-        for key, rec in records[rnd].items():
-            if isinstance(rec, dict) and (
-                rec.get("hash_match")
-                or (key not in registry._ALL_ORACLES and rec.get("rows_match"))
-            ):
-                greens.add(key)
-            else:
-                greens.discard(key)
-    tier0 = [
-        k
-        for k in registry._ALL_QUERIES
-        if k not in greens
-        or state.get("verified", {}).get(k, {}).get("fingerprint") != fps.get(k)
-    ]
-    window = set(list(registry.QUERIES)[:50])
+    tiers = gate_state.compute_tiers(
+        fps, state.get("verified", {}), records, _FORCE_GATE
+    )
+    tier0 = [k for k in registry._ALL_QUERIES if tiers[k] == 0]
+    order = list(registry.QUERIES)
+    window = set(order[:50])
     if len(tier0) <= 50:
         for q in tier0:
             assert q in window, q
     else:
-        # More never-driver-green/churned queries than one round's
-        # window holds (a burst of new queries): the best any ordering
-        # can do is spend EVERY window slot on a tier-0 query; the
-        # leftovers rotate in next round. Every tier-0 query must also
-        # be locally verified at its current fingerprint, so nothing
-        # outside the window is an UNVERIFIED unknown.
+        # More churned queries than one round's window holds: the best
+        # any ordering can do is spend EVERY window slot on a tier-0
+        # query; the leftovers rotate in next round.
         for q in window:
-            assert q in tier0, f"window slot wasted on non-tier0 {q}"
-        for q in tier0:
-            v = state.get("verified", {}).get(q, {})
-            assert v.get("fingerprint") == fps.get(q), (
-                f"tier0 query {q} not locally verified at current code"
-            )
+            assert tiers[q] == 0, f"window slot wasted on non-tier0 {q}"
+    # tier 0.5 (never driver-gated, locally verified at HEAD) queues
+    # directly behind tier 0 — ahead of every driver-green query
+    pos = {k: i for i, k in enumerate(order)}
+    half = [k for k in registry._ALL_QUERIES if tiers[k] == 0.5]
+    greens = [k for k in registry._ALL_QUERIES if tiers[k] >= 1]
+    if half and greens:
+        assert max(pos[k] for k in half) < min(pos[k] for k in greens)
 
 
 def test_gate_state_verified_matches_head_fingerprints():
@@ -189,4 +183,25 @@ def test_gate_state_verified_matches_head_fingerprints():
     assert not stale, (
         f"{len(stale)} queries not verified at HEAD fingerprints "
         f"(first 10: {stale[:10]}) — re-run the end-of-round protocol"
+    )
+
+
+def test_local_green_new_query_queues_behind_churn_ahead_of_greens():
+    """New-query burst (never driver-gated) with local verification:
+    churned queries keep the front of the window; the burst sorts
+    next; driver-green queries rotate after."""
+    fps = _fps(ALL)
+    greens = ALL[10:]            # driver-green at round 2
+    burst = ALL[:6]              # new: no driver record
+    churned = ALL[6:10]          # driver-green but code drifted
+    verified = _verified(ALL, fps)
+    for k in churned:
+        verified[k] = {"fingerprint": "stale"}
+    order = gate_state.compute_order(
+        fps, verified, _records({2: greens + churned}), set(), ALL
+    )
+    pos = {k: i for i, k in enumerate(order)}
+    assert max(pos[k] for k in churned) < min(pos[k] for k in burst)
+    assert max(pos[k] for k in burst) < min(
+        pos[k] for k in ALL[10:]
     )

@@ -20,10 +20,14 @@ round by ``tools/update_gate_state.py``:
   last LOCALLY oracle-green run (``tools/check_oracle.py --record``)
   and the last driver-green round (from CORRECTNESS_r*.json — read by
   the TOOL in a real checkout, never at library import time).
-* Rank: tier 0 = never driver-green / last record red / fingerprint
-  drifted since last local green / in ``_FORCE_GATE`` — these MUST
-  reach the 50-entry window this round; then ascending last-green
-  round; static ``_PRIORITY`` index as the deterministic tiebreak.
+* Rank: tier 0 = last driver record red / fingerprint drifted or never
+  verified since the last local green / in ``_FORCE_GATE`` — these MUST
+  reach the 50-entry window this round; tier 0.5 = never driver-gated
+  but locally oracle-verified at the current fingerprint (the rotation
+  CONSUMES the committed local record — round-5 VERDICT #7 — so a
+  new-query burst queues behind genuine churn instead of evicting it);
+  then ascending last-green round; static ``_PRIORITY`` index as the
+  deterministic tiebreak.
 
 ``plans.registry`` reads ONLY the committed JSON (plus "new keys
 first"), so the order is a pure function of the committed tree.
@@ -165,10 +169,15 @@ def compute_tiers(
     verified: dict[str, dict],
     records: dict[int, dict],
     force_gate: set[str],
-) -> dict[str, int]:
-    """0 = must re-gate (forced / never-driver-green / last-seen-red /
-    code-or-oracle drifted since the last local green); otherwise the
-    round of the query's most recent driver green (older sorts first).
+) -> dict[str, float]:
+    """0 = must re-gate (forced / last-seen-red at the driver /
+    code-or-oracle drifted or never verified since the last local
+    green); 0.5 = never driver-green but locally oracle-verified at the
+    CURRENT fingerprint (round-5 VERDICT #7: the committed local record
+    relieves a new-query burst from monopolizing the window — these
+    sort behind genuine churn but ahead of every already-driver-green
+    query); otherwise the round of the query's most recent driver green
+    (older sorts first).
     """
     last_green: dict[str, int] = {}
     has_oracle = _oracle_keys()
@@ -181,15 +190,18 @@ def compute_tiers(
             )
             last_green[key] = rnd if green else 0
 
-    def tier(k: str) -> int:
+    def tier(k: str) -> float:
         if k in force_gate:
             return 0
-        if last_green.get(k, 0) == 0:
-            return 0  # never driver-green, or red
         v = verified.get(k)
         if not v or v.get("fingerprint") != fingerprints[k]:
             return 0  # code/oracle drifted since last local green
-        return last_green[k]
+        lg = last_green.get(k)
+        if lg == 0:
+            return 0  # the driver SAW this query fail — re-gate first
+        if lg is None:
+            return 0.5  # never driver-gated, but locally green at HEAD
+        return lg
 
     return {k: tier(k) for k in fingerprints}
 

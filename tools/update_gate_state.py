@@ -35,12 +35,14 @@ def main() -> int:
         fps, state.get("verified", {}), records, _FORCE_GATE
     )
     n_forced = sum(1 for t in tiers.values() if t == 0)
+    n_local = sum(1 for t in tiers.values() if t == 0.5)
     state["order"] = order
     state["last_driver_round"] = max(records, default=0)
     gate_state.save_state(state)
     print(
         f"gate_state.json: {len(order)} queries ordered, "
-        f"{n_forced} forced to tier 0 (churned/forced/unverified), "
+        f"{n_forced} forced to tier 0 (churned/forced/red), "
+        f"{n_local} local-green awaiting first driver gate, "
         f"driver records through r{state['last_driver_round']:02d}"
     )
     print("window (first 50):", ", ".join(order[:50]))
