@@ -2066,6 +2066,80 @@ WHERE {cos} >= 0.35
 Q143_ORACLE = _q143_oracle()
 
 
+def q144_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023): weight every
+    document by how target-like its hashed-bigram distribution is, then
+    keep each importance band at a deterministic per-mille rate
+    (`operators/importance.py::hashed_ngram_importance`). The target
+    domain sample here is the deterministic doc_id % 7 == 0 slice (so
+    the DuckDB twin reproduces both bucket models exactly); production
+    passes its in-domain corpus flag. One conditional agg builds both
+    models, the 4096-row ratio table broadcasts, one groupBy per doc —
+    token-count cost at any corpus size. Fixed-point likelihood ratios
+    instead of log ratios: the engine's cross-engine determinism rule
+    (see module docstring)."""
+    from ..operators.importance import hashed_ngram_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_ngram_importance(
+        docs, is_target=F.pmod(F.col("doc_id"), F.lit(7)) == 0
+    )
+
+
+Q144_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pairs AS (
+  SELECT doc_id, doc_id % 7 = 0 AS is_target,
+         CAST(concat('0x', substring(md5(t[i] || ' ' || t[i+1]), 1, 15))
+              AS BIGINT) % 4096 AS bucket
+  FROM toks, LATERAL (SELECT UNNEST(range(1, len(t))) AS i) u
+  WHERE len(t) >= 2
+),
+counts AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM pairs GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS t,
+               CAST(SUM(cr) AS BIGINT) AS r FROM counts),
+lr AS (
+  SELECT bucket,
+         CAST(FLOOR(1000000.0 * (c.ct + 1.0) * (tt.r + 4096.0)
+                    / ((c.cr + 1.0) * (tt.t + 4096.0))) AS BIGINT)
+           AS lr_micros
+  FROM counts c, tot tt
+),
+scored AS (
+  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(l.lr_micros) AS BIGINT) AS score_micros
+  FROM pairs p JOIN lr l USING (bucket) GROUP BY 1
+),
+final AS (
+  SELECT d.doc_id,
+         COALESCE(s.n_bigrams, 0) AS n_bigrams,
+         COALESCE(s.score_micros, 0) AS score_micros,
+         CASE WHEN COALESCE(s.n_bigrams, 0) > 0
+              THEN s.score_micros // s.n_bigrams
+              ELSE 0 END AS avg_lr_micros
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+)
+SELECT doc_id, n_bigrams, score_micros, avg_lr_micros,
+       CASE WHEN avg_lr_micros < 500000 THEN 0
+            WHEN avg_lr_micros < 1000000 THEN 1
+            WHEN avg_lr_micros < 2000000 THEN 2
+            ELSE 3 END AS band,
+       CAST(concat('0x', substring(md5('dsir' || doc_id), 1, 15)) AS BIGINT)
+         % 1000
+         < ([100, 300, 600, 900])[
+             (CASE WHEN avg_lr_micros < 500000 THEN 0
+                   WHEN avg_lr_micros < 1000000 THEN 1
+                   WHEN avg_lr_micros < 2000000 THEN 2
+                   ELSE 3 END) + 1] AS selected
+FROM final
+"""
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -2105,6 +2179,7 @@ LLM_QUERIES = {
     "q140_boilerplate_chunk_removal": q140_boilerplate_chunk_removal,
     "q142_triplet_mining": q142_triplet_mining,
     "q143_cross_corpus_alignment": q143_cross_corpus_alignment,
+    "q144_dsir_importance": q144_dsir_importance,
 }
 
 LLM_ORACLES = {
@@ -2146,4 +2221,5 @@ LLM_ORACLES = {
     "q140_boilerplate_chunk_removal": Q140_ORACLE,
     "q142_triplet_mining": Q142_ORACLE,
     "q143_cross_corpus_alignment": Q143_ORACLE,
+    "q144_dsir_importance": Q144_ORACLE,
 }
