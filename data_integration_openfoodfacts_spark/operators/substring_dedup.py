@@ -95,32 +95,51 @@ def duplicate_window_stats(
         ).alias("w"),
     ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
 
-    dup_hashes = (
+    # ONE aggregation on the window hash carries every occurrence
+    # through as grouped state (groups are windows sharing a hash —
+    # tiny), so the md5 window construction runs ONCE and there is no
+    # join-back re-shuffle of the full window stream (the original
+    # shape recomputed `wins` for the join — 2x the md5 CPU and an
+    # extra corpus-wide shuffle; measured ~2x slower at sf0.01).
+    dwins = (
         wins.groupBy("h")
-        .agg(F.countDistinct(id_col).alias("__nd"))
-        .filter(F.col("__nd") >= 2)
-        .select("h")
-    )
-    dwins = wins.join(dup_hashes, "h")
-
-    per_doc_windows = dwins.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("dup_windows")
-    )
-    per_doc_cover = (
-        dwins.select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + (window - 1))
-            ).alias("p"),
+        .agg(F.collect_list(F.struct(id_col, "pos")).alias("__occ"))
+        .filter(
+            F.size(
+                F.array_distinct(F.transform("__occ", lambda s: s[id_col]))
+            )
+            >= 2
         )
-        .distinct()
+        .select(F.explode("__occ").alias("o"))
+        .select(
+            F.col(f"o.{id_col}").alias(id_col), F.col("o.pos").alias("pos")
+        )
+    )
+    # Union-of-intervals coverage WITHOUT exploding the W positions of
+    # every duplicated window: all intervals have length W, so over
+    # per-doc pos-sorted windows each contributes min(W, next_pos -
+    # pos) and the last contributes W. One shuffle on id_col; the
+    # following groupBy reuses the window's partitioning.
+    from pyspark.sql import Window as W
+
+    seq = W.partitionBy(id_col).orderBy("pos")
+    contrib = F.coalesce(
+        F.least(
+            F.lit(window), F.lead("pos").over(seq) - F.col("pos")
+        ),
+        F.lit(window),
+    )
+    per_doc = (
+        dwins.withColumn("__c", contrib)
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_windows"),
+            F.sum("__c").alias("dup_tokens"),
+        )
     )
     return (
         base.select(id_col, F.col("__n").alias("n_tokens"))
-        .join(per_doc_windows, id_col, "left")
-        .join(per_doc_cover, id_col, "left")
+        .join(per_doc, id_col, "left")
         .select(
             id_col,
             F.col("n_tokens").cast("long").alias("n_tokens"),

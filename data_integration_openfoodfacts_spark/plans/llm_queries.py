@@ -30,6 +30,7 @@ from ..functions.text_analysis import (
 from ..operators.similarity import cosine_topk, ivf_topk
 from ..operators.similarity_dedup import (
     incremental_minhash_dedup,
+    md5_long,
     minhash_band_signatures,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -2140,6 +2141,64 @@ FROM final
 """
 
 
+def q145_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing (RefinedWeb cap + Pile-style static mixture):
+    every document ranks within its source by a deterministic md5 draw,
+    each source contributes at most 15 documents, and cap survivors
+    keep their source's per-mille mixture rate
+    (`operators/mixture.py::domain_cap_and_mix`). The rate table here
+    derives from md5(source) so the DuckDB twin rebuilds it exactly;
+    production supplies its tuned mixture weights. ONE shuffle (the
+    per-source rank window); the rate table broadcasts."""
+    from ..operators.mixture import domain_cap_and_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                F.lit(100)
+                + F.pmod(
+                    md5_long(F.concat(F.lit("mix"), F.col("source"))),
+                    F.lit(9),
+                )
+                * 100
+            ).cast("long").alias("rate_permille"),
+        )
+    )
+    return domain_cap_and_mix(docs, rates, cap=15)
+
+
+Q145_ORACLE = """
+WITH rates AS (
+  SELECT source,
+         100 + (CAST(concat('0x', substring(md5('mix' || source), 1, 15))
+                     AS BIGINT) % 9) * 100 AS rate_permille
+  FROM (SELECT DISTINCT source FROM documents)
+),
+ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substring(
+                      md5('dommix:' || source || ':' || doc_id), 1, 15))
+                    AS BIGINT), doc_id
+         ) AS BIGINT) AS domain_rank
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.domain_rank,
+       r.domain_rank <= 15 AS kept_cap,
+       CAST(rt.rate_permille AS BIGINT) AS rate_permille,
+       (r.domain_rank <= 15)
+       AND (CAST(concat('0x', substring(md5('dommix/mix:' || r.doc_id),
+                                        1, 15)) AS BIGINT) % 1000
+            < rt.rate_permille) AS selected
+FROM ranked r JOIN rates rt USING (source)
+"""
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -2180,6 +2239,7 @@ LLM_QUERIES = {
     "q142_triplet_mining": q142_triplet_mining,
     "q143_cross_corpus_alignment": q143_cross_corpus_alignment,
     "q144_dsir_importance": q144_dsir_importance,
+    "q145_domain_mixture": q145_domain_mixture,
 }
 
 LLM_ORACLES = {
@@ -2222,4 +2282,5 @@ LLM_ORACLES = {
     "q142_triplet_mining": Q142_ORACLE,
     "q143_cross_corpus_alignment": Q143_ORACLE,
     "q144_dsir_importance": Q144_ORACLE,
+    "q145_domain_mixture": Q145_ORACLE,
 }

@@ -1,0 +1,91 @@
+"""Domain cap + mixture sampling (operators/mixture.py) — cap
+semantics, rate fallback, determinism, plan shape. Cross-engine
+exactness pinned by q145's DuckDB oracle."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data_integration_openfoodfacts_spark.operators.mixture import (
+    domain_cap_and_mix,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def _rates(spark, pairs):
+    return spark.createDataFrame(
+        pairs, "source string, rate_permille long"
+    )
+
+
+def test_cap_limits_each_domain_and_keeps_all_rows(spark):
+    docs = _docs(
+        spark,
+        [(i, "big") for i in range(30)] + [(100 + i, "small") for i in range(3)],
+    )
+    out = domain_cap_and_mix(
+        docs, _rates(spark, [("big", 1000), ("small", 1000)]), cap=10
+    ).collect()
+    assert len(out) == 33  # audit trail: every input row present
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["source"], []).append(r)
+    assert sum(r["kept_cap"] for r in by_dom["big"]) == 10
+    assert sum(r["kept_cap"] for r in by_dom["small"]) == 3
+    # ranks are 1..n within each domain, no gaps
+    assert sorted(r["domain_rank"] for r in by_dom["big"]) == list(range(1, 31))
+    # rate 1000 -> every cap survivor selected
+    for r in out:
+        assert r["selected"] == r["kept_cap"]
+
+
+def test_unknown_domain_falls_back_to_default_rate(spark):
+    docs = _docs(spark, [(1, "known"), (2, "mystery")])
+    out = {
+        r["doc_id"]: r
+        for r in domain_cap_and_mix(
+            docs, _rates(spark, [("known", 700)]), cap=5, default_rate=250
+        ).collect()
+    }
+    assert out[1]["rate_permille"] == 700
+    assert out[2]["rate_permille"] == 250
+
+
+def test_capped_subset_is_deterministic_and_layout_independent(spark):
+    docs = _docs(spark, [(i, f"s{i % 3}") for i in range(200)])
+    rates = _rates(spark, [(f"s{j}", 1000) for j in range(3)])
+
+    def survivors(df):
+        return sorted(
+            r["doc_id"]
+            for r in domain_cap_and_mix(df, rates, cap=20).collect()
+            if r["kept_cap"]
+        )
+
+    a = survivors(docs)
+    b = survivors(docs.repartition(17))  # different physical layout
+    assert a == b
+    assert len(a) == 60
+
+
+def test_rate_zero_selects_nothing_cap_still_ranked(spark):
+    docs = _docs(spark, [(i, "d") for i in range(10)])
+    out = domain_cap_and_mix(
+        docs, _rates(spark, [("d", 0)]), cap=5
+    ).collect()
+    assert not any(r["selected"] for r in out)
+    assert sum(r["kept_cap"] for r in out) == 5
+
+
+def test_plan_single_window_shuffle_broadcast_rates(spark):
+    docs = _docs(spark, [(i, f"s{i % 4}") for i in range(40)])
+    rates = _rates(spark, [(f"s{j}", 500) for j in range(4)])
+    plan = (
+        domain_cap_and_mix(docs, rates, cap=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # rates never shuffle the corpus
+    assert plan.count("Exchange hashpartitioning(source") == 1
