@@ -2199,6 +2199,73 @@ FROM ranked r JOIN rates rt USING (source)
 """
 
 
+def q146_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption preprocessing
+    (`operators/masking.py::span_corruption`): block-aligned md5-drawn
+    token spans become ``<X_k>`` sentinels in the input; the target
+    carries sentinel + hidden tokens. Entirely narrow — zero shuffles,
+    scan-bound like tokenize; the corrupted input travels as an md5
+    fingerprint, the short target verbatim, and the DuckDB twin
+    replays every span byte-for-byte."""
+    from ..operators.masking import span_corruption
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_corruption(docs)
+
+
+Q146_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+staged AS (
+  SELECT doc_id, t, len(t) AS n,
+         list_transform(
+           range(0, CAST((len(t) + 4) // 5 AS INTEGER)),
+           b -> struct_pack(
+             b := b,
+             off := b * 5,
+             blen := least(5, len(t) - b * 5),
+             masked := CAST(concat('0x', substring(
+                 md5('t5span:' || doc_id || ':' || b), 1, 15))
+               AS BIGINT) % 1000 < 300,
+             span := least(
+               1 + CAST(concat('0x', substring(
+                     md5('t5span/len:' || doc_id || ':' || b), 1, 15))
+                   AS BIGINT) % 3,
+               least(5, len(t) - b * 5))
+           )
+         ) AS bs
+  FROM base
+),
+marked AS (
+  SELECT doc_id, t, n, bs,
+         list_filter(bs, s -> s.masked) AS ms
+  FROM staged
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(len(ms) AS BIGINT) AS n_spans,
+       CAST(COALESCE(list_sum(list_transform(ms, m -> m.span)), 0)
+            AS BIGINT) AS n_masked,
+       md5(array_to_string(list_transform(bs, s ->
+         CASE WHEN s.masked THEN array_to_string(
+                ['<X_' || CAST(len(list_filter(ms, m -> m.b < s.b))
+                               AS VARCHAR) || '>']
+                || t[s.off + s.span + 1 : s.off + s.blen], ' ')
+              ELSE array_to_string(t[s.off + 1 : s.off + s.blen], ' ')
+         END), ' ')) AS input_md5,
+       COALESCE(array_to_string(list_transform(ms, s ->
+         array_to_string(
+           ['<X_' || CAST(len(list_filter(ms, m -> m.b < s.b))
+                          AS VARCHAR) || '>']
+           || t[s.off + 1 : s.off + s.span], ' ')), ' '), '')
+         AS target_text
+FROM marked
+"""
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -2240,6 +2307,7 @@ LLM_QUERIES = {
     "q143_cross_corpus_alignment": q143_cross_corpus_alignment,
     "q144_dsir_importance": q144_dsir_importance,
     "q145_domain_mixture": q145_domain_mixture,
+    "q146_span_corruption": q146_span_corruption,
 }
 
 LLM_ORACLES = {
@@ -2283,4 +2351,5 @@ LLM_ORACLES = {
     "q143_cross_corpus_alignment": Q143_ORACLE,
     "q144_dsir_importance": Q144_ORACLE,
     "q145_domain_mixture": Q145_ORACLE,
+    "q146_span_corruption": Q146_ORACLE,
 }
