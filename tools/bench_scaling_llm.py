@@ -221,6 +221,55 @@ def probe_all(spark, sf_dir: str) -> dict:
             .first()["p"]
         ),
     }
+
+    # Cross-corpus alignment (q143's operator) under the SAME log-scaled
+    # tuning rule the self-join probe validates: both corpora (even/odd
+    # vector halves) hash with log2(n)-scaled band bits, so candidate
+    # growth should track ~K, not K².
+    from data_integration_openfoodfacts_spark.operators.similarity import (
+        cross_corpus_align,
+        hyperplane_lsh_cross_candidates,
+    )
+
+    left = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id_a"), "embedding"
+    )
+    right = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("id_b"), "embedding"
+    )
+    rpb_x = max(8, round(_math.log2(max(n_vec, 2))) - 3)
+    res["q143_cross_corpus_logscaled"] = {
+        "sec": time_df(
+            lambda: cross_corpus_align(
+                left, right, dim=64, threshold=0.9,
+                rows_per_band=rpb_x, num_bands=8,
+            )
+        ),
+        "bits_per_band": rpb_x,
+        "candidates": hyperplane_lsh_cross_candidates(
+            left, right, dim=64, rows_per_band=rpb_x, num_bands=8
+        ).count(),
+    }
+
+    # DSIR importance (q144's operator): the claim is LINEAR —
+    # wall tracks the bigram count (one conditional agg + broadcast
+    # ratio join + one per-doc agg), never quadratic. "Candidates"
+    # here = total bigrams scored.
+    from data_integration_openfoodfacts_spark.operators.importance import (
+        hashed_ngram_importance,
+    )
+
+    def run_dsir():
+        return hashed_ngram_importance(
+            docs, is_target=F.pmod(F.col("doc_id"), F.lit(7)) == 0
+        )
+
+    res["q144_dsir_linear"] = {
+        "sec": time_df(run_dsir),
+        "candidates": int(
+            run_dsir().agg(F.sum("n_bigrams").alias("s")).first()["s"]
+        ),
+    }
     return res
 
 
