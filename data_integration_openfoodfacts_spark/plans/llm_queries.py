@@ -2266,6 +2266,74 @@ FROM marked
 """
 
 
+def q147_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (`operators/pq.py`): every embedding
+    compresses to 8 subspace codes against a 16-centroid codebook (the
+    first 16 vectors by id — oracle-rebuildable; production swaps
+    per-subspace Lloyd centroids, q77 pattern), and vec 0's query ranks
+    the corpus by Asymmetric Distance Computation — an (8 x 16) integer
+    micro-distance lookup summed per candidate. Encode + ADC are
+    narrow Arrow-batched UDFs over the broadcast codebook; top-10 is a
+    TakeOrdered. The DuckDB twin replays codebook, assignment (fold-
+    order-exact subspace distances, ties to lowest code), the lookup
+    table, and the ranking."""
+    from ..operators.pq import head_codebook, pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = head_codebook(emb, ksub=16)
+    return pq_adc_topk(emb, cb, query_vec_id=0, k=10, m=8)
+
+
+def _q147_oracle() -> str:
+    d = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(range(1, 9), "
+        "j -> (CAST({a}[s * 8 + j] AS DOUBLE) - CAST({b}[s * 8 + j] AS DOUBLE))"
+        " * (CAST({a}[s * 8 + j] AS DOUBLE) - CAST({b}[s * 8 + j] AS DOUBLE))"
+        ")), (acc, x) -> acc + x)"
+    )
+    dist = d.format(a="e.embedding", b="c.embedding")
+    return f"""
+WITH cb AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code,
+         embedding
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+sub AS (SELECT CAST(s AS INTEGER) AS s FROM range(0, 8) t(s)),
+dists AS (
+  SELECT e.vec_id, sub.s, c.code, {dist} AS d
+  FROM embeddings e, sub, cb c
+),
+assign AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY d ASC, code ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+qtab AS (
+  SELECT s, code, CAST(FLOOR(1000000.0 * d) AS BIGINT) AS dm
+  FROM dists WHERE vec_id = 0
+),
+scored AS (
+  SELECT a.vec_id,
+         string_agg(a.code, '-' ORDER BY a.s) AS codes_str,
+         CAST(SUM(q.dm) AS BIGINT) AS adc_micros
+  FROM assign a JOIN qtab q ON q.s = a.s AND q.code = a.code
+  WHERE a.vec_id <> 0
+  GROUP BY a.vec_id
+)
+SELECT vec_id, codes_str, adc_micros
+FROM scored
+ORDER BY adc_micros ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+Q147_ORACLE = _q147_oracle()
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -2308,6 +2376,7 @@ LLM_QUERIES = {
     "q144_dsir_importance": q144_dsir_importance,
     "q145_domain_mixture": q145_domain_mixture,
     "q146_span_corruption": q146_span_corruption,
+    "q147_pq_adc_topk": q147_pq_adc_topk,
 }
 
 LLM_ORACLES = {
@@ -2352,4 +2421,5 @@ LLM_ORACLES = {
     "q144_dsir_importance": Q144_ORACLE,
     "q145_domain_mixture": Q145_ORACLE,
     "q146_span_corruption": Q146_ORACLE,
+    "q147_pq_adc_topk": Q147_ORACLE,
 }

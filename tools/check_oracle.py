@@ -217,18 +217,20 @@ def main() -> int:
             report = json.loads(slow_path.read_text())
         except Exception:  # noqa: BLE001 — first run or corrupt file
             report = {}
-        merged = report.get("timings", {})
-        merged.update({n: round(t, 2) for n, t in timings.items()})
-        report.update(
-            {
-                "sf": sf_dir,
-                "budget_sec": budget,
-                "timings": dict(sorted(merged.items())),
-                "over_budget": sorted(
-                    n for n, t in merged.items() if t > budget
-                ),
+        if "timings" in report and "by_sf" not in report:
+            # migrate the flat round-6 layout (single-sf)
+            report = {
+                "by_sf": {report.get("sf", sf_dir): report["timings"]}
             }
-        )
+        by_sf = report.setdefault("by_sf", {})
+        merged = by_sf.setdefault(sf_dir, {})
+        merged.update({n: round(t, 2) for n, t in timings.items()})
+        by_sf[sf_dir] = dict(sorted(merged.items()))
+        report["budget_sec"] = budget
+        report["over_budget"] = {
+            sf: sorted(n for n, t in qs.items() if t > budget)
+            for sf, qs in by_sf.items()
+        }
         slow_path.write_text(json.dumps(report, indent=1) + "\n")
         print(f"persisted {len(timings)} query timings -> {slow_path}")
     return 1 if failures else 0
