@@ -24,11 +24,15 @@ Scale shape (both operators):
   tokenizers in ``functions/text_analysis.py``.
 - the duplicated set is found with ONE hash aggregation on the window
   hash (map-side partial aggregation absorbs locally-repeated
-  windows) and is typically a tiny fraction of the corpus; joining it
-  back is AQE-broadcastable in the common case and a plain shuffled
-  hash join in the worst case — never all-pairs.
-- coverage counting explodes positions ONLY for duplicated windows
-  (bounded by the duplicate set, not the corpus).
+  windows; countDistinct keeps per-group state CONSTANT even for a
+  boilerplate window shared by millions of documents) and is
+  typically a tiny fraction of the corpus; joining it back is
+  AQE-broadcastable in the common case and a plain shuffled hash
+  join in the worst case — never all-pairs.
+- coverage counting never explodes positions: all duplicated windows
+  of a document have the same length W, so the union of their spans
+  is a per-document lead-window fold (each window contributes
+  min(W, next_pos - pos), the last W) — one shuffle on the id.
 
 Portability: hashes are md5 over the space-joined window text
 (engine-neutral, matching DuckDB ``md5(array_to_string(...))``);
@@ -95,26 +99,22 @@ def duplicate_window_stats(
         ).alias("w"),
     ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
 
-    # ONE aggregation on the window hash carries every occurrence
-    # through as grouped state (groups are windows sharing a hash —
-    # tiny), so the md5 window construction runs ONCE and there is no
-    # join-back re-shuffle of the full window stream (the original
-    # shape recomputed `wins` for the join — 2x the md5 CPU and an
-    # extra corpus-wide shuffle; measured ~2x slower at sf0.01).
-    dwins = (
+    # Duplicated-hash set via a BOUNDED aggregation (countDistinct has
+    # constant per-group state) and a join-back of only the dup hashes.
+    # NOT a collect_list one-pass: one boilerplate window (license
+    # header, nav text) repeated across millions of documents would put
+    # every occurrence into a single aggregation buffer — unbounded
+    # per-group state is exactly the 100 TB failure mode this operator
+    # hunts. The apparent 2x window-hash recompute is resolved by
+    # Spark's ReuseExchange: both consumers shuffle `wins` on h with an
+    # identical child plan, so the exchange materializes once.
+    dup_hashes = (
         wins.groupBy("h")
-        .agg(F.collect_list(F.struct(id_col, "pos")).alias("__occ"))
-        .filter(
-            F.size(
-                F.array_distinct(F.transform("__occ", lambda s: s[id_col]))
-            )
-            >= 2
-        )
-        .select(F.explode("__occ").alias("o"))
-        .select(
-            F.col(f"o.{id_col}").alias(id_col), F.col("o.pos").alias("pos")
-        )
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("h")
     )
+    dwins = wins.join(dup_hashes, "h").select(id_col, "pos")
     # Union-of-intervals coverage WITHOUT exploding the W positions of
     # every duplicated window: all intervals have length W, so over
     # per-doc pos-sorted windows each contributes min(W, next_pos -

@@ -2190,12 +2190,16 @@ ranked AS (
 )
 SELECT r.doc_id, r.source, r.domain_rank,
        r.domain_rank <= 15 AS kept_cap,
-       CAST(rt.rate_permille AS BIGINT) AS rate_permille,
+       CAST(COALESCE(rt.rate_permille, 500) AS BIGINT) AS rate_permille,
        (r.domain_rank <= 15)
        AND (CAST(concat('0x', substring(md5('dommix/mix:' || r.doc_id),
                                         1, 15)) AS BIGINT) % 1000
-            < rt.rate_permille) AS selected
-FROM ranked r JOIN rates rt USING (source)
+            < COALESCE(rt.rate_permille, 500)) AS selected
+-- LEFT JOIN + COALESCE(default_rate): a NULL source never equi-joins
+-- (its rates-CTE row has rate NULL anyway: md5('mix' || NULL) is
+-- NULL), exactly like the Spark side's left broadcast join + coalesce
+-- — an inner join here would DROP NULL-source rows the engine keeps
+FROM ranked r LEFT JOIN rates rt USING (source)
 """
 
 

@@ -137,3 +137,24 @@ def test_two_phase_cap_plan_has_group_limit_and_bucketed_exchange(spark):
         "Exchange hashpartitioning(source" in ln and "__bkt" in ln
         for ln in plan.splitlines()
     )
+
+
+def test_null_domain_rows_kept_with_default_rate(spark):
+    """A NULL source must not vanish: it ranks within the NULL
+    partition and falls back to default_rate (the q145 oracle mirrors
+    this with LEFT JOIN + COALESCE — round-6 review finding)."""
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "doc_id long, source string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in domain_cap_and_mix(
+            docs, _rates(spark, [("a", 700)]), cap=10, default_rate=250
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[2]["rate_permille"] == 250
+    assert out[3]["rate_permille"] == 250
+    assert sorted(
+        (out[i]["domain_rank"] for i in (2, 3))
+    ) == [1, 2]  # NULLs rank together as one domain

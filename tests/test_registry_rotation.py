@@ -205,3 +205,23 @@ def test_local_green_new_query_queues_behind_churn_ahead_of_greens():
     assert max(pos[k] for k in burst) < min(
         pos[k] for k in ALL[10:]
     )
+
+
+def test_stale_keys_are_per_scale_factor():
+    """A green record at sf0.01 must NOT satisfy a stale check at
+    sf0.1 (round-6 review finding: --stale silently no-opped at other
+    scale factors); legacy single-sf entries keep working."""
+    fps = {"qA": "f1", "qB": "f2", "qC": "f3"}
+    verified = {
+        "qA": {"fingerprint": "f1", "sf": "sf0.01",
+               "sfs": {"sf0.01": "f1"}},
+        "qB": {"fingerprint": "f2", "sf": "sf0.01"},  # legacy layout
+        "qC": {"fingerprint": "OLD", "sf": "sf0.1",
+               "sfs": {"sf0.1": "OLD"}},  # drifted
+    }
+    assert gate_state.stale_keys(fps, verified, "sf0.01") == {"qC"}
+    # at sf0.1 nothing but qC's old record exists -> all stale
+    assert gate_state.stale_keys(fps, verified, "sf0.1") == {
+        "qA", "qB", "qC",
+    }
+    assert gate_state.stale_keys(fps, {}, "sf0.01") == {"qA", "qB", "qC"}

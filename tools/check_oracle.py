@@ -77,23 +77,25 @@ def main() -> int:
     only = set(argv[1:])
     if stale_only:
         # Run exactly the queries whose code/oracle fingerprint drifted
-        # since their last recorded local green — the cheap path for the
-        # end-of-round protocol (and per-commit hygiene): after an edit,
-        # `--stale --record` re-verifies the churned import closure only.
+        # since their last recorded local green AT THIS sf — the cheap
+        # path for the end-of-round protocol (and per-commit hygiene):
+        # after an edit, `--stale --record` re-verifies the churned
+        # import closure only. Staleness is PER SCALE FACTOR (the
+        # per-sf fingerprint map `sfs`): a green record at sf0.01 never
+        # satisfies a --stale pass at sf0.1.
         from tools import gate_state
 
         fps = gate_state.current_fingerprints()
         verified = gate_state.load_state().get("verified", {})
-        drifted = {
-            k
-            for k in fps
-            if verified.get(k, {}).get("fingerprint") != fps[k]
-        }
+        drifted = gate_state.stale_keys(fps, verified, sf_dir)
         only = (only & drifted) if only else drifted
         if not only:
-            print("no stale queries — all fingerprints verified at HEAD")
+            print(
+                f"no stale queries — all fingerprints verified at HEAD "
+                f"for {sf_dir}"
+            )
             return 0
-        print(f"{len(only)} stale queries to re-verify")
+        print(f"{len(only)} stale queries to re-verify at {sf_dir}")
 
     import __spark_entry__ as entrymod
     from data_integration_openfoodfacts_spark.session import get_spark
@@ -201,7 +203,17 @@ def main() -> int:
         state = gate_state.load_state()
         verified = state.setdefault("verified", {})
         for name in greens:
-            verified[name] = {"fingerprint": fps[name], "sf": sf_dir}
+            v = verified.setdefault(name, {})
+            # `fingerprint` = latest green anywhere (rotation reads it);
+            # `sfs` = per-scale-factor fingerprint map (--stale reads it)
+            v["fingerprint"] = fps[name]
+            v["sf"] = sf_dir
+            sfs = v.setdefault("sfs", {})
+            # drop per-sf entries recorded under older fingerprints
+            for sd in list(sfs):
+                if sfs[sd] != fps[name]:
+                    del sfs[sd]
+            sfs[sf_dir] = fps[name]
         gate_state.save_state(state)
         print(f"recorded {len(greens)} green fingerprints -> {gate_state.STATE_PATH}")
     if record and timings:
@@ -217,21 +229,34 @@ def main() -> int:
             report = json.loads(slow_path.read_text())
         except Exception:  # noqa: BLE001 — first run or corrupt file
             report = {}
-        if "timings" in report and "by_sf" not in report:
-            # migrate the flat round-6 layout (single-sf)
-            report = {
-                "by_sf": {report.get("sf", sf_dir): report["timings"]}
-            }
-        by_sf = report.setdefault("by_sf", {})
-        merged = by_sf.setdefault(sf_dir, {})
-        merged.update({n: round(t, 2) for n, t in timings.items()})
-        by_sf[sf_dir] = dict(sorted(merged.items()))
-        report["budget_sec"] = budget
-        report["over_budget"] = {
-            sf: sorted(n for n, t in qs.items() if t > budget)
-            for sf, qs in by_sf.items()
+        by_sf = report.get("by_sf", {})
+        # migrate earlier flat layouts ({timings} or {sf: {q: t}})
+        if "timings" in report:
+            by_sf = {report.get("sf", sf_dir): report["timings"]}
+        by_sf = {
+            sf: (e if isinstance(e.get("timings"), dict)
+                 else {"budget_sec": budget, "timings": e})
+            for sf, e in by_sf.items()
         }
-        slow_path.write_text(json.dumps(report, indent=1) + "\n")
+        entry = by_sf.setdefault(
+            sf_dir, {"budget_sec": budget, "timings": {}}
+        )
+        entry["budget_sec"] = budget  # the budget THIS sf was judged at
+        entry["timings"].update(
+            {n: round(t, 2) for n, t in timings.items()}
+        )
+        # prune queries no longer in the registry (renames/removals)
+        live = set(qs)
+        for e in by_sf.values():
+            e["timings"] = {
+                n: t for n, t in sorted(e["timings"].items()) if n in live
+            }
+            e["over_budget"] = sorted(
+                n for n, t in e["timings"].items() if t > e["budget_sec"]
+            )
+        slow_path.write_text(
+            json.dumps({"by_sf": by_sf}, indent=1) + "\n"
+        )
         print(f"persisted {len(timings)} query timings -> {slow_path}")
     return 1 if failures else 0
 

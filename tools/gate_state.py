@@ -228,3 +228,25 @@ def _oracle_keys() -> set[str]:
     from data_integration_openfoodfacts_spark.plans import registry
 
     return set(registry.ORACLES)
+
+
+def stale_keys(
+    fingerprints: dict[str, str], verified: dict[str, dict], sf_dir: str
+) -> set[str]:
+    """Queries NOT verified at their current fingerprint AT ``sf_dir``.
+
+    Per-sf tracking lives in ``verified[k]["sfs"]`` ({sf_dir:
+    fingerprint}); entries recorded before the map existed fall back to
+    the legacy single-(fingerprint, sf) pair. A green record at one
+    scale factor never satisfies a stale check at another (round-6
+    review finding)."""
+
+    def seen(v: dict, k: str) -> bool:
+        if "sfs" in v:
+            return v["sfs"].get(sf_dir) == fingerprints[k]
+        return (
+            v.get("fingerprint") == fingerprints[k]
+            and v.get("sf") == sf_dir
+        )
+
+    return {k for k in fingerprints if not seen(verified.get(k, {}), k)}
