@@ -158,3 +158,22 @@ def test_null_domain_rows_kept_with_default_rate(spark):
     assert sorted(
         (out[i]["domain_rank"] for i in (2, 3))
     ) == [1, 2]  # NULLs rank together as one domain
+
+
+def test_corpus_pipeline_ledger_monotone(spark):
+    """The curation ledger shrinks (or holds) at every stage and ends
+    non-empty at sf0.001; stage names/order are the dataset-card
+    contract."""
+    from data_integration_openfoodfacts_spark.plans.corpus_pipeline import (
+        run_corpus_pipeline,
+    )
+
+    rows = run_corpus_pipeline(spark, "/root/testdata/sf0.001").collect()
+    assert [r["stage"] for r in rows] == [
+        "loaded", "lang_en", "quality_keep", "exact_dedup",
+        "decontaminated", "domain_mixture",
+    ]
+    counts = [r["n_docs"] for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    assert counts[0] > 0 and counts[-1] > 0
+    assert counts[-1] < counts[0]  # the pipeline actually curates
