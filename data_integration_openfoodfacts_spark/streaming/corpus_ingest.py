@@ -1,0 +1,117 @@
+"""Streaming corpus ingestion — the crawl-to-training-corpus path as a
+Structured Streaming job: each micro-batch of documents is quality-
+filtered (hashed linear classifier, q134's operator), exact-deduped
+within the batch AND against the accumulated corpus, and APPENDED to
+the corpus store.
+
+Why append + dedup-against-target (not the events upsert's
+rewrite-on-merge): a corpus is fact-sized — rewriting it per batch is
+O(corpus); appending survivors is O(batch). The anti-join against the
+target reads ONLY the md5 column (column-pruned parquet scan); at real
+scale that column is the dedup ledger and would live behind a
+partitioned index or the MinHash band index
+(`similarity_dedup.incremental_minhash_dedup`, q128 — the near-dup
+analogue of this exact-hash path, probed flat at 10x index growth in
+SCALING_LLM.json).
+
+Exactly-once note: foreachBatch appends are at-least-once on crash
+replay, but the dedup-against-corpus makes the append IDEMPOTENT at
+text granularity — a replayed batch's texts are already in the
+ledger, so survivors of a replay are empty. (Delta/Iceberg would give
+transactional appends; the swap-in point is this module's writer.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.dedup import dedup_keep_latest
+from ..operators.quality_classifier import (
+    hashed_linear_score,
+    synthetic_weights,
+)
+from .events_stream import read_parquet_if_exists
+
+DOCS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_docs_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def ingest_corpus_batch(
+    batch: DataFrame,
+    target_path: str,
+    num_buckets: int = 4096,
+    threshold: float = 0.5,
+) -> None:
+    """One micro-batch: quality keep -> in-batch exact dedup (lowest
+    doc_id per text) -> anti-join the corpus ledger -> append.
+
+    The stored corpus carries a ``text_md5`` column so the ledger read
+    is a single-column scan.
+    """
+    spark = batch.sparkSession
+    keep = (
+        hashed_linear_score(
+            batch,
+            synthetic_weights(spark, num_buckets),
+            num_buckets=num_buckets,
+            threshold=threshold,
+        )
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    filtered = batch.join(keep, "doc_id").withColumn(
+        "text_md5", F.md5("text")
+    )
+    # in-batch exact dedup: keep the LOWEST doc_id per text
+    deduped = dedup_keep_latest(
+        filtered, keys=["text_md5"], order_by=[F.col("doc_id").asc()]
+    )
+    existing = read_parquet_if_exists(spark, target_path)
+    if existing is not None:
+        ledger = existing.select("text_md5").distinct()
+        deduped = deduped.join(ledger, "text_md5", "left_anti")
+    deduped.write.mode("append").parquet(target_path)
+
+
+def run_corpus_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Process the document backlog (availableNow) into the corpus
+    store: one ingest_corpus_batch per micro-batch."""
+    stream = read_docs_stream(spark, source_dir, max_files_per_trigger)
+    (
+        stream.writeStream.foreachBatch(
+            lambda b, _id: ingest_corpus_batch(b, target_path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
