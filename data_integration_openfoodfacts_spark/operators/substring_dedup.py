@@ -105,9 +105,16 @@ def duplicate_window_stats(
     # header, nav text) repeated across millions of documents would put
     # every occurrence into a single aggregation buffer — unbounded
     # per-group state is exactly the 100 TB failure mode this operator
-    # hunts. The apparent 2x window-hash recompute is resolved by
-    # Spark's ReuseExchange: both consumers shuffle `wins` on h with an
-    # identical child plan, so the exchange materializes once.
+    # hunts. HONEST COST (round-6 review, verified in the executed
+    # plan): the window construction feeds TWO specialized exchanges —
+    # column pruning gives the aggregate a narrower (h, id) shuffle
+    # than the join probe's (h, id, pos), so ReuseExchange cannot
+    # unify them and the narrow explode+md5 runs twice (~1.3x wall at
+    # sf0.01). That is the deliberate trade: 2x a narrow scan-bound
+    # map phase for bounded reducer memory. (An explicit repartition
+    # to force sharing was tried and measured — pruning still splits
+    # the exchanges; a localCheckpoint would bound it but turns a
+    # lazy operator eager.)
     dup_hashes = (
         wins.groupBy("h")
         .agg(F.countDistinct(id_col).alias("__nd"))

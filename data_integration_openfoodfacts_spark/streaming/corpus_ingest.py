@@ -91,7 +91,11 @@ def ingest_corpus_batch(
     )
     existing = read_parquet_if_exists(spark, target_path)
     if existing is not None:
-        ledger = existing.select("text_md5").distinct()
+        # no distinct(): left_anti semantics ignore right-side
+        # duplicates, and the corpus is unique-by-text_md5 by
+        # construction — a distinct here would add an O(corpus) hash
+        # aggregate per micro-batch for nothing (round-6 review)
+        ledger = existing.select("text_md5")
         deduped = deduped.join(ledger, "text_md5", "left_anti")
     deduped.write.mode("append").parquet(target_path)
 
