@@ -88,6 +88,48 @@ def domain_cap_and_mix(
     )
 
 
+def temperature_rates(
+    docs: DataFrame,
+    domain_col: str = "source",
+    target_permille_of_max: int = 1000,
+) -> DataFrame:
+    """Temperature-scaled (alpha = 0.5) domain sampling rates — the
+    mT5/XLM-R language-balancing rule: sampling probability per domain
+    proportional to count^alpha, i.e. a per-document keep rate
+    proportional to count^(alpha-1) = 1/sqrt(count), so small domains
+    up-weight and no domain is starved. Rates normalize so the
+    SMALLEST domain keeps ``target_permille_of_max``; every rate is
+    ``floor``-quantized per mille.
+
+    alpha is fixed at 0.5 BECAUSE of the determinism contract: sqrt is
+    IEEE-correctly-rounded in both Spark and DuckDB, while pow(x, a)
+    for general a is libm-dependent (the ln rule, see lm_scoring.py).
+    Other temperatures need a quantized-rate table shipped as data.
+
+    Returns (domain_col, n_docs, rate_permille) — one aggregation over
+    the corpus; the result is domains-sized and broadcasts.
+    """
+    counts = docs.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    min_n = counts.agg(F.min("n_docs").alias("__min_n"))
+    # rate(d) = floor(target * sqrt(min_n) / sqrt(n_d)) — equals
+    # `target` for the smallest domain, shrinks as 1/sqrt for larger
+    # ones. Fixed op order, mirrored in the SQL twin.
+    return (
+        counts.crossJoin(F.broadcast(min_n))
+        .select(
+            domain_col,
+            "n_docs",
+            F.floor(
+                F.lit(float(target_permille_of_max))
+                * F.sqrt(F.col("__min_n").cast("double"))
+                / F.sqrt(F.col("n_docs").cast("double"))
+            ).alias("rate_permille"),
+        )
+    )
+
+
 def domain_cap_survivors(
     docs: DataFrame,
     cap: int,

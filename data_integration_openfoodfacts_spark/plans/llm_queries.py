@@ -2442,6 +2442,61 @@ ORDER BY stage_no
 """
 
 
+def q149_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling (alpha = 0.5, the mT5/XLM-R
+    language-balancing rule re-keyed to sources):
+    `operators/mixture.py::temperature_rates` derives each source's
+    per-mille keep rate ~ 1/sqrt(count) (smallest source keeps
+    everything), then the standard md5 Bernoulli selects. One count
+    aggregation + broadcast rate join — sqrt is correctly-rounded in
+    both engines, so the rates and the selection are hash-exact."""
+    from ..operators.mixture import temperature_rates
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = temperature_rates(docs)
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_docs",
+            "rate_permille",
+            (
+                F.pmod(
+                    md5_long(
+                        F.concat(
+                            F.lit("temp:"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    F.lit(1000),
+                )
+                < F.col("rate_permille")
+            ).alias("selected"),
+        )
+    )
+
+
+Q149_ORACLE = """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+),
+mn AS (SELECT CAST(MIN(n_docs) AS BIGINT) AS min_n FROM counts),
+rates AS (
+  SELECT c.source, c.n_docs,
+         CAST(FLOOR(1000.0 * sqrt(CAST(mn.min_n AS DOUBLE))
+                    / sqrt(CAST(c.n_docs AS DOUBLE))) AS BIGINT)
+           AS rate_permille
+  FROM counts c, mn
+)
+SELECT d.doc_id, d.source, r.n_docs, r.rate_permille,
+       CAST(concat('0x', substring(md5('temp:' || d.doc_id), 1, 15))
+            AS BIGINT) % 1000 < r.rate_permille AS selected
+FROM documents d JOIN rates r USING (source)
+"""
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -2486,6 +2541,7 @@ LLM_QUERIES = {
     "q146_span_corruption": q146_span_corruption,
     "q147_pq_adc_topk": q147_pq_adc_topk,
     "q148_corpus_curation_pipeline": q148_corpus_curation_pipeline,
+    "q149_temperature_mixture": q149_temperature_mixture,
 }
 
 LLM_ORACLES = {
@@ -2532,4 +2588,5 @@ LLM_ORACLES = {
     "q146_span_corruption": Q146_ORACLE,
     "q147_pq_adc_topk": Q147_ORACLE,
     "q148_corpus_curation_pipeline": Q148_ORACLE,
+    "q149_temperature_mixture": Q149_ORACLE,
 }

@@ -177,3 +177,32 @@ def test_corpus_pipeline_ledger_monotone(spark):
     assert all(a >= b for a, b in zip(counts, counts[1:])), counts
     assert counts[0] > 0 and counts[-1] > 0
     assert counts[-1] < counts[0]  # the pipeline actually curates
+
+
+def test_temperature_rates_alpha_half_semantics(spark):
+    """rate ~ 1/sqrt(count): the smallest domain keeps 1000 permille;
+    a domain 4x larger keeps ~half; monotone non-increasing in size."""
+    from data_integration_openfoodfacts_spark.operators.mixture import (
+        temperature_rates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "small") for i in range(10)]
+        + [(100 + i, "mid") for i in range(40)]
+        + [(1000 + i, "big") for i in range(90)],
+        "doc_id long, source string",
+    )
+    rates = {
+        r["source"]: r for r in temperature_rates(docs).collect()
+    }
+    assert rates["small"]["rate_permille"] == 1000
+    assert rates["mid"]["rate_permille"] == 500   # floor(1000*sqrt(10/40))
+    assert rates["big"]["rate_permille"] == 333   # floor(1000*sqrt(10/90))
+    assert rates["small"]["n_docs"] == 10
+    # expected selected volume ~ sqrt-balanced: big keeps ~30 of 90
+    # (deterministic md5 draw — just sanity-check the ordering)
+    assert (
+        rates["small"]["rate_permille"]
+        > rates["mid"]["rate_permille"]
+        > rates["big"]["rate_permille"]
+    )
