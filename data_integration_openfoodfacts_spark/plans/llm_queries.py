@@ -2497,6 +2497,118 @@ FROM documents d JOIN rates r USING (source)
 """
 
 
+def q150_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE canonical selection for near-dup clusters: instead
+    of q42's keep-lowest-id convention, each cluster keeps its
+    HIGHEST-QUALITY member (q134's classifier score, doc_id tiebreak)
+    — what production dedup actually does (keep the best duplicate,
+    not an arbitrary one). Clusters are q42's connected components
+    over the 3-gram Jaccard graph; singletons are their own canonical.
+    One rank window per component over cluster-sized groups; scoring
+    is the broadcast-weight classifier. Output: every document with
+    its component and the keep decision."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+    from ..operators.quality_classifier import (
+        hashed_linear_score,
+        synthetic_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    cc = connected_components(
+        pairs.select("id_a", "id_b"), "id_a", "id_b"
+    ).select(F.col("node").alias("doc_id"), "component")
+    scored = hashed_linear_score(
+        docs, synthetic_weights(spark, 4096), num_buckets=4096
+    ).select("doc_id", "score")
+    full = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .withColumn(
+            "component", F.coalesce("component", F.col("doc_id"))
+        )
+        .join(scored, "doc_id")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("component").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+    )
+    return full.select(
+        "doc_id",
+        "component",
+        (rn == 1).alias("is_canonical"),
+    )
+
+
+Q150_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.2
+),
+sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+walk(n, m) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM sym)
+  UNION
+  SELECT e.s, w.m FROM sym e JOIN walk w ON e.d = w.n
+),
+comp AS (SELECT n AS doc_id, MIN(m) AS component FROM walk GROUP BY n),
+toksq AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+featsq AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) % 4096
+           AS bucket
+  FROM toksq
+),
+wq AS (
+  SELECT i AS bucket,
+         CAST(concat('0x', substring(md5('qw' || i), 1, 15)) AS BIGINT)
+           % 2001 - 1000 AS w_milli
+  FROM range(4096) t(i)
+),
+aggq AS (
+  SELECT f.doc_id,
+         CAST(SUM(COALESCE(w.w_milli, 0)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM featsq f LEFT JOIN wq w USING (bucket)
+  GROUP BY 1
+),
+scored AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-(CAST(s AS DOUBLE)
+                            / (CAST(n_tokens AS DOUBLE) * 1000.0))))
+           AS score
+  FROM aggq
+),
+allrows AS (
+  SELECT d.doc_id,
+         COALESCE(c.component, d.doc_id) AS component,
+         sc.score
+  FROM documents d
+  LEFT JOIN comp c USING (doc_id)
+  JOIN scored sc USING (doc_id)
+)
+SELECT doc_id, component,
+       ROW_NUMBER() OVER (PARTITION BY component
+                          ORDER BY score DESC, doc_id ASC) = 1
+         AS is_canonical
+FROM allrows
+"""
+
+
 LLM_QUERIES = {
     "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
     "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -2542,6 +2654,7 @@ LLM_QUERIES = {
     "q147_pq_adc_topk": q147_pq_adc_topk,
     "q148_corpus_curation_pipeline": q148_corpus_curation_pipeline,
     "q149_temperature_mixture": q149_temperature_mixture,
+    "q150_canonical_dedup": q150_canonical_dedup,
 }
 
 LLM_ORACLES = {
@@ -2589,4 +2702,5 @@ LLM_ORACLES = {
     "q147_pq_adc_topk": Q147_ORACLE,
     "q148_corpus_curation_pipeline": Q148_ORACLE,
     "q149_temperature_mixture": Q149_ORACLE,
+    "q150_canonical_dedup": Q150_ORACLE,
 }

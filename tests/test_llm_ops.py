@@ -886,3 +886,45 @@ def test_cross_corpus_align_bucket_cap_per_side(spark):
     ).count()
     assert uncapped == 3 * 40
     assert capped == 0
+
+
+def test_canonical_dedup_keeps_best_quality_member(spark):
+    """q150: each near-dup cluster keeps exactly one canonical — the
+    highest classifier score (doc_id tiebreak) — and singletons are
+    their own canonical."""
+    from data_integration_openfoodfacts_spark.plans.llm_queries import (
+        q150_canonical_dedup,
+    )
+
+    rows = q150_canonical_dedup(spark, SF_DIR).collect()
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    assert sum(r["is_canonical"] for r in rows) == len(by_comp)
+    for comp, members in by_comp.items():
+        assert sum(m["is_canonical"] for m in members) == 1
+    assert any(len(m) > 1 for m in by_comp.values())  # real clusters
+    # cross-check the winner against the classifier directly
+    from data_integration_openfoodfacts_spark.operators.quality_classifier import (
+        hashed_linear_score,
+        synthetic_weights,
+    )
+    from data_integration_openfoodfacts_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in hashed_linear_score(
+            docs, synthetic_weights(spark, 4096), num_buckets=4096
+        ).collect()
+    }
+    for comp, members in by_comp.items():
+        if len(members) < 2:
+            continue
+        winner = next(m for m in members if m["is_canonical"])
+        best = max(
+            members, key=lambda m: (scores[m["doc_id"]], -m["doc_id"])
+        )
+        assert winner["doc_id"] == best["doc_id"], comp
