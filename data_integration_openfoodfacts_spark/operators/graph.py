@@ -97,8 +97,19 @@ def connected_components(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=True)
     e = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(
-        eager=True
+        eager=False
     )
+    # Size the working set's partitioning to the MEASURED edge count
+    # (one count on the checkpoint — also its materializing action).
+    # Star contraction only shrinks the edge set, so the entry count is
+    # an upper bound for every round. ~2M edges (≈32 MB of (u,v) longs)
+    # per partition; coalesce is NARROW — a no-op at cluster scale where
+    # the set already needs every partition, and at test scale it stops
+    # each round's scans from paying 32 near-empty tasks.
+    n_edges = e.count()
+    parts = max(1, min(e.rdd.getNumPartitions(), -(-n_edges // 2_000_000)))
+    if parts < e.rdd.getNumPartitions():
+        e = e.coalesce(parts)
     # nodes of the original graph (star contraction drops interior
     # nodes from the edge set as they become leaves pointing at the
     # root, so the final labels must re-attach over the original set)
@@ -110,8 +121,15 @@ def connected_components(
     )
     for _ in range(max_iter):
         # lazy checkpoint: the convergence-check count below is the
-        # action that materializes it — one job per round, not two
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        # action that materializes it — one job per round, not two.
+        # coalesce keeps the contracted (only-shrinking) set at the
+        # entry-sized partition count instead of the global shuffle
+        # width — no-op when parts == shuffle partitions.
+        new_e = (
+            _small_star(_large_star(e))
+            .coalesce(parts)
+            .localCheckpoint(eager=False)
+        )
         # set equality in ONE job: tag old +1 / new -1, group, count
         # groups that do not cancel (both sides are distinct sets)
         changed = (

@@ -230,15 +230,33 @@ SELECT doc_id,
 FROM documents
 """
 
-_DOT = (
+#: Every vector in the test schema (embeddings, centroids, hyperplanes,
+#: anchors) is EMB_DIM-dimensional — the oracle dot product can unroll.
+EMB_DIM = 64
+
+_DOT_REDUCE = (
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
     "list_transform(range(1, len({a}) + 1), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x)"
 )
 
 
-def _dot_sql(a: str, b: str) -> str:
-    return _DOT.format(a=a, b=b)
+def _dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Unrolled ``a · b`` as a left-nested 64-term sum.
+
+    SQL ``+`` is left-associative, so the explicit term chain evaluates
+    in EXACTLY the left-to-right IEEE order of the old ``list_reduce``
+    fold (and of the Spark side's ``pair_dot_fold`` cumsum) — bit-
+    identical results, but vectorized expression evaluation instead of
+    a per-element lambda: ~4x faster in DuckDB, which dominated the
+    gate wall for the pair-heavy oracles (q26/q43/q75/q77/q143 spent
+    20-28s each in list_reduce at sf0.1). ``_DOT_REDUCE`` keeps the
+    generic any-length fold for reference/tests.
+    """
+    return "(" + " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    ) + ")"
 
 
 def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
