@@ -1,0 +1,211 @@
+"""Corpus-curation diagnostics: leakage-guarded splits and marginal
+novelty — the two train/eval hygiene operators a production
+data-curation pipeline runs AFTER dedup and BEFORE shipping shards.
+
+New module on purpose: queries fingerprint by their implementing
+module's import closure (tools/gate_state.py), so landing new queries
+here — instead of growing plans/llm_queries.py — re-verifies only the
+new entries, not the sixty existing queries in that closure.
+
+Reference-parity note: the reference (Sevlac/data-integration-
+openfoodfacts) has no train/eval machinery — these extend the engine
+along the LLM-training-data axis the build brief calls for, like
+plans/llm_queries.py's dedup/quality families they compose with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import connected_components
+from ..operators.similarity_dedup import (
+    MINHASH_P,
+    md5_long,
+    minhash_lsh_pairs,
+    minhash_params,
+    word_shingles,
+)
+from ..sources.parquet_source import load_table
+from .llm_queries import _SHINGLE_CTE
+
+
+def q151_leakage_guarded_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup-cluster-aware train/heldout split: every near-duplicate
+    CLUSTER lands wholly on one side, so the heldout set cannot leak
+    paraphrases of training documents (the GPT-3 train-test overlap
+    problem, Brown et al. 2020 App. C; Dodge et al. 2021 found the
+    same leak in C4). A plain per-document hash split CANNOT give this
+    guarantee — two near-identical docs hash independently.
+
+    Composition of tested operators, all scale-shaped:
+    - edges: MinHash-LSH candidate pairs (q19's banded matcher — one
+      (band, sig) shuffle, never all-pairs);
+    - clusters: large-star/small-star connected components (O(log n)
+      rounds); singleton docs are their own cluster;
+    - assignment: md5 of the CLUSTER id -> bucket 0-99, < 90 = train.
+      Hashing the cluster id (its min doc_id) moves the whole cluster
+      together and is layout/engine independent.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=8, band_size=2
+    )
+    cc = connected_components(
+        pairs.select("id_a", "id_b"), "id_a", "id_b"
+    ).select(F.col("node").alias("doc_id"), "component")
+    full = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+    )
+    bucket = (
+        md5_long(F.concat(F.lit("leak"), F.col("component").cast("string")))
+        % 100
+    )
+    return full.select(
+        "doc_id",
+        "component",
+        F.when(bucket < 90, F.lit("train"))
+        .otherwise(F.lit("heldout"))
+        .alias("split"),
+    )
+
+
+def _q151_oracle() -> str:
+    # mirrors _q19_oracle's minhash banding, then walks components
+    # recursively and hashes the component id with md5_long's SQL twin
+    a_c, b_c = minhash_params(8)
+    min_cols = ",\n         ".join(
+        f"MIN(({a_c[j]} * h0 + {b_c[j]}) % {MINHASH_P}) AS m{j}"
+        for j in range(8)
+    )
+    band_rows = ", ".join(
+        f"({k}, m{2 * k} || ',' || m{2 * k + 1})" for k in range(4)
+    )
+    return f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+           % {MINHASH_P} AS h0
+  FROM sh
+),
+mins AS (
+  SELECT doc_id,
+         {min_cols}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, CAST(t.band AS BIGINT) AS band, t.sig
+  FROM mins, LATERAL (VALUES {band_rows}) t(band, sig)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.sig = b.sig
+             AND a.doc_id < b.doc_id
+),
+sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+walk(n, m) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM sym)
+  UNION
+  SELECT e.s, w.m FROM sym e JOIN walk w ON e.d = w.n
+),
+comp AS (SELECT n AS doc_id, MIN(m) AS component FROM walk GROUP BY n),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, component,
+       CASE WHEN CAST(concat('0x', substring(
+                md5('leak' || CAST(component AS VARCHAR)), 1, 15))
+              AS BIGINT) % 100 < 90
+            THEN 'train' ELSE 'heldout' END AS split
+FROM labeled
+"""
+
+
+Q151_ORACLE = _q151_oracle()
+
+
+def q152_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 8-gram NOVELTY: the fraction of a document's
+    distinct 8-gram shingles first seen (min doc_id in corpus order)
+    in this document. Novelty ~1 = fresh content; ~0 = the document is
+    assembled from text the corpus already has (Lee et al. 2022 use
+    this curve to show how little marginal data a duplicated crawl
+    adds). Curation pipelines rank snapshot ingests by it.
+
+    Shape: one shingle-level agg (min doc_id per shingle — map-side
+    combinable), one join back to the per-doc shingle list, one
+    per-doc agg. No window, no all-pairs; shingle cardinality is the
+    working set, exactly like the exact-dedup family. Docs shorter
+    than 8 tokens have no shingles and no row (same convention as the
+    shingle-based dedup queries).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=8)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            # exact-int division: both engines divide the same two
+            # integers in double — deterministic, hash-safe
+            (F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+_SHINGLE8_CTE = """
+toks8 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh8 AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+         t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS shingle
+  FROM toks8, LATERAL (SELECT UNNEST(range(1, len(t) - 6)) AS i) u
+  WHERE len(t) >= 8
+)
+"""
+
+Q152_ORACLE = f"""
+WITH {_SHINGLE8_CTE},
+firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh8 GROUP BY shingle)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+         AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM sh8 s JOIN firsts f USING (shingle)
+GROUP BY s.doc_id
+"""
+
+
+CURATION_QUERIES = {
+    "q151_leakage_guarded_split": q151_leakage_guarded_split,
+    "q152_ngram_novelty": q152_ngram_novelty,
+}
+
+CURATION_ORACLES = {
+    "q151_leakage_guarded_split": Q151_ORACLE,
+    "q152_ngram_novelty": Q152_ORACLE,
+}

@@ -13,6 +13,7 @@ new keys freely; never rename or repurpose existing ones.
 from __future__ import annotations
 
 from .analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES
+from .curation_queries import CURATION_ORACLES, CURATION_QUERIES
 from .etl_queries import ETL_ORACLES, ETL_QUERIES
 from .gold_oracle_queries import GOLD_ORACLE_ORACLES, GOLD_ORACLE_QUERIES
 from .insight_queries import INSIGHT_ORACLES, INSIGHT_QUERIES
@@ -36,6 +37,7 @@ _ALL_QUERIES = {
     **SAMPLING_QUERIES,
     **GOLD_ORACLE_QUERIES,
     **INSIGHT_QUERIES,
+    **CURATION_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -49,6 +51,7 @@ _ALL_ORACLES = {
     **SAMPLING_ORACLES,
     **GOLD_ORACLE_ORACLES,
     **INSIGHT_ORACLES,
+    **CURATION_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry

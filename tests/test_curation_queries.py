@@ -1,0 +1,110 @@
+"""Leakage-guarded split (q151) and n-gram novelty (q152) invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_integration_openfoodfacts_spark.operators.similarity_dedup import (
+    minhash_lsh_pairs,
+)
+from data_integration_openfoodfacts_spark.plans.curation_queries import (
+    q151_leakage_guarded_split,
+    q152_ngram_novelty,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_q151_no_cluster_straddles_splits(spark):
+    out = q151_leakage_guarded_split(spark, SF_DIR).cache()
+    # every document exactly once
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert out.count() == n_docs
+    # one split per component — the leakage guarantee
+    straddlers = (
+        out.groupBy("component")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert straddlers == 0
+
+
+def test_q151_near_dup_pairs_share_split(spark):
+    """The guarantee restated pairwise: every MinHash candidate pair
+    (the edges the clusters were built from) ends up co-split."""
+    out = q151_leakage_guarded_split(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=8, band_size=2
+    )
+    sa = out.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sp_a"))
+    sb = out.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sp_b"))
+    crossed = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("sp_a") != F.col("sp_b"))
+        .count()
+    )
+    assert crossed == 0
+
+
+def test_q151_split_is_component_pure_function(spark):
+    """Same component id -> same split label, independent of which doc
+    carries it (layout/order independence of the md5 assignment)."""
+    out = q151_leakage_guarded_split(spark, SF_DIR)
+    re_out = q151_leakage_guarded_split(spark, SF_DIR)
+    assert (
+        out.exceptAll(re_out).count() == 0
+        and re_out.exceptAll(out).count() == 0
+    )
+
+
+def test_q152_novelty_bounds_and_first_doc(spark):
+    out = q152_ngram_novelty(spark, SF_DIR).cache()
+    bad = out.filter(
+        (F.col("novelty") < 0)
+        | (F.col("novelty") > 1)
+        | (F.col("n_novel") > F.col("n_shingles"))
+    ).count()
+    assert bad == 0
+    # zero-novelty docs (assembled entirely from already-seen text)
+    # exist in this corpus — the signal the query is for
+    assert out.filter(F.col("novelty") == 0).count() > 0
+    # the smallest doc_id with shingles owns every first occurrence
+    first = out.orderBy("doc_id").first()
+    assert first["novelty"] == 1.0
+
+
+def test_q152_duplicate_doc_has_zero_novelty(spark):
+    """A verbatim copy of an earlier doc contributes nothing new."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h i j"),  # exact dup of 1
+            (3, "k l m n o p q r s t"),
+        ],
+        ["doc_id", "text"],
+    )
+    from data_integration_openfoodfacts_spark.operators.similarity_dedup import (
+        word_shingles,
+    )
+
+    sh = word_shingles(df, "doc_id", "text", n=8)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    nov = (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("first_doc") == F.col("doc_id"), 1
+                    ).otherwise(0)
+                )
+                / F.count(F.lit(1))
+            ).alias("novelty")
+        )
+    )
+    rows = {r["doc_id"]: r["novelty"] for r in nov.collect()}
+    assert rows[1] == 1.0 and rows[2] == 0.0 and rows[3] == 1.0
