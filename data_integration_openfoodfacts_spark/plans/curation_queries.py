@@ -200,12 +200,153 @@ GROUP BY s.doc_id
 """
 
 
+def q153_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aware source upsampling: materialize each document
+    ``r``-times where ``r`` is its source's (possibly fractional)
+    repeat factor — the LLaMA/GPT-3 data-recipe step ("Wikipedia x2.4,
+    CommonCrawl x0.67") that turns mixture WEIGHTS into an actual
+    training stream. floor(r) whole copies, plus one more iff the
+    document's md5 draw lands under frac(r); r < 1 degenerates to
+    Bernoulli downsampling. All integer-milli arithmetic — no float
+    rates — so the copy count is engine- and layout-exact.
+
+    Rates are derived (not configured) for the test surface:
+    r_milli = 250 + md5('rate' || source) % 2251, i.e. r in
+    [0.25, 2.5] — swapping in a real broadcast rate table keeps the
+    identical shape. Narrow plan: per-row rate + draw + ``explode``
+    of a copy-index sequence; no shuffle at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src = F.coalesce(F.col("source"), F.lit(""))
+    r_milli = (md5_long(F.concat(F.lit("rate"), src)) % 2251) + 250
+    draw = md5_long(F.concat(F.lit("epoch"), F.col("doc_id").cast("string"))) % 1000
+    copies = (r_milli / F.lit(1000)).cast("long") + (
+        draw < (r_milli % 1000)
+    ).cast("long")
+    return (
+        docs.select("doc_id", "source", copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_copies") - 1)
+            ).alias("copy_idx"),
+        )
+    )
+
+
+Q153_ORACLE = """
+WITH rated AS (
+  SELECT doc_id, source,
+         (CAST(concat('0x', substring(
+             md5('rate' || COALESCE(source, '')), 1, 15)) AS BIGINT)
+           % 2251) + 250 AS r_milli,
+         CAST(concat('0x', substring(
+             md5('epoch' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 1000 AS draw
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, source,
+         r_milli // 1000
+           + CASE WHEN draw < r_milli % 1000 THEN 1 ELSE 0 END AS n_copies
+  FROM rated
+)
+SELECT doc_id, source, CAST(u.copy_idx AS BIGINT) AS copy_idx
+FROM counted, UNNEST(range(n_copies)) u(copy_idx)
+WHERE n_copies > 0
+"""
+
+
+def q154_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier scores: squared Mahalanobis distance to
+    the corpus mean under a DIAGONAL covariance — the cheap global
+    screen for corrupted embeddings / off-distribution documents that
+    runs before any clustering (a full covariance needs q127's Gram;
+    the diagonal catches axis-aligned blowups at O(n·d)).
+
+    Two narrow passes over a broadcast 64-row stats table: (1) per-
+    dimension mean/variance from one decimal-exact agg (n, sum, sum of
+    squares — order-independent); (2) per-document sum of
+    (x_i - mu_i)^2 / var_i, each term decimal-cast so the re-sum is
+    order-independent too. Constant dimensions (var = 0) are excluded
+    from the score in both engines.
+    """
+    from ..operators.skew import spread_partitions
+
+    from ..functions.numeric import dec18
+
+    emb = spread_partitions(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).select("vec_id", "embedding")
+    d = 64
+    idx = spark.range(d).select(F.col("id").alias("i"))
+    x = F.element_at("embedding", (F.col("i") + 1).cast("int")).cast("double")
+    dims = emb.crossJoin(F.broadcast(idx)).select("vec_id", "i", x.alias("x"))
+    stats = (
+        dims.groupBy("i")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec18(F.col("x"))).alias("s"),
+            F.sum(dec18(F.col("x") * F.col("x"))).alias("s2"),
+        )
+        .select(
+            "i",
+            (F.col("s").cast("double") / F.col("n")).alias("mu"),
+            (
+                F.col("s2").cast("double") / F.col("n")
+                - (F.col("s").cast("double") / F.col("n"))
+                * (F.col("s").cast("double") / F.col("n"))
+            ).alias("var"),
+        )
+        .filter(F.col("var") > 0)
+    )
+    term = (
+        (F.col("x") - F.col("mu"))
+        * (F.col("x") - F.col("mu"))
+        / F.col("var")
+    )
+    return (
+        dims.join(F.broadcast(stats), "i")
+        .groupBy("vec_id")
+        .agg(F.sum(dec18(term)).cast("double").alias("maha2"))
+    )
+
+
+Q154_ORACLE = """
+WITH dims AS (
+  SELECT e.vec_id, CAST(t.i AS BIGINT) AS i,
+         CAST(e.embedding[t.i + 1] AS DOUBLE) AS x
+  FROM embeddings e CROSS JOIN (SELECT range AS i FROM range(0, 64)) t
+),
+stats AS (
+  SELECT i,
+         CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu,
+         CAST(SUM(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           - (CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+           AS var
+  FROM dims GROUP BY i
+)
+SELECT d.vec_id,
+       CAST(SUM(CAST((d.x - s.mu) * (d.x - s.mu) / s.var
+                     AS DECIMAL(18,6))) AS DOUBLE) AS maha2
+FROM dims d JOIN stats s ON d.i = s.i AND s.var > 0
+GROUP BY d.vec_id
+"""
+
+
 CURATION_QUERIES = {
     "q151_leakage_guarded_split": q151_leakage_guarded_split,
     "q152_ngram_novelty": q152_ngram_novelty,
+    "q153_epoch_upsampling": q153_epoch_upsampling,
+    "q154_embedding_outliers": q154_embedding_outliers,
 }
 
 CURATION_ORACLES = {
     "q151_leakage_guarded_split": Q151_ORACLE,
     "q152_ngram_novelty": Q152_ORACLE,
+    "q153_epoch_upsampling": Q153_ORACLE,
+    "q154_embedding_outliers": Q154_ORACLE,
 }

@@ -100,6 +100,109 @@ def ingest_corpus_batch(
     deduped.write.mode("append").parquet(target_path)
 
 
+def ingest_corpus_batch_neardup(
+    batch: DataFrame,
+    target_path: str,
+    bands_path: str,
+    num_buckets: int = 4096,
+    threshold: float = 0.5,
+) -> None:
+    """Near-duplicate-aware micro-batch ingest: quality keep -> exact
+    in-batch + vs-corpus dedup (as :func:`ingest_corpus_batch`) ->
+    MinHash-LSH dedup against the corpus's PERSISTED band-signature
+    ledger (``incremental_minhash_dedup``, q128's operator) -> append
+    survivors to the corpus and their signatures to the ledger.
+
+    The band ledger at ``bands_path`` is (doc_id, band, sig) — the
+    O(|batch|)-per-trigger crawl-ingestion pattern: the corpus text is
+    never re-shingled; only the incoming batch computes signatures.
+
+    Crash-replay semantics (foreachBatch appends are at-least-once):
+
+    - The EXACT md5 anti-join makes replays idempotent at text
+      granularity — a replayed batch's surviving texts are already in
+      the corpus, so the near-dup stage sees an empty batch.
+    - The two appends (corpus, then ledger) are not atomic. Corpus is
+      written FIRST: a crash in the gap leaves docs in the corpus with
+      no signatures. The ledger append therefore derives from a
+      doc_id anti-join of corpus vs ledger — not from this batch's
+      survivor set — so the NEXT successful batch heals any gap
+      (self-repairing; the reverse order would instead drop a
+      replayed doc against its own orphaned signatures and lose it
+      permanently). The repair scan reads only the two doc_id
+      columns, same O(ledger-metadata) cost class as the md5 ledger
+      read.
+    """
+    from ..operators.similarity_dedup import (
+        incremental_minhash_dedup,
+        minhash_band_signatures,
+    )
+
+    spark = batch.sparkSession
+    keep = (
+        hashed_linear_score(
+            batch,
+            synthetic_weights(spark, num_buckets),
+            num_buckets=num_buckets,
+            threshold=threshold,
+        )
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    filtered = batch.join(keep, "doc_id").withColumn(
+        "text_md5", F.md5("text")
+    )
+    deduped = dedup_keep_latest(
+        filtered, keys=["text_md5"], order_by=[F.col("doc_id").asc()]
+    )
+    existing = read_parquet_if_exists(spark, target_path)
+    if existing is not None:
+        deduped = deduped.join(
+            existing.select("text_md5"), "text_md5", "left_anti"
+        )
+    bands = read_parquet_if_exists(spark, bands_path)
+    if bands is None:
+        bands = spark.createDataFrame(
+            [], "doc_id long, band long, sig string"
+        )
+    survivors, _ = incremental_minhash_dedup(
+        deduped, bands.select("doc_id", "band", "sig"), "doc_id", "text"
+    )
+    survivors.write.mode("append").parquet(target_path)
+    # self-healing ledger append: everything in the corpus that has no
+    # signatures yet (this batch's survivors, plus any crash-gap docs)
+    corpus = read_parquet_if_exists(spark, target_path)
+    unledgered = corpus.join(
+        bands.select("doc_id"), "doc_id", "left_anti"
+    )
+    minhash_band_signatures(unledgered, "doc_id", "text").select(
+        "doc_id", "band", "sig"
+    ).write.mode("append").parquet(bands_path)
+
+
+def run_neardup_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    bands_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """availableNow backlog drain through the near-dup-aware ingest."""
+    stream = read_docs_stream(spark, source_dir, max_files_per_trigger)
+    (
+        stream.writeStream.foreachBatch(
+            lambda b, _id: ingest_corpus_batch_neardup(
+                b, target_path, bands_path
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_corpus_ingest_stream(
     spark: SparkSession,
     source_dir: str,

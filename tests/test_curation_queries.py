@@ -76,6 +76,63 @@ def test_q152_novelty_bounds_and_first_doc(spark):
     assert first["novelty"] == 1.0
 
 
+def test_q153_copy_indices_contiguous_and_deterministic(spark):
+    from data_integration_openfoodfacts_spark.plans.curation_queries import (
+        q153_epoch_upsampling,
+    )
+
+    out = q153_epoch_upsampling(spark, SF_DIR).cache()
+    per_doc = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("copy_idx").alias("lo"),
+        F.max("copy_idx").alias("hi"),
+        F.countDistinct("copy_idx").alias("nd"),
+    )
+    # copies are exactly 0..n-1 per emitted doc
+    broken = per_doc.filter(
+        (F.col("lo") != 0)
+        | (F.col("hi") != F.col("n") - 1)
+        | (F.col("nd") != F.col("n"))
+    ).count()
+    assert broken == 0
+    # fractional rates really both up- AND down-sample this corpus
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    emitted_docs = per_doc.count()
+    assert emitted_docs < n_docs  # some r < 1 docs dropped
+    assert out.count() > emitted_docs  # some r > 1 docs duplicated
+    # deterministic replay
+    again = q153_epoch_upsampling(spark, SF_DIR)
+    assert out.exceptAll(again).count() == 0
+    assert again.exceptAll(out).count() == 0
+
+
+def test_q154_mean_mahalanobis_equals_dimension_count(spark):
+    """Per dimension, E[(x - mu)^2 / var] = 1 exactly under the biased
+    variance the query computes — so the corpus mean of maha2 must be
+    the number of kept (var > 0) dimensions, up to the decimal(18,6)
+    term quantization."""
+    from data_integration_openfoodfacts_spark.plans.curation_queries import (
+        q154_embedding_outliers,
+    )
+
+    out = q154_embedding_outliers(spark, SF_DIR)
+    mean = out.agg(F.avg("maha2")).first()[0]
+    assert abs(mean - 64.0) < 0.01
+    assert out.filter(F.col("maha2") < 0).count() == 0
+
+
+def test_q154_and_q127_plans_broadcast_index_never_sortmerge(spark):
+    """The Gram/Mahalanobis expansion must be a broadcast of the tiny
+    constant index — never a shuffled join of the data side."""
+    from data_integration_openfoodfacts_spark.plans.registry import QUERIES
+
+    for name in ("q154_embedding_outliers", "q127_embedding_gram"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
 def test_q152_duplicate_doc_has_zero_novelty(spark):
     """A verbatim copy of an earlier doc contributes nothing new."""
     df = spark.createDataFrame(

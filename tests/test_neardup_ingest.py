@@ -1,0 +1,135 @@
+"""Near-duplicate-aware streaming ingest
+(streaming/corpus_ingest.ingest_corpus_batch_neardup): cross-batch
+NEAR-dup rejection via the persisted band ledger, replay idempotence,
+and the self-healing ledger repair."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data_integration_openfoodfacts_spark.operators.quality_classifier import (
+    hashed_linear_score,
+    synthetic_weights,
+)
+from data_integration_openfoodfacts_spark.streaming.corpus_ingest import (
+    ingest_corpus_batch_neardup,
+    run_neardup_ingest_stream,
+)
+
+# Texts engineered so batch 2 carries a NEAR duplicate (one word
+# changed, not md5-equal) of a batch-1 doc — the case the exact path
+# cannot catch.
+B1 = [
+    (1, "the quick brown fox jumps over the lazy dog tonight"),
+    (2, "pack my box with five dozen liquor jugs again today"),
+    (3, "sphinx of black quartz judge my vow right now folks"),
+]
+B2 = [
+    (4, "the quick brown fox jumps over the lazy cat tonight"),  # near-dup of 1
+    (5, "how vexingly quick daft zebras jump over the fence"),
+    (6, "pack my box with five dozen liquor jugs again today"),  # exact dup of 2
+]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _kept_ids(spark, rows):
+    docs = _docs(spark, rows)
+    return {
+        r["doc_id"]
+        for r in hashed_linear_score(
+            docs, synthetic_weights(spark, 4096), num_buckets=4096
+        ).collect()
+        if r["keep"]
+    }
+
+
+def test_neardup_rejected_across_batches(spark, tmp_path):
+    target = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    ingest_corpus_batch_neardup(_docs(spark, B1), target, bands)
+    ingest_corpus_batch_neardup(_docs(spark, B2), target, bands)
+    got = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    kept1, kept2 = _kept_ids(spark, B1), _kept_ids(spark, B2)
+    assert got & {1, 2, 3} == kept1
+    # 4 is a near-dup of 1, 6 an exact dup of 2: rejected iff their
+    # originals made it into the corpus
+    if 1 in kept1:
+        assert 4 not in got
+    if 2 in kept1:
+        assert 6 not in got
+    if 5 in kept2:
+        assert 5 in got
+    # ledger covers exactly the corpus docs
+    led = {r["doc_id"] for r in spark.read.parquet(bands).select("doc_id").distinct().collect()}
+    assert led == got
+
+
+def test_neardup_replay_is_idempotent(spark, tmp_path):
+    target = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    ingest_corpus_batch_neardup(_docs(spark, B1), target, bands)
+    before = spark.read.parquet(target).count()
+    before_bands = spark.read.parquet(bands).count()
+    ingest_corpus_batch_neardup(_docs(spark, B1), target, bands)
+    assert spark.read.parquet(target).count() == before
+    assert spark.read.parquet(bands).count() == before_bands
+
+
+def test_ledger_gap_self_heals(spark, tmp_path):
+    """Simulate a crash between the corpus append and the ledger
+    append: docs present in the corpus with no signatures. The next
+    batch must (a) NOT re-admit near-dups of the unledgered docs after
+    repair happens, and (b) write the missing signatures."""
+    import shutil
+
+    target = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    ingest_corpus_batch_neardup(_docs(spark, B1), target, bands)
+    # wipe the ledger = worst-case gap
+    shutil.rmtree(bands)
+    ingest_corpus_batch_neardup(_docs(spark, B2), target, bands)
+    led = {
+        r["doc_id"]
+        for r in spark.read.parquet(bands).select("doc_id").distinct().collect()
+    }
+    got = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    assert led == got  # repaired: every corpus doc has signatures
+    # exact dup 6 still rejected in the gap batch (md5 guard);
+    # near-dup 4 may slip through THIS batch (documented window) but
+    # must be rejected on any later replay/batch now that the ledger
+    # is healed
+    if 2 in got:
+        assert 6 not in got
+    before = spark.read.parquet(target).count()
+    ingest_corpus_batch_neardup(_docs(spark, B2), target, bands)
+    assert spark.read.parquet(target).count() == before
+
+
+def test_neardup_stream_availablenow(spark, tmp_path):
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for d, chunk in enumerate((B1, B2)):
+        stage = f"{src}/_stage{d}"
+        _docs(spark, chunk).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(f"{stage}/{part}", f"{src}/drop{d}.parquet")
+    target = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    run_neardup_ingest_stream(
+        spark, src, target, bands, str(tmp_path / "ckpt")
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    # batch-equivalence with the two-call sequence
+    t2, b2 = str(tmp_path / "c2"), str(tmp_path / "b2")
+    ingest_corpus_batch_neardup(_docs(spark, B1), t2, b2)
+    ingest_corpus_batch_neardup(_docs(spark, B2), t2, b2)
+    want = {r["doc_id"] for r in spark.read.parquet(t2).collect()}
+    assert got == want
