@@ -337,11 +337,88 @@ GROUP BY d.vec_id
 """
 
 
+def q155_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — BPE-ish tokens per whitespace
+    word and bytes per token, per declared language (the mT5/XLM-R
+    tokenizer-fit diagnostic: high fertility = the tokenizer fragments
+    that language, the signal that drives vocabulary rebalancing
+    before a multilingual run).
+
+    One narrow per-row pass (the same token-count expressions q21
+    verified) + one tiny (lang) agg; integer sums stay BIGINT in both
+    engines, ratios divide exact ints in double. try_divide: an
+    all-empty language partition would otherwise abort under ANSI.
+    """
+    from ..functions.text_analysis import (
+        bpe_ish_token_count,
+        whitespace_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        whitespace_token_count("text").alias("w"),
+        bpe_ish_token_count("text").alias("b"),
+        F.octet_length("text").cast("long").alias("nb"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("ws_tokens"),
+            F.sum("b").alias("bpe_tokens"),
+            F.sum("nb").alias("n_bytes"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            "n_bytes",
+            F.try_divide(
+                F.col("bpe_tokens").cast("double"),
+                F.col("ws_tokens").cast("double"),
+            ).alias("fertility"),
+            F.try_divide(
+                F.col("n_bytes").cast("double"),
+                F.col("bpe_tokens").cast("double"),
+            ).alias("bytes_per_token"),
+        )
+    )
+
+
+Q155_ORACLE = r"""
+WITH t AS (
+  SELECT lang,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(
+             text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS b,
+         CAST(octet_length(encode(text)) AS BIGINT) AS nb
+  FROM documents
+),
+agg AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS ws_tokens,
+         CAST(SUM(b) AS BIGINT) AS bpe_tokens,
+         CAST(SUM(nb) AS BIGINT) AS n_bytes
+  FROM t GROUP BY lang
+)
+SELECT lang, n_docs, ws_tokens, bpe_tokens, n_bytes,
+       CAST(bpe_tokens AS DOUBLE) / NULLIF(CAST(ws_tokens AS DOUBLE), 0.0)
+         AS fertility,
+       CAST(n_bytes AS DOUBLE) / NULLIF(CAST(bpe_tokens AS DOUBLE), 0.0)
+         AS bytes_per_token
+FROM agg
+"""
+
+
 CURATION_QUERIES = {
     "q151_leakage_guarded_split": q151_leakage_guarded_split,
     "q152_ngram_novelty": q152_ngram_novelty,
     "q153_epoch_upsampling": q153_epoch_upsampling,
     "q154_embedding_outliers": q154_embedding_outliers,
+    "q155_tokenizer_fertility": q155_tokenizer_fertility,
 }
 
 CURATION_ORACLES = {
@@ -349,4 +426,5 @@ CURATION_ORACLES = {
     "q152_ngram_novelty": Q152_ORACLE,
     "q153_epoch_upsampling": Q153_ORACLE,
     "q154_embedding_outliers": Q154_ORACLE,
+    "q155_tokenizer_fertility": Q155_ORACLE,
 }

@@ -133,6 +133,31 @@ def test_q154_and_q127_plans_broadcast_index_never_sortmerge(spark):
         assert "SortMergeJoin" not in plan, name
 
 
+def test_q155_fertility_consistency(spark):
+    """Per-language sums must reconcile with q21's per-document token
+    counts, and fertility must be finite and >= 1 token per word on
+    this corpus (the BPE-ish regex never merges across whitespace)."""
+    from data_integration_openfoodfacts_spark.plans.curation_queries import (
+        q155_tokenizer_fertility,
+    )
+    from data_integration_openfoodfacts_spark.plans.llm_queries import (
+        q21_text_stats,
+    )
+
+    out = q155_tokenizer_fertility(spark, SF_DIR).cache()
+    doc_totals = q21_text_stats(spark, SF_DIR).agg(
+        F.sum("ws_tokens").alias("w"), F.sum("bpe_tokens").alias("b")
+    ).first()
+    lang_totals = out.agg(
+        F.sum("ws_tokens").alias("w"), F.sum("bpe_tokens").alias("b")
+    ).first()
+    assert (doc_totals["w"], doc_totals["b"]) == (
+        lang_totals["w"],
+        lang_totals["b"],
+    )
+    assert out.filter(F.col("fertility") < 1.0).count() == 0
+
+
 def test_q152_duplicate_doc_has_zero_novelty(spark):
     """A verbatim copy of an earlier doc contributes nothing new."""
     df = spark.createDataFrame(
