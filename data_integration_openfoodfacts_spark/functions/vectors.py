@@ -100,6 +100,33 @@ def pair_dot_fold(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(res, dtype="float64")
 
 
+def dim_index_frame(spark, d: int, upper_triangle: bool = False):
+    """Constant dimension-index frame for broadcast-expansion plans:
+    ``(i)`` rows 0..d-1, or the ``(i, j)`` upper triangle (j >= i,
+    d(d+1)/2 rows). Cross-joining data rows against a BROADCAST of
+    this frame with :func:`elem_double` lookups replaces nested
+    higher-order-function expansions (HOF lambdas evaluate interpreted
+    per element; the join + partial agg fuse into one whole-stage-
+    codegen pass — q127 measured 2.8x). The expansion never SortMerge-
+    joins the data side (plan-pinned by
+    tests/test_curation_queries.py)."""
+    idx = spark.range(d).select(F.col("id").alias("i"))
+    if not upper_triangle:
+        return idx
+    return idx.crossJoin(
+        spark.range(d).select(F.col("id").alias("j"))
+    ).filter(F.col("j") >= F.col("i"))
+
+
+def elem_double(vec: Column | str, idx: Column | str) -> Column:
+    """``element_at(vec, idx + 1)`` cast to double — the codegen'd
+    per-dimension lookup paired with :func:`dim_index_frame` (0-based
+    index column, 1-based ``element_at``)."""
+    c = F.col(vec) if isinstance(vec, str) else vec
+    i = F.col(idx) if isinstance(idx, str) else idx
+    return F.element_at(c, (i + 1).cast("int")).cast("double")
+
+
 def quantize_int8_expr(vec: Column | str) -> Column:
     """Symmetric int8 quantization of an embedding: scale = max |x| of
     the vector, each element -> floor(x / scale * 127 + 0.5) clamped to

@@ -376,6 +376,31 @@ def incremental_minhash_dedup(
     check self-joins only the batch's own band table; the index
     update is a union, no recompute.
     """
+    survivors, delta = incremental_minhash_dedup_delta(
+        new_df, corpus_bands, id_col, text_col, n, num_hashes, band_size
+    )
+    updated_bands = corpus_bands.select(id_col, "band", "sig").unionByName(
+        delta
+    )
+    return survivors, updated_bands
+
+
+def incremental_minhash_dedup_delta(
+    new_df: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`incremental_minhash_dedup`, but returning the index
+    DELTA — only the surviving documents' band rows — instead of the
+    whole grown index. The shape append-only ledgers want (a streaming
+    ingest appends the delta; re-unioning the full corpus index per
+    batch would rewrite O(corpus)): the signatures were already
+    computed and checkpointed for the collision check, so consumers
+    must never re-shingle survivors to index them."""
     new_bands = minhash_band_signatures(
         new_df, id_col, text_col, n, num_hashes, band_size
     ).localCheckpoint(eager=True)
@@ -397,10 +422,8 @@ def incremental_minhash_dedup(
         eager=True
     )
     survivors = new_df.join(collided, id_col, "left_anti")
-    updated_bands = corpus_bands.select(id_col, "band", "sig").unionByName(
-        new_bands.join(collided, id_col, "left_anti")
-    )
-    return survivors, updated_bands
+    delta = new_bands.join(collided, id_col, "left_anti")
+    return survivors, delta
 
 
 def dedup_near_duplicates(

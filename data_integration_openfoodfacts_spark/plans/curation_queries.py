@@ -273,17 +273,17 @@ def q154_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent too. Constant dimensions (var = 0) are excluded
     from the score in both engines.
     """
-    from ..operators.skew import spread_partitions
-
     from ..functions.numeric import dec18
+    from ..functions.vectors import dim_index_frame, elem_double
+    from ..operators.skew import spread_partitions
 
     emb = spread_partitions(
         load_table(spark, sf_dir, "embeddings"), "vec_id"
     ).select("vec_id", "embedding")
-    d = 64
-    idx = spark.range(d).select(F.col("id").alias("i"))
-    x = F.element_at("embedding", (F.col("i") + 1).cast("int")).cast("double")
-    dims = emb.crossJoin(F.broadcast(idx)).select("vec_id", "i", x.alias("x"))
+    idx = dim_index_frame(spark, 64)
+    dims = emb.crossJoin(F.broadcast(idx)).select(
+        "vec_id", "i", elem_double("embedding", "i").alias("x")
+    )
     stats = (
         dims.groupBy("i")
         .agg(

@@ -633,22 +633,14 @@ def q127_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row double products are decimal-cast so the sums are
     order-independent — hash-exact vs the oracle's explicit triangular
     unnest."""
+    from ..functions.vectors import dim_index_frame, elem_double
     from ..operators.skew import spread_partitions
 
     emb = spread_partitions(
         load_table(spark, sf_dir, "embeddings"), "vec_id"
     ).select("embedding")
-    d = 64
-    idx = (
-        spark.range(d)
-        .select(F.col("id").alias("i"))
-        .crossJoin(spark.range(d).select(F.col("id").alias("j")))
-        .filter(F.col("j") >= F.col("i"))
-    )
-    prod = (
-        F.element_at("embedding", (F.col("i") + 1).cast("int")).cast("double")
-        * F.element_at("embedding", (F.col("j") + 1).cast("int")).cast("double")
-    )
+    idx = dim_index_frame(spark, 64, upper_triangle=True)
+    prod = elem_double("embedding", "i") * elem_double("embedding", "j")
     return (
         emb.crossJoin(F.broadcast(idx))
         .groupBy("i", "j")

@@ -59,18 +59,16 @@ def read_docs_stream(
     return reader.parquet(path)
 
 
-def ingest_corpus_batch(
+def _exact_dedup_stage(
     batch: DataFrame,
     target_path: str,
-    num_buckets: int = 4096,
-    threshold: float = 0.5,
-) -> None:
-    """One micro-batch: quality keep -> in-batch exact dedup (lowest
-    doc_id per text) -> anti-join the corpus ledger -> append.
-
-    The stored corpus carries a ``text_md5`` column so the ledger read
-    is a single-column scan.
-    """
+    num_buckets: int,
+    threshold: float,
+) -> DataFrame:
+    """Shared front half of both ingest paths: quality keep ->
+    ``text_md5`` -> in-batch exact dedup (lowest doc_id per text) ->
+    anti-join the corpus's md5 ledger. Returns the exact-level
+    survivors (NOT yet written)."""
     spark = batch.sparkSession
     keep = (
         hashed_linear_score(
@@ -85,7 +83,6 @@ def ingest_corpus_batch(
     filtered = batch.join(keep, "doc_id").withColumn(
         "text_md5", F.md5("text")
     )
-    # in-batch exact dedup: keep the LOWEST doc_id per text
     deduped = dedup_keep_latest(
         filtered, keys=["text_md5"], order_by=[F.col("doc_id").asc()]
     )
@@ -97,7 +94,24 @@ def ingest_corpus_batch(
         # aggregate per micro-batch for nothing (round-6 review)
         ledger = existing.select("text_md5")
         deduped = deduped.join(ledger, "text_md5", "left_anti")
-    deduped.write.mode("append").parquet(target_path)
+    return deduped
+
+
+def ingest_corpus_batch(
+    batch: DataFrame,
+    target_path: str,
+    num_buckets: int = 4096,
+    threshold: float = 0.5,
+) -> None:
+    """One micro-batch: quality keep -> in-batch exact dedup (lowest
+    doc_id per text) -> anti-join the corpus ledger -> append.
+
+    The stored corpus carries a ``text_md5`` column so the ledger read
+    is a single-column scan.
+    """
+    _exact_dedup_stage(batch, target_path, num_buckets, threshold).write.mode(
+        "append"
+    ).parquet(target_path)
 
 
 def ingest_corpus_batch_neardup(
@@ -124,60 +138,59 @@ def ingest_corpus_batch_neardup(
       the corpus, so the near-dup stage sees an empty batch.
     - The two appends (corpus, then ledger) are not atomic. Corpus is
       written FIRST: a crash in the gap leaves docs in the corpus with
-      no signatures. The ledger append therefore derives from a
-      doc_id anti-join of corpus vs ledger — not from this batch's
-      survivor set — so the NEXT successful batch heals any gap
-      (self-repairing; the reverse order would instead drop a
-      replayed doc against its own orphaned signatures and lose it
-      permanently). The repair scan reads only the two doc_id
-      columns, same O(ledger-metadata) cost class as the md5 ledger
-      read.
+      no signatures. The ledger append therefore covers corpus docs
+      missing from the ledger — not just this batch's survivor set —
+      so the NEXT successful batch heals any gap (self-repairing; the
+      reverse order would instead drop a replayed doc against its own
+      orphaned signatures and lose it permanently). The heal scan
+      reads only the two doc_id columns, same O(ledger-metadata) cost
+      class as the md5 ledger read; only genuine gap docs (normally
+      none) pay a re-shingle.
+    - Survivors' band rows come from the collision check's already-
+      checkpointed signatures (``incremental_minhash_dedup_delta``) —
+      the batch is shingled ONCE, as the O(batch) claim requires.
+    - Docs too short to shingle (< n tokens — no signatures possible)
+      get a SENTINEL ledger row (band=-1, sig='') so the heal scan
+      never reselects them; ``minhash_band_signatures`` never emits
+      band -1, so sentinels can't collide with any real signature.
     """
     from ..operators.similarity_dedup import (
-        incremental_minhash_dedup,
+        incremental_minhash_dedup_delta,
         minhash_band_signatures,
     )
 
     spark = batch.sparkSession
-    keep = (
-        hashed_linear_score(
-            batch,
-            synthetic_weights(spark, num_buckets),
-            num_buckets=num_buckets,
-            threshold=threshold,
-        )
-        .filter(F.col("keep"))
-        .select("doc_id")
-    )
-    filtered = batch.join(keep, "doc_id").withColumn(
-        "text_md5", F.md5("text")
-    )
-    deduped = dedup_keep_latest(
-        filtered, keys=["text_md5"], order_by=[F.col("doc_id").asc()]
-    )
-    existing = read_parquet_if_exists(spark, target_path)
-    if existing is not None:
-        deduped = deduped.join(
-            existing.select("text_md5"), "text_md5", "left_anti"
-        )
+    deduped = _exact_dedup_stage(batch, target_path, num_buckets, threshold)
     bands = read_parquet_if_exists(spark, bands_path)
     if bands is None:
         bands = spark.createDataFrame(
             [], "doc_id long, band long, sig string"
         )
-    survivors, _ = incremental_minhash_dedup(
-        deduped, bands.select("doc_id", "band", "sig"), "doc_id", "text"
+    bands = bands.select("doc_id", "band", "sig")
+    survivors, delta = incremental_minhash_dedup_delta(
+        deduped, bands, "doc_id", "text"
     )
     survivors.write.mode("append").parquet(target_path)
-    # self-healing ledger append: everything in the corpus that has no
-    # signatures yet (this batch's survivors, plus any crash-gap docs)
+    # heal: corpus docs in neither the ledger nor this batch's delta
+    # (crash-gap docs, plus this batch's too-short survivors)
     corpus = read_parquet_if_exists(spark, target_path)
-    unledgered = corpus.join(
-        bands.select("doc_id"), "doc_id", "left_anti"
+    gap = corpus.join(bands.select("doc_id"), "doc_id", "left_anti").join(
+        delta.select("doc_id"), "doc_id", "left_anti"
     )
-    minhash_band_signatures(unledgered, "doc_id", "text").select(
+    heal = minhash_band_signatures(gap, "doc_id", "text").select(
         "doc_id", "band", "sig"
-    ).write.mode("append").parquet(bands_path)
+    )
+    new_rows = delta.select("doc_id", "band", "sig").unionByName(heal)
+    sentinels = (
+        gap.select("doc_id")
+        .join(new_rows.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit(-1).cast("long").alias("band"),
+            F.lit("").alias("sig"),
+        )
+    )
+    new_rows.unionByName(sentinels).write.mode("append").parquet(bands_path)
 
 
 def run_neardup_ingest_stream(

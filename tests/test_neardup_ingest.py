@@ -111,6 +111,46 @@ def test_ledger_gap_self_heals(spark, tmp_path):
     assert spark.read.parquet(target).count() == before
 
 
+def test_intra_batch_neardup_keep_first_and_short_doc_sentinel(
+    spark, tmp_path
+):
+    """Two near-dup (non-md5-equal) docs arriving in the SAME batch:
+    only the lower doc_id survives (the vs_batch keep-first branch —
+    without it both would be admitted and poison the index forever).
+    A too-short doc (< 3 tokens, no shingles possible) is admitted but
+    gets a sentinel ledger row, so the heal scan never reselects it.
+    All three fixture facts are deterministic (fixed hash family +
+    classifier): 10/11 collide in a band, both pass quality, and
+    'good morning' passes quality with zero shingles."""
+    b3 = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (11, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (12, "good morning"),
+    ]
+    target = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    ingest_corpus_batch_neardup(_docs(spark, b3), target, bands)
+    got = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    assert got == {10, 12}  # 11 rejected intra-batch, 12 kept
+    led = spark.read.parquet(bands)
+    led_ids = {r["doc_id"] for r in led.select("doc_id").distinct().collect()}
+    assert led_ids == got  # sentinel covers the shingle-less doc
+    sent = led.filter(F.col("doc_id") == 12).collect()
+    assert [(r["band"], r["sig"]) for r in sent] == [(-1, "")]
+    # the sentinel never matches a real signature: a later batch with
+    # another short doc is admitted, not dropped against doc 12
+    ingest_corpus_batch_neardup(
+        _docs(spark, [(13, "tiny doc")]), target, bands
+    )
+    got2 = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    assert got2 == {10, 12, 13}
+    # and the heal scan stayed empty: ledger covers the corpus exactly
+    led2 = spark.read.parquet(bands)
+    assert {
+        r["doc_id"] for r in led2.select("doc_id").distinct().collect()
+    } == got2
+
+
 def test_neardup_stream_availablenow(spark, tmp_path):
     import os
 

@@ -270,6 +270,37 @@ def probe_all(spark, sf_dir: str) -> dict:
             run_dsir().agg(F.sum("n_bigrams").alias("s")).first()["s"]
         ),
     }
+
+    # q151 leakage-guarded split: minhash edges (q19's ~linear growth,
+    # measured above) -> star-contraction components -> md5 split. The
+    # probe pins the END-TO-END wall and the edge count the CC loop
+    # actually consumed; components ("clusters") is the extra metric.
+    from data_integration_openfoodfacts_spark.operators.graph import (
+        connected_components,
+    )
+
+    def run_q151():
+        return QUERIES["q151_leakage_guarded_split"](spark, sf_dir)
+
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    cc = connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    res["q151_leakage_cc"] = {
+        "sec": time_df(run_q151),
+        "candidates": pairs.count(),
+        "clusters": cc.select("component").distinct().count(),
+    }
+
+    # q152 novelty: one shingle-level min agg + join-back — work is the
+    # shingle-row count, linear in corpus bytes by construction; the
+    # probe MEASURES it instead of asserting it.
+    from data_integration_openfoodfacts_spark.operators.similarity_dedup import (
+        word_shingles,
+    )
+
+    res["q152_novelty_linear"] = {
+        "sec": time_df(lambda: QUERIES["q152_ngram_novelty"](spark, sf_dir)),
+        "candidates": word_shingles(docs, "doc_id", "text", n=8).count(),
+    }
     return res
 
 
