@@ -64,12 +64,23 @@ def _exact_dedup_stage(
     target_path: str,
     num_buckets: int,
     threshold: float,
+    observations: dict | None = None,
 ) -> DataFrame:
     """Shared front half of both ingest paths: quality keep ->
     ``text_md5`` -> in-batch exact dedup (lowest doc_id per text) ->
     anti-join the corpus's md5 ledger. Returns the exact-level
-    survivors (NOT yet written)."""
+    survivors (NOT yet written).
+
+    ``observations``: optional {"in": Observation, "quality":
+    Observation} — attached with ``observe`` so the per-stage row
+    counts ride the job that materializes the chain anyway (ZERO extra
+    actions, unlike ``count()`` probes which would re-run the quality
+    classifier per metric)."""
     spark = batch.sparkSession
+    if observations and "in" in observations:
+        batch = batch.observe(
+            observations["in"], F.count(F.lit(1)).alias("n")
+        )
     keep = (
         hashed_linear_score(
             batch,
@@ -83,6 +94,10 @@ def _exact_dedup_stage(
     filtered = batch.join(keep, "doc_id").withColumn(
         "text_md5", F.md5("text")
     )
+    if observations and "quality" in observations:
+        filtered = filtered.observe(
+            observations["quality"], F.count(F.lit(1)).alias("n")
+        )
     deduped = dedup_keep_latest(
         filtered, keys=["text_md5"], order_by=[F.col("doc_id").asc()]
     )
@@ -120,6 +135,8 @@ def ingest_corpus_batch_neardup(
     bands_path: str,
     num_buckets: int = 4096,
     threshold: float = 0.5,
+    run_ledger_path: str | None = None,
+    batch_id: int = -1,
 ) -> None:
     """Near-duplicate-aware micro-batch ingest: quality keep -> exact
     in-batch + vs-corpus dedup (as :func:`ingest_corpus_batch`) ->
@@ -153,14 +170,35 @@ def ingest_corpus_batch_neardup(
       get a SENTINEL ledger row (band=-1, sig='') so the heal scan
       never reselects them; ``minhash_band_signatures`` never emits
       band -1, so sentinels can't collide with any real signature.
+
+    ``run_ledger_path``: optional per-batch RUN LEDGER (the streaming
+    twin of q148's dataset-card stage accounting) — appends one row
+    (batch_id, n_in, n_quality, n_exact, n_neardup) per trigger. The
+    stage counts ride the batch's own jobs via ``observe`` +
+    ``Observation`` (zero extra actions — a ``count()`` per stage
+    would re-run the classifier and both dedup joins per metric).
     """
+    from pyspark.sql import Observation
+
     from ..operators.similarity_dedup import (
         incremental_minhash_dedup_delta,
         minhash_band_signatures,
     )
 
     spark = batch.sparkSession
-    deduped = _exact_dedup_stage(batch, target_path, num_buckets, threshold)
+    obs: dict[str, Observation] = {}
+    if run_ledger_path is not None:
+        obs = {
+            "in": Observation(),
+            "quality": Observation(),
+            "exact": Observation(),
+            "neardup": Observation(),
+        }
+    deduped = _exact_dedup_stage(
+        batch, target_path, num_buckets, threshold, observations=obs
+    )
+    if obs:
+        deduped = deduped.observe(obs["exact"], F.count(F.lit(1)).alias("n"))
     bands = read_parquet_if_exists(spark, bands_path)
     if bands is None:
         bands = spark.createDataFrame(
@@ -170,6 +208,10 @@ def ingest_corpus_batch_neardup(
     survivors, delta = incremental_minhash_dedup_delta(
         deduped, bands, "doc_id", "text"
     )
+    if obs:
+        survivors = survivors.observe(
+            obs["neardup"], F.count(F.lit(1)).alias("n")
+        )
     survivors.write.mode("append").parquet(target_path)
     # heal: corpus docs in neither the ledger nor this batch's delta
     # (crash-gap docs, plus this batch's too-short survivors)
@@ -191,6 +233,22 @@ def ingest_corpus_batch_neardup(
         )
     )
     new_rows.unionByName(sentinels).write.mode("append").parquet(bands_path)
+    if obs:
+        # Observation.get blocks until the observed frame's first
+        # action fills it — all four rode jobs that already ran
+        spark.createDataFrame(
+            [
+                (
+                    batch_id,
+                    obs["in"].get["n"],
+                    obs["quality"].get["n"],
+                    obs["exact"].get["n"],
+                    obs["neardup"].get["n"],
+                )
+            ],
+            "batch_id long, n_in long, n_quality long, "
+            "n_exact long, n_neardup long",
+        ).coalesce(1).write.mode("append").parquet(run_ledger_path)
 
 
 def run_neardup_ingest_stream(
@@ -200,13 +258,18 @@ def run_neardup_ingest_stream(
     bands_path: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = 1,
+    run_ledger_path: str | None = None,
 ) -> None:
     """availableNow backlog drain through the near-dup-aware ingest."""
     stream = read_docs_stream(spark, source_dir, max_files_per_trigger)
     (
         stream.writeStream.foreachBatch(
-            lambda b, _id: ingest_corpus_batch_neardup(
-                b, target_path, bands_path
+            lambda b, bid: ingest_corpus_batch_neardup(
+                b,
+                target_path,
+                bands_path,
+                run_ledger_path=run_ledger_path,
+                batch_id=bid,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -151,6 +151,32 @@ def test_intra_batch_neardup_keep_first_and_short_doc_sentinel(
     } == got2
 
 
+def test_run_ledger_counts_match_stages(spark, tmp_path):
+    """The observe-based run ledger must report exactly the counts a
+    direct recomputation of each stage gives — without it costing
+    extra actions (the counts ride the batch's own jobs)."""
+    target = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    ledger = str(tmp_path / "runs")
+    rows = B1 + B2  # one batch containing everything
+    ingest_corpus_batch_neardup(
+        _docs(spark, rows), target, bands,
+        run_ledger_path=ledger, batch_id=7,
+    )
+    rec = spark.read.parquet(ledger).collect()
+    assert len(rec) == 1
+    r = rec[0]
+    kept = _kept_ids(spark, rows)
+    texts_kept = [(i, t) for i, t in rows if i in kept]
+    n_exact = len({t: None for _, t in texts_kept})
+    got = spark.read.parquet(target).count()
+    assert r["batch_id"] == 7
+    assert r["n_in"] == len(rows)
+    assert r["n_quality"] == len(texts_kept)
+    assert r["n_exact"] == n_exact
+    assert r["n_neardup"] == got  # survivors == what was appended
+
+
 def test_neardup_stream_availablenow(spark, tmp_path):
     import os
 
@@ -163,10 +189,16 @@ def test_neardup_stream_availablenow(spark, tmp_path):
         os.rename(f"{stage}/{part}", f"{src}/drop{d}.parquet")
     target = str(tmp_path / "corpus")
     bands = str(tmp_path / "bands")
+    runs = str(tmp_path / "runs")
     run_neardup_ingest_stream(
-        spark, src, target, bands, str(tmp_path / "ckpt")
+        spark, src, target, bands, str(tmp_path / "ckpt"),
+        run_ledger_path=runs,
     )
     got = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    # one run-ledger row per trigger, carrying the real batch ids
+    runrows = spark.read.parquet(runs).collect()
+    assert {r["batch_id"] for r in runrows} == {0, 1}
+    assert sum(r["n_in"] for r in runrows) == len(B1) + len(B2)
     # batch-equivalence with the two-call sequence
     t2, b2 = str(tmp_path / "c2"), str(tmp_path / "b2")
     ingest_corpus_batch_neardup(_docs(spark, B1), t2, b2)
