@@ -413,12 +413,120 @@ FROM agg
 """
 
 
+def q156_corpus_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE corpus dataset-card rollup: document/byte volume,
+    language diversity, exact-duplicate rate, and quality-classifier
+    keep rate — the one-table overview a dataset card's "composition"
+    section publishes, and the first report a curation run produces
+    per ingested source.
+
+    One scan through the classifier (broadcast weight join) + one
+    (source) agg; COUNT(DISTINCT md5) is the only two-phase aggregate.
+    Counts stay BIGINT in both engines; rates divide exact ints in
+    double."""
+    from ..operators.quality_classifier import (
+        hashed_linear_score,
+        synthetic_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = hashed_linear_score(
+        docs, synthetic_weights(spark, 4096), num_buckets=4096
+    ).select("doc_id", "keep")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.octet_length("text").cast("long").alias("nb"),
+        F.md5("text").alias("text_md5"),
+    ).join(scored, "doc_id")
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nb").alias("n_bytes"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("text_md5").alias("n_unique_texts"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_bytes",
+            "n_langs",
+            "n_unique_texts",
+            "n_kept",
+            (
+                F.col("n_kept").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("keep_rate"),
+            (
+                (F.col("n_docs") - F.col("n_unique_texts")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("exact_dup_rate"),
+        )
+    )
+
+
+Q156_ORACLE = """
+WITH toksq AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+featsq AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) % 4096
+           AS bucket
+  FROM toksq
+),
+wq AS (
+  SELECT i AS bucket,
+         CAST(concat('0x', substring(md5('qw' || i), 1, 15)) AS BIGINT)
+           % 2001 - 1000 AS w_milli
+  FROM range(4096) t(i)
+),
+aggq AS (
+  SELECT f.doc_id,
+         CAST(SUM(COALESCE(w.w_milli, 0)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM featsq f LEFT JOIN wq w USING (bucket)
+  GROUP BY 1
+),
+kept AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-(CAST(s AS DOUBLE)
+                            / (CAST(n_tokens AS DOUBLE) * 1000.0)))) >= 0.5
+           AS keep
+  FROM aggq
+),
+base AS (
+  SELECT d.doc_id, d.source, d.lang,
+         CAST(octet_length(encode(d.text)) AS BIGINT) AS nb,
+         md5(d.text) AS text_md5,
+         k.keep
+  FROM documents d JOIN kept k USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nb) AS BIGINT) AS n_bytes,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT text_md5) AS BIGINT) AS n_unique_texts,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS keep_rate,
+       CAST(COUNT(*) - COUNT(DISTINCT text_md5) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS exact_dup_rate
+FROM base
+GROUP BY source
+"""
+
+
 CURATION_QUERIES = {
     "q151_leakage_guarded_split": q151_leakage_guarded_split,
     "q152_ngram_novelty": q152_ngram_novelty,
     "q153_epoch_upsampling": q153_epoch_upsampling,
     "q154_embedding_outliers": q154_embedding_outliers,
     "q155_tokenizer_fertility": q155_tokenizer_fertility,
+    "q156_corpus_source_profile": q156_corpus_source_profile,
 }
 
 CURATION_ORACLES = {
@@ -427,4 +535,5 @@ CURATION_ORACLES = {
     "q153_epoch_upsampling": Q153_ORACLE,
     "q154_embedding_outliers": Q154_ORACLE,
     "q155_tokenizer_fertility": Q155_ORACLE,
+    "q156_corpus_source_profile": Q156_ORACLE,
 }

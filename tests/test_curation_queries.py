@@ -158,6 +158,27 @@ def test_q155_fertility_consistency(spark):
     assert out.filter(F.col("fertility") < 1.0).count() == 0
 
 
+def test_q156_profile_reconciles_with_corpus(spark):
+    from data_integration_openfoodfacts_spark.plans.curation_queries import (
+        q156_corpus_source_profile,
+    )
+
+    out = q156_corpus_source_profile(spark, SF_DIR).cache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # totals reconcile
+    assert out.agg(F.sum("n_docs")).first()[0] == docs.count()
+    # rates bounded; unique <= docs; kept <= docs
+    bad = out.filter(
+        (F.col("keep_rate") < 0)
+        | (F.col("keep_rate") > 1)
+        | (F.col("exact_dup_rate") < 0)
+        | (F.col("exact_dup_rate") > 1)
+        | (F.col("n_unique_texts") > F.col("n_docs"))
+        | (F.col("n_kept") > F.col("n_docs"))
+    ).count()
+    assert bad == 0
+
+
 def test_q152_duplicate_doc_has_zero_novelty(spark):
     """A verbatim copy of an earlier doc contributes nothing new."""
     df = spark.createDataFrame(
