@@ -420,8 +420,13 @@ def q156_corpus_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     section publishes, and the first report a curation run produces
     per ingested source.
 
-    One scan through the classifier (broadcast weight join) + one
-    (source) agg; COUNT(DISTINCT md5) is the only two-phase aggregate.
+    Shape (honestly): the classifier pass (broadcast weight join +
+    one doc agg) joins back to a second documents scan, and the two
+    COUNT(DISTINCT) columns (lang, text_md5) make Spark's Expand
+    multi-distinct rewrite feed the one (source) agg. LEFT join +
+    coalesce(keep, false): a doc the classifier emits no row for
+    (NULL/empty text tokenizes to nothing) must still COUNT toward the
+    source's volume — an inner join would silently shrink the card.
     Counts stay BIGINT in both engines; rates divide exact ints in
     double."""
     from ..operators.quality_classifier import (
@@ -433,13 +438,17 @@ def q156_corpus_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = hashed_linear_score(
         docs, synthetic_weights(spark, 4096), num_buckets=4096
     ).select("doc_id", "keep")
-    base = docs.select(
-        "doc_id",
-        "source",
-        "lang",
-        F.octet_length("text").cast("long").alias("nb"),
-        F.md5("text").alias("text_md5"),
-    ).join(scored, "doc_id")
+    base = (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.octet_length("text").cast("long").alias("nb"),
+            F.md5("text").alias("text_md5"),
+        )
+        .join(scored, "doc_id", "left")
+        .withColumn("keep", F.coalesce("keep", F.lit(False)))
+    )
     return (
         base.groupBy("source")
         .agg(
@@ -502,8 +511,8 @@ base AS (
   SELECT d.doc_id, d.source, d.lang,
          CAST(octet_length(encode(d.text)) AS BIGINT) AS nb,
          md5(d.text) AS text_md5,
-         k.keep
-  FROM documents d JOIN kept k USING (doc_id)
+         COALESCE(k.keep, FALSE) AS keep
+  FROM documents d LEFT JOIN kept k USING (doc_id)
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

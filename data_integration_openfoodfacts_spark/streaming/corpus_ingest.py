@@ -199,6 +199,13 @@ def ingest_corpus_batch_neardup(
     )
     if obs:
         deduped = deduped.observe(obs["exact"], F.count(F.lit(1)).alias("n"))
+    # materialize the exact stage ONCE: both the near-dup signature
+    # build and the survivors anti-join consume it — without this the
+    # classifier + window dedup + O(corpus) md5 anti-join would run
+    # twice per trigger (once for the delta op's checkpoint, once for
+    # the survivors write). This is also the action that fills the
+    # in/quality/exact observations.
+    deduped = deduped.localCheckpoint(eager=True)
     bands = read_parquet_if_exists(spark, bands_path)
     if bands is None:
         bands = spark.createDataFrame(
@@ -235,20 +242,29 @@ def ingest_corpus_batch_neardup(
     new_rows.unionByName(sentinels).write.mode("append").parquet(bands_path)
     if obs:
         # Observation.get blocks until the observed frame's first
-        # action fills it — all four rode jobs that already ran
+        # action fills it — all four rode jobs that already ran.
+        # Written per-batch with mode("ignore") (first-writer-wins):
+        # a crash-replayed trigger re-runs with the corpus/bands
+        # appends deduped to no-ops, so its stage counts are zeros —
+        # appending would double the batch row and overwriting would
+        # replace the true counts with the replay's zeros. "ignore"
+        # keeps the original attempt's row and stays idempotent. (A
+        # crash DURING the first ledger write can leave an empty
+        # partition a replay then skips — a bounded observable gap,
+        # never a double count.)
         spark.createDataFrame(
             [
                 (
-                    batch_id,
                     obs["in"].get["n"],
                     obs["quality"].get["n"],
                     obs["exact"].get["n"],
                     obs["neardup"].get["n"],
                 )
             ],
-            "batch_id long, n_in long, n_quality long, "
-            "n_exact long, n_neardup long",
-        ).coalesce(1).write.mode("append").parquet(run_ledger_path)
+            "n_in long, n_quality long, n_exact long, n_neardup long",
+        ).coalesce(1).write.mode("ignore").parquet(
+            f"{run_ledger_path}/batch_id={batch_id}"
+        )
 
 
 def run_neardup_ingest_stream(

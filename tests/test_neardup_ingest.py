@@ -170,11 +170,21 @@ def test_run_ledger_counts_match_stages(spark, tmp_path):
     texts_kept = [(i, t) for i, t in rows if i in kept]
     n_exact = len({t: None for _, t in texts_kept})
     got = spark.read.parquet(target).count()
-    assert r["batch_id"] == 7
+    assert r["batch_id"] == 7  # partition-dir column
     assert r["n_in"] == len(rows)
     assert r["n_quality"] == len(texts_kept)
     assert r["n_exact"] == n_exact
     assert r["n_neardup"] == got  # survivors == what was appended
+    # crash-replay of the same trigger: first-writer-wins — the
+    # original counts survive (a replayed batch's stages all see 0,
+    # so append would double the row and overwrite would zero it)
+    ingest_corpus_batch_neardup(
+        _docs(spark, rows), target, bands,
+        run_ledger_path=ledger, batch_id=7,
+    )
+    rec2 = spark.read.parquet(ledger).collect()
+    assert len(rec2) == 1
+    assert rec2[0]["n_neardup"] == got
 
 
 def test_neardup_stream_availablenow(spark, tmp_path):
