@@ -179,6 +179,34 @@ def test_q156_profile_reconciles_with_corpus(spark):
     assert bad == 0
 
 
+def test_new_query_plan_shapes(spark):
+    """Scale-posture pins for the curation queries: q153 is pure
+    narrow (ZERO Exchange — rate, draw and copy explode are per-row
+    expressions); none of the family ever degenerates to a cartesian
+    product; q156 carries the documented Expand from its two
+    COUNT(DISTINCT) columns (so a 'simplification' that silently adds
+    a third distinct or drops the rewrite shows up here)."""
+    from data_integration_openfoodfacts_spark.plans.registry import QUERIES
+
+    def plan(name):
+        return (
+            QUERIES[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p153 = plan("q153_epoch_upsampling")
+    assert "Exchange" not in p153
+    for name in (
+        "q151_leakage_guarded_split",
+        "q152_ngram_novelty",
+        "q156_corpus_source_profile",
+    ):
+        assert "CartesianProduct" not in plan(name), name
+    assert "Expand" in plan("q156_corpus_source_profile")
+
+
 def test_q152_duplicate_doc_has_zero_novelty(spark):
     """A verbatim copy of an earlier doc contributes nothing new."""
     df = spark.createDataFrame(
