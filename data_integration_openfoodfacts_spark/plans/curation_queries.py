@@ -529,6 +529,85 @@ GROUP BY source
 """
 
 
+def q157_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty CURVE by ingestion tranche: split the corpus
+    into 10 doc_id-order deciles and report, per tranche, how many of
+    its 8-gram shingles are first occurrences — the Lee et al. 2022
+    plot showing later crawl snapshots contributing progressively
+    less new text (the go/no-go chart for ingesting another dump).
+
+    Same working set as q152 (shingle-level min-doc agg); the tranche
+    is pure integer arithmetic on doc_id against a broadcast 1-row
+    max, so both engines bucket identically. Ratio = BIGINT-sum /
+    BIGINT-sum in double — deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=8)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    hi = docs.agg(F.max("doc_id").alias("__max_id"))
+    per_doc = (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(hi))
+        .groupBy(
+            # explicit floor: Spark's double->long cast truncates but
+            # DuckDB's CAST ROUNDS — FLOOR on both sides is the only
+            # portable bucketing of a double ratio
+            F.floor(F.col("doc_id") * 10 / (F.col("__max_id") + 1))
+            .cast("long")
+            .alias("tranche")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sh").alias("n_shingles"),
+            F.sum("n_novel").alias("n_novel"),
+        )
+        .select(
+            "tranche",
+            "n_docs",
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+Q157_ORACLE = f"""
+WITH {_SHINGLE8_CTE},
+firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh8 GROUP BY shingle),
+per_doc AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_sh,
+         CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_novel
+  FROM sh8 s JOIN firsts f USING (shingle)
+  GROUP BY s.doc_id
+),
+hi AS (SELECT MAX(doc_id) AS max_id FROM documents)
+SELECT CAST(FLOOR(p.doc_id * 10.0 / (h.max_id + 1)) AS BIGINT) AS tranche,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+       CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+       CAST(SUM(n_novel) AS DOUBLE) / CAST(SUM(n_sh) AS DOUBLE)
+         AS novelty_rate
+FROM per_doc p CROSS JOIN hi h
+GROUP BY 1
+"""
+
+
 CURATION_QUERIES = {
     "q151_leakage_guarded_split": q151_leakage_guarded_split,
     "q152_ngram_novelty": q152_ngram_novelty,
@@ -536,6 +615,7 @@ CURATION_QUERIES = {
     "q154_embedding_outliers": q154_embedding_outliers,
     "q155_tokenizer_fertility": q155_tokenizer_fertility,
     "q156_corpus_source_profile": q156_corpus_source_profile,
+    "q157_novelty_curve": q157_novelty_curve,
 }
 
 CURATION_ORACLES = {
@@ -545,4 +625,5 @@ CURATION_ORACLES = {
     "q154_embedding_outliers": Q154_ORACLE,
     "q155_tokenizer_fertility": Q155_ORACLE,
     "q156_corpus_source_profile": Q156_ORACLE,
+    "q157_novelty_curve": Q157_ORACLE,
 }

@@ -207,6 +207,30 @@ def test_new_query_plan_shapes(spark):
     assert "Expand" in plan("q156_corpus_source_profile")
 
 
+def test_q157_curve_reconciles_with_q152(spark):
+    """Tranche totals must be exactly q152's per-document totals.
+    (No monotonicity assertion: first occurrences accrue to earlier
+    doc_ids, but a tranche's rate also reflects its INTERNAL
+    duplication, so tranche 0 need not be the max.)"""
+    from data_integration_openfoodfacts_spark.plans.curation_queries import (
+        q152_ngram_novelty,
+        q157_novelty_curve,
+    )
+
+    curve = q157_novelty_curve(spark, SF_DIR).cache()
+    per_doc = q152_ngram_novelty(spark, SF_DIR)
+    want = per_doc.agg(
+        F.sum("n_shingles").alias("s"), F.sum("n_novel").alias("n")
+    ).first()
+    got = curve.agg(
+        F.sum("n_shingles").alias("s"), F.sum("n_novel").alias("n")
+    ).first()
+    assert (want["s"], want["n"]) == (got["s"], got["n"])
+    rows = {r["tranche"]: r["novelty_rate"] for r in curve.collect()}
+    assert set(rows) <= set(range(10))
+    assert all(0 <= v <= 1 for v in rows.values())
+
+
 def test_q152_duplicate_doc_has_zero_novelty(spark):
     """A verbatim copy of an earlier doc contributes nothing new."""
     df = spark.createDataFrame(
