@@ -159,10 +159,16 @@ def ingest_corpus_batch_neardup(
       missing from the ledger — not just this batch's survivor set —
       so the NEXT successful batch heals any gap (self-repairing; the
       reverse order would instead drop a replayed doc against its own
-      orphaned signatures and lose it permanently). The heal scan
-      reads only the two doc_id columns, same O(ledger-metadata) cost
-      class as the md5 ledger read; only genuine gap docs (normally
-      none) pay a re-shingle.
+      orphaned signatures and lose it permanently). The gap-id scan
+      is doc_id-projections ONLY (corpus doc_id anti-join ledger
+      doc_id — column-pruned parquet scans, the same O(ledger-
+      metadata) cost class as the md5 ledger read); the gap-id set is
+      bounded by one batch (this batch's too-short survivors, plus at
+      most one crashed batch's survivors), so it collects to the
+      driver, and ONLY those ids' corpus rows are re-read for text —
+      an id-pushdown point lookup, never a full text-column scan.
+      When the gap is empty (a healthy run with no short docs) the
+      heal short-circuits entirely.
     - Survivors' band rows come from the collision check's already-
       checkpointed signatures (``incremental_minhash_dedup_delta``) —
       the batch is shingled ONCE, as the O(batch) claim requires.
@@ -221,25 +227,42 @@ def ingest_corpus_batch_neardup(
         )
     survivors.write.mode("append").parquet(target_path)
     # heal: corpus docs in neither the ledger nor this batch's delta
-    # (crash-gap docs, plus this batch's too-short survivors)
+    # (crash-gap docs, plus this batch's too-short survivors). The
+    # gap IDS come from doc_id-only projections — the corpus text
+    # column is never scanned here (round-6 ADVICE: the old
+    # text-carrying anti-join made the trigger O(corpus text bytes)).
+    # The set is bounded by ~one batch, so it collects; text is then
+    # fetched for exactly those ids via a pushed-down id filter.
     corpus = read_parquet_if_exists(spark, target_path)
-    gap = corpus.join(bands.select("doc_id"), "doc_id", "left_anti").join(
-        delta.select("doc_id"), "doc_id", "left_anti"
-    )
-    heal = minhash_band_signatures(gap, "doc_id", "text").select(
-        "doc_id", "band", "sig"
-    )
-    new_rows = delta.select("doc_id", "band", "sig").unionByName(heal)
-    sentinels = (
-        gap.select("doc_id")
-        .join(new_rows.select("doc_id"), "doc_id", "left_anti")
-        .select(
-            "doc_id",
-            F.lit(-1).cast("long").alias("band"),
-            F.lit("").alias("sig"),
+    gap_ids = [
+        r[0]
+        for r in corpus.select("doc_id")
+        .join(bands.select("doc_id"), "doc_id", "left_anti")
+        .join(delta.select("doc_id"), "doc_id", "left_anti")
+        .collect()
+    ]
+    new_rows = delta.select("doc_id", "band", "sig")
+    if gap_ids:
+        gap = corpus.filter(F.col("doc_id").isin(gap_ids)).select(
+            "doc_id", "text"
         )
-    )
-    new_rows.unionByName(sentinels).write.mode("append").parquet(bands_path)
+        heal = minhash_band_signatures(gap, "doc_id", "text").select(
+            "doc_id", "band", "sig"
+        )
+        new_rows = new_rows.unionByName(heal)
+        sentinels = (
+            spark.createDataFrame(
+                [(i,) for i in gap_ids], "doc_id long"
+            )
+            .join(new_rows.select("doc_id"), "doc_id", "left_anti")
+            .select(
+                "doc_id",
+                F.lit(-1).cast("long").alias("band"),
+                F.lit("").alias("sig"),
+            )
+        )
+        new_rows = new_rows.unionByName(sentinels)
+    new_rows.write.mode("append").parquet(bands_path)
     if obs:
         # Observation.get blocks until the observed frame's first
         # action fills it — all four rode jobs that already ran.

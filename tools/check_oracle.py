@@ -88,7 +88,25 @@ def main() -> int:
         fps = gate_state.current_fingerprints()
         verified = gate_state.load_state().get("verified", {})
         drifted = gate_state.stale_keys(fps, verified, sf_dir)
-        only = (only & drifted) if only else drifted
+        if only:
+            # validate explicit names BEFORE intersecting: a typo must
+            # error loudly, and a requested-but-not-stale name must be
+            # reported, not silently dropped (round-6 ADVICE — the old
+            # `only & drifted` could print "no stale queries" for a
+            # misspelled name and skip a re-verify)
+            unknown = only - set(fps)
+            if unknown:
+                print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+                return 2
+            fresh = only - drifted
+            if fresh:
+                print(
+                    "requested but not stale (already verified at HEAD "
+                    f"for {sf_dir}, skipped): {sorted(fresh)}"
+                )
+            only = only & drifted
+        else:
+            only = drifted
         if not only:
             print(
                 f"no stale queries — all fingerprints verified at HEAD "
