@@ -2358,20 +2358,25 @@ Q147_ORACLE = _q147_oracle()
 
 def q148_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation ledger (`plans/corpus_pipeline.py`): lang
-    filter -> quality classifier keep -> exact dedup -> benchmark
-    decontamination -> domain cap + mixture, reporting (stage_no,
-    stage, n_docs) per stage — the dataset-card row accounting. Every
-    stage is the already-oracle-gated operator (q134/q46/q145
-    machinery); the DuckDB twin replays the whole chain in one WITH."""
+    filter -> Gopher/C4 rule battery -> quality classifier keep ->
+    exact dedup -> benchmark decontamination -> domain cap + mixture,
+    reporting (stage_no, stage, n_docs) per stage — the dataset-card
+    row accounting, collected in ONE execution via per-stage
+    ``observe`` counters (round-6 VERDICT #2). Every stage is the
+    already-oracle-gated operator (q158/q134/q46/q145 machinery); the
+    DuckDB twin replays the whole chain in one WITH."""
     from .corpus_pipeline import run_corpus_pipeline
 
     return run_corpus_pipeline(spark, sf_dir)
 
 
-Q148_ORACLE = """
+from ..operators.quality_rules import rule_pass_sql as _rule_pass_sql
+
+Q148_ORACLE = f"""
 WITH s1 AS (SELECT * FROM documents WHERE lang = 'en'),
+s1r AS (SELECT * FROM s1 WHERE {_rule_pass_sql('text')}),
 toksq AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM s1
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM s1r
 ),
 featsq AS (
   SELECT doc_id,
@@ -2393,7 +2398,7 @@ aggq AS (
   GROUP BY 1
 ),
 s2 AS (
-  SELECT s1.* FROM s1 JOIN aggq a USING (doc_id)
+  SELECT s1r.* FROM s1r JOIN aggq a USING (doc_id)
   WHERE 1.0 / (1.0 + exp(-(CAST(a.s AS DOUBLE)
                            / (CAST(a.n_tokens AS DOUBLE) * 1000.0))))
         >= 0.5
@@ -2451,10 +2456,11 @@ FROM (
   SELECT 0 AS stage_no, 'loaded' AS stage, COUNT(*) AS n_docs
   FROM documents
   UNION ALL SELECT 1, 'lang_en', COUNT(*) FROM s1
-  UNION ALL SELECT 2, 'quality_keep', COUNT(*) FROM s2
-  UNION ALL SELECT 3, 'exact_dedup', COUNT(*) FROM s3
-  UNION ALL SELECT 4, 'decontaminated', COUNT(*) FROM s4
-  UNION ALL SELECT 5, 'domain_mixture', COUNT(*) FROM s5
+  UNION ALL SELECT 2, 'rule_quality', COUNT(*) FROM s1r
+  UNION ALL SELECT 3, 'quality_keep', COUNT(*) FROM s2
+  UNION ALL SELECT 4, 'exact_dedup', COUNT(*) FROM s3
+  UNION ALL SELECT 5, 'decontaminated', COUNT(*) FROM s4
+  UNION ALL SELECT 6, 'domain_mixture', COUNT(*) FROM s5
 )
 ORDER BY stage_no
 """

@@ -16,6 +16,7 @@ from .analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES
 from .curation_queries import CURATION_ORACLES, CURATION_QUERIES
 from .etl_queries import ETL_ORACLES, ETL_QUERIES
 from .gold_oracle_queries import GOLD_ORACLE_ORACLES, GOLD_ORACLE_QUERIES
+from .hygiene_queries import HYGIENE_ORACLES, HYGIENE_QUERIES
 from .insight_queries import INSIGHT_ORACLES, INSIGHT_QUERIES
 from .llm_queries import LLM_ORACLES, LLM_QUERIES
 from .multimodal_queries import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
@@ -38,6 +39,7 @@ _ALL_QUERIES = {
     **GOLD_ORACLE_QUERIES,
     **INSIGHT_QUERIES,
     **CURATION_QUERIES,
+    **HYGIENE_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -52,6 +54,7 @@ _ALL_ORACLES = {
     **GOLD_ORACLE_ORACLES,
     **INSIGHT_ORACLES,
     **CURATION_ORACLES,
+    **HYGIENE_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry

@@ -170,8 +170,8 @@ def test_corpus_pipeline_ledger_monotone(spark):
 
     rows = run_corpus_pipeline(spark, "/root/testdata/sf0.001").collect()
     assert [r["stage"] for r in rows] == [
-        "loaded", "lang_en", "quality_keep", "exact_dedup",
-        "decontaminated", "domain_mixture",
+        "loaded", "lang_en", "rule_quality", "quality_keep",
+        "exact_dedup", "decontaminated", "domain_mixture",
     ]
     counts = [r["n_docs"] for r in rows]
     assert all(a >= b for a, b in zip(counts, counts[1:])), counts
