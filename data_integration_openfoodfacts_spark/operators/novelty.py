@@ -1,0 +1,86 @@
+"""Incremental shingle-novelty ledger — the tranche-at-a-time form of
+q152/q157's marginal-novelty analysis (round-6 VERDICT #1).
+
+The production question ("how much NEW text does the next crawl
+snapshot add?") arrives tranche by tranche, and at 100 TB a full-corpus
+shingle ``groupBy`` per snapshot (q157's batch shape) is the wrong
+plan: O(corpus) reshuffle to score O(tranche) new data. This module
+keeps a persisted ledger of (shingle_md5, first_doc) — every shingle
+the corpus has ever seen and the doc that introduced it — and scores a
+new tranche with O(tranche) shingle work plus ONE anti-join against
+the ledger, appending only the tranche's first-occurrences. The exact
+analogue of the near-dup band ledger in streaming/corpus_ingest.py.
+
+Ledger key: ``md5(shingle)`` (full 128-bit hex, 32 bytes fixed) — an
+8-gram shingle string averages ~50 variable bytes, so the hashed key
+is both smaller and constant-width; collision probability at corpus
+scale is ~2^-128-ish, and the reconciliation contract is enforced by
+q159's oracle (the SAME batch SQL as q157) rather than assumed.
+
+Equivalence argument (why incremental totals == batch q157): tranches
+are processed in ascending doc_id order, so a shingle's GLOBAL first
+doc is its within-tranche min doc_id in the FIRST tranche that
+contains it — exactly the rows the ledger records. A document's
+``n_novel`` (shingles whose global first_doc is this doc) is therefore
+"shingle absent from the pre-tranche ledger AND this doc is the
+tranche-local min" — what :func:`tranche_novelty_update` computes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity_dedup import word_shingles
+
+LEDGER_SCHEMA = "shingle_md5 string, first_doc long"
+
+
+def empty_ledger(spark) -> DataFrame:
+    return spark.createDataFrame([], LEDGER_SCHEMA)
+
+
+def tranche_novelty_update(
+    tranche: DataFrame,
+    ledger: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Score ONE ingestion tranche against the accumulated ledger.
+
+    Returns ``(per_doc, new_firsts)``:
+
+    - ``per_doc``: (id_col, n_shingles, n_novel) for every tranche doc
+      with >= 1 shingle (docs shorter than ``n`` tokens emit no row —
+      q152/q157's convention);
+    - ``new_firsts``: (shingle_md5, first_doc) rows to APPEND to the
+      ledger — shingles the corpus had never seen, attributed to their
+      tranche-local min doc_id.
+
+    Cost class: one O(tranche-shingles) aggregate (map-side
+    combinable), one anti-join that reads ONLY the ledger's key column,
+    one join-back within the tranche. Nothing scans corpus text.
+    """
+    sh = word_shingles(tranche, id_col, text_col, n=n).select(
+        F.col(id_col), F.md5("shingle").alias("shingle_md5")
+    )
+    firsts_t = sh.groupBy("shingle_md5").agg(
+        F.min(id_col).alias("first_doc")
+    )
+    new_firsts = firsts_t.join(
+        ledger.select("shingle_md5"), "shingle_md5", "left_anti"
+    )
+    per_doc = (
+        sh.join(new_firsts, "shingle_md5", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col(id_col), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc, new_firsts

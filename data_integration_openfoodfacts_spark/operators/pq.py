@@ -21,9 +21,11 @@ rounding per added element, matching the DuckDB list_reduce fold);
 argmin scans codes in order (ties -> lowest code, = ORDER BY dist,
 code); ADC sums integer MICRO-distances (floor(1e6 * d) per subspace),
 so the per-candidate total is an order-independent integer sum. The
-test codebook is the first ``ksub`` vectors by id (oracle-rebuildable:
-ORDER BY id LIMIT ksub); production swaps per-subspace Lloyd centroids
-(`operators/clustering.py::fit_centroids_lloyd`, the q77 pattern).
+production codebook is :func:`subspace_lloyd_codebook` — per-subspace
+deterministic Lloyd's centroids trained in ONE joint pass (q147's
+oracle replays the fit; recall@k improvement over the head codebook is
+pinned by test); :func:`head_codebook` (first ``ksub`` vectors by id)
+remains as the trivial baseline.
 """
 
 from __future__ import annotations
@@ -34,7 +36,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType, LongType
 
-__all__ = ["head_codebook", "pq_encode", "pq_adc_topk"]
+__all__ = [
+    "head_codebook",
+    "subspace_lloyd_codebook",
+    "pq_encode",
+    "pq_adc_topk",
+]
 
 
 def head_codebook(
@@ -51,6 +58,126 @@ def head_codebook(
     return np.array(
         [r[1] for r in sorted(rows, key=lambda r: r[0])], dtype=np.float64
     )
+
+
+def subspace_lloyd_codebook(
+    emb: DataFrame,
+    ksub: int,
+    m: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """TRAINED (ksub, dim) float64 codebook: per-subspace Lloyd's
+    k-means — the real PQ fit (each of the ``m`` subquantizers gets
+    centroids of ITS subvector distribution, unlike
+    :func:`head_codebook`'s arbitrary head rows; round-6 VERDICT #3).
+
+    Spark-first shape — ALL ``m`` subspace fits advance in one joint
+    pass: the corpus explodes once into (id, subspace, subvector)
+    points (a broadcast-range crossJoin + ``slice`` — narrow), and
+    each Lloyd iteration is ONE argmin-assignment expression over the
+    per-subspace literal centers plus ONE (subspace, code, pos) groupBy
+    with map-side combine. Per iteration the driver collects only the
+    m * ksub * dsub = ksub * dim aggregate rows (the bounded k x d
+    envelope of clustering.py), so a 100 TB corpus costs n_iters scans
+    total, not m * n_iters.
+
+    Determinism contract (mirrored by the q147 oracle's SQL twin,
+    ``plans/llm_queries._subspace_lloyd_sql``): embeddings quantize to
+    integer micros (FLOOR(x * 1e6 + 0.5)); seeds are the ``ksub``
+    vectors with the smallest (md5(id), id), their subvectors seeding
+    every subspace; assignment is the integer squared-L2 argmin with
+    code-asc tiebreak; means are exact floor divisions; an empty code
+    keeps its previous center. Returned centroids are micros / 1e6 —
+    the identical IEEE division in both engines.
+    """
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError("dim must divide into m subspaces")
+    dsub = dim // m
+    q = emb.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    ).localCheckpoint(eager=True)
+    sidx = spark.range(m).select(F.col("id").cast("long").alias("s"))
+    pts = q.crossJoin(F.broadcast(sidx)).select(
+        "__id",
+        "s",
+        F.slice("qv", F.col("s") * dsub + 1, dsub).alias("qs"),
+    )
+
+    seeds = (
+        q.withColumn("h", F.md5(F.col("__id").cast("string")))
+        .orderBy("h", "__id")
+        .limit(ksub)
+        .collect()
+    )
+    # centers[s][code] = list[int] of dsub micros
+    centers: list[list[list[int]]] = [
+        [list(r["qv"])[s * dsub : (s + 1) * dsub] for r in seeds]
+        for s in range(m)
+    ]
+
+    def _assigned(centers_now):
+        # one SQL literal (nested array of per-subspace struct arrays)
+        # instead of m*ksub*dsub F.lit calls — the clustering.py py4j
+        # round-trip lesson
+        per_s = ", ".join(
+            "array({})".format(
+                ", ".join(
+                    "struct({c}L AS code, array({vs}) AS cv)".format(
+                        c=c, vs=", ".join(f"{int(v)}L" for v in cv)
+                    )
+                    for c, cv in enumerate(centers_now[s])
+                )
+            )
+            for s in range(m)
+        )
+        best = F.expr(
+            f"array_min(transform(element_at(array({per_s}), "
+            "CAST(s + 1 AS INT)), c -> struct("
+            "aggregate(zip_with(qs, c.cv, (x, y) -> (x - y) * (x - y)), "
+            "0L, (acc, x) -> acc + x) AS d2, c.code AS code))).code"
+        )
+        return pts.select("__id", "s", "qs", best.alias("code"))
+
+    for _ in range(n_iters):
+        means = (
+            _assigned(centers)
+            .select("s", "code", F.posexplode("qs").alias("pos", "val"))
+            .groupBy("s", "code", "pos")
+            .agg(F.sum("val").alias("sm"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "s",
+                "code",
+                "pos",
+                F.expr("(sm - pmod(sm, n)) DIV n").alias("mn"),
+            )
+            .collect()
+        )
+        upd: dict[tuple[int, int], dict[int, int]] = {}
+        for r in means:
+            upd.setdefault((r["s"], r["code"]), {})[r["pos"]] = r["mn"]
+        for s in range(m):
+            for c in range(ksub):
+                got = upd.get((s, c))
+                if got:
+                    centers[s][c] = [got[p] for p in range(dsub)]
+
+    cb = np.zeros((ksub, dim), dtype=np.float64)
+    for s in range(m):
+        for c in range(ksub):
+            cb[c, s * dsub : (s + 1) * dsub] = (
+                np.array(centers[s][c], dtype=np.float64) / 1e6
+            )
+    return cb
 
 
 def _subspace_dists(A: np.ndarray, cb: np.ndarray, m: int) -> np.ndarray:
