@@ -46,6 +46,7 @@ def tranche_novelty_update(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    checkpoint_shingles: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Score ONE ingestion tranche against the accumulated ledger.
 
@@ -61,26 +62,63 @@ def tranche_novelty_update(
     Cost class: one O(tranche-shingles) aggregate (map-side
     combinable), one anti-join that reads ONLY the ledger's key column,
     one join-back within the tranche. Nothing scans corpus text.
+
+    ``checkpoint_shingles``: eagerly localCheckpoint the tranche's
+    shingle frame so BOTH returned frames read it cached — callers
+    that materialize ``new_firsts`` and ``per_doc`` in separate
+    actions shingle each tranche once instead of twice.
     """
-    sh = word_shingles(tranche, id_col, text_col, n=n).select(
+    sh = doc_shingle_keys(tranche, id_col, text_col, n=n)
+    if checkpoint_shingles:
+        sh = sh.localCheckpoint(eager=True)
+    return tranche_novelty_update_shingled(sh, ledger, id_col)
+
+
+def doc_shingle_keys(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(id_col, shingle_md5) — the distinct hashed shingle keys the
+    ledger is keyed on."""
+    return word_shingles(docs, id_col, text_col, n=n).select(
         F.col(id_col), F.md5("shingle").alias("shingle_md5")
     )
+
+
+def tranche_novelty_update_shingled(
+    sh: DataFrame,
+    ledger: DataFrame,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Core of :func:`tranche_novelty_update` over an already-shingled
+    tranche (``(id_col, shingle_md5)`` rows) — for callers that
+    materialize shingles once for several consumers (q159 shingles the
+    whole corpus in one pass and feeds each tranche's slice here; the
+    streaming twin shingles per micro-batch via the wrapper)."""
     firsts_t = sh.groupBy("shingle_md5").agg(
         F.min(id_col).alias("first_doc")
     )
     new_firsts = firsts_t.join(
         ledger.select("shingle_md5"), "shingle_md5", "left_anti"
     )
+    # a doc's n_novel is exactly the number of new_firsts rows
+    # ATTRIBUTED to it (first_doc == doc) — counted straight off the
+    # tiny new_firsts frame instead of joining it back through the
+    # full shingle list (one small agg replaces an
+    # O(tranche-shingles) join)
+    novel_counts = new_firsts.groupBy(
+        F.col("first_doc").alias(id_col)
+    ).agg(F.count(F.lit(1)).alias("__novel"))
     per_doc = (
-        sh.join(new_firsts, "shingle_md5", "left")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col(id_col), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_novel"),
+        sh.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .join(novel_counts, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("__novel", F.lit(0)).cast("long").alias("n_novel"),
         )
     )
     return per_doc, new_firsts

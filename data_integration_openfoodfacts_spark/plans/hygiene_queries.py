@@ -69,10 +69,114 @@ FROM sig
 Q158_ORACLE = _q158_oracle()
 
 
+def q159_incremental_novelty_ledger(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q157's marginal-novelty curve computed the way production runs
+    it — TRANCHE BY TRANCHE against a persisted (shingle_md5,
+    first_doc) ledger (`operators/novelty.py`, round-6 VERDICT #1)
+    instead of one full-corpus shingle reshuffle. Each of the 10
+    doc_id-decile tranches pays O(tranche) shingle work + one
+    anti-join against the accumulated ledger; first-occurrences append
+    to the ledger (here an in-session localCheckpoint chain; the
+    parquet-persisted streaming twin is
+    `streaming/novelty_ingest.py`, equivalence pinned by test).
+
+    The oracle is the SAME batch SQL as q157 — passing the gate IS the
+    incremental-equals-batch reconciliation: tranches ascend by
+    doc_id, so a shingle's global first doc is its tranche-local min
+    in the first tranche containing it.
+
+    Bounded driver work: one 1-row max(doc_id) lookup to fix tranche
+    bounds (the k x d envelope convention); everything else stays on
+    executors. Job-count shape (the static-corpus batching the query
+    form allows; the streaming twin computes these per live batch):
+    the corpus shingles ONCE and the per-(tranche, shingle) firsts
+    pre-aggregate in the same pass, so each of the 10 sequential
+    ledger rounds is ONLY the anti-join + append — the real
+    incremental step — not a re-shingle or re-agg."""
+    from ..operators.novelty import doc_shingle_keys, empty_ledger
+
+    docs = load_table(spark, sf_dir, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    sh_all = (
+        doc_shingle_keys(docs, "doc_id", "text", n=8)
+        .withColumn(
+            "tranche",
+            F.floor(F.col("doc_id") * 10 / (hi + 1)).cast("long"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # per-tranche shingle firsts, one shuffle for all 10 rounds
+    firsts_pre = (
+        sh_all.groupBy("tranche", "shingle_md5")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .localCheckpoint(eager=True)
+    )
+    ledger = empty_ledger(spark)
+    novel_parts = []
+    for t in range(10):
+        new_firsts = (
+            firsts_pre.filter(F.col("tranche") == t)
+            .select("shingle_md5", "first_doc")
+            .join(ledger.select("shingle_md5"), "shingle_md5", "left_anti")
+            # checkpoint keeps the 10-step ledger lineage flat: each
+            # round's anti-join reads cached frames, not a growing
+            # recomputation tree
+            .localCheckpoint(eager=True)
+        )
+        # a doc's n_novel = new_firsts rows attributed to it
+        # (operators/novelty.py's novel_counts identity)
+        novel_parts.append(
+            new_firsts.groupBy(
+                F.col("first_doc").alias("doc_id")
+            ).agg(F.count(F.lit(1)).alias("__novel"))
+        )
+        ledger = ledger.unionByName(new_firsts)
+    novel = novel_parts[0]
+    for p in novel_parts[1:]:
+        novel = novel.unionByName(p)
+    per_doc = (
+        sh_all.groupBy("tranche", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .join(novel, "doc_id", "left")
+        .select(
+            "tranche",
+            "n_shingles",
+            F.coalesce("__novel", F.lit(0)).cast("long").alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.groupBy("tranche")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_shingles").alias("n_shingles"),
+            F.sum("n_novel").alias("n_novel"),
+        )
+        .select(
+            "tranche",
+            "n_docs",
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+# the reconciliation contract: the incremental ledger query must equal
+# the BATCH novelty curve — its oracle is q157's SQL, verbatim
+from .curation_queries import Q157_ORACLE as Q159_ORACLE
+
+
 HYGIENE_QUERIES = {
     "q158_rule_quality_battery": q158_rule_quality_battery,
+    "q159_incremental_novelty_ledger": q159_incremental_novelty_ledger,
 }
 
 HYGIENE_ORACLES = {
     "q158_rule_quality_battery": Q158_ORACLE,
+    "q159_incremental_novelty_ledger": Q159_ORACLE,
 }

@@ -1,0 +1,89 @@
+"""Streaming shingle-novelty scoring — q159's ledger pattern as a
+Structured Streaming job: each micro-batch of crawl documents is
+scored against the PERSISTED (shingle_md5, first_doc) ledger with
+O(batch) shingle work + one anti-join, its first-occurrences append to
+the ledger, and one (batch_id, n_docs, n_shingles, n_novel) totals row
+lands in a results store — the live form of the Lee et al. 2022
+marginal-novelty curve, per crawl snapshot instead of per decile.
+
+Crash-replay semantics (foreachBatch is at-least-once):
+
+- Totals are computed BEFORE the ledger append, always against the
+  pre-batch ledger, and written per-batch with ``mode("ignore")``
+  (first-writer-wins, the corpus_ingest run-ledger pattern) — a
+  replayed batch recomputes identical totals if the original append
+  never ran, and a replay AFTER a partial/complete append cannot
+  overwrite the original attempt's correct row.
+- The ledger append is idempotent at shingle granularity: a replay's
+  anti-join drops every shingle the first attempt already appended,
+  so partial appends self-complete without duplicate keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.novelty import empty_ledger, tranche_novelty_update
+from .corpus_ingest import DOCS_STREAM_SCHEMA, read_docs_stream
+from .events_stream import read_parquet_if_exists
+
+__all__ = ["novelty_score_batch", "run_novelty_stream", "DOCS_STREAM_SCHEMA"]
+
+
+def novelty_score_batch(
+    batch: DataFrame,
+    ledger_path: str,
+    results_path: str,
+    batch_id: int,
+    n: int = 8,
+) -> None:
+    """Score one micro-batch against the persisted ledger, append its
+    first-occurrences, record its totals row."""
+    spark = batch.sparkSession
+    ledger = read_parquet_if_exists(spark, ledger_path)
+    if ledger is None:
+        ledger = empty_ledger(spark)
+    per_doc, new_firsts = tranche_novelty_update(
+        batch, ledger, "doc_id", "text", n=n, checkpoint_shingles=True
+    )
+    totals = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("n_shingles"), F.lit(0)).cast("long").alias(
+            "n_shingles"
+        ),
+        F.coalesce(F.sum("n_novel"), F.lit(0)).cast("long").alias(
+            "n_novel"
+        ),
+    ).select(F.lit(batch_id).cast("long").alias("batch_id"), "*")
+    # totals FIRST (vs the pre-batch ledger), then the append — see
+    # module docstring for the crash-window argument
+    totals.coalesce(1).write.mode("ignore").parquet(
+        f"{results_path}/batch_id={batch_id}"
+    )
+    new_firsts.select("shingle_md5", "first_doc").write.mode(
+        "append"
+    ).parquet(ledger_path)
+
+
+def run_novelty_stream(
+    spark: SparkSession,
+    source_dir: str,
+    ledger_path: str,
+    results_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """availableNow backlog drain through the novelty scorer."""
+    stream = read_docs_stream(spark, source_dir, max_files_per_trigger)
+    (
+        stream.writeStream.foreachBatch(
+            lambda b, bid: novelty_score_batch(
+                b, ledger_path, results_path, batch_id=bid
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
