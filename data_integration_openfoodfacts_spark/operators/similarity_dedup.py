@@ -342,6 +342,71 @@ def verify_candidate_pairs(
     )
 
 
+def compact_band_ledger(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    band_size_from: int = 2,
+    band_size_to: int = 4,
+) -> DataFrame:
+    """Re-band a (id, band, sig) MinHash ledger to WIDER bands —
+    ledger compaction for an ever-growing streaming index (round-6
+    VERDICT #6).
+
+    Why: banded-LSH collision volume floors at ~n²·p^band_size, so a
+    band width chosen for a small corpus over-collides as the corpus
+    grows (the SCALING_LLM.json fixed-vs-log-scaled-bits measurement,
+    applied to the MinHash path — widening bands is the MinHash
+    analogue of adding hyperplane bits). A band's sig is the
+    ','-concatenation of its minima, so the original per-document
+    minima are RECOVERABLE from the ledger itself: re-banding is a
+    pure ledger-local groupBy (one shuffle over ledger rows, bounded
+    collect per (doc, new-band) group of band_size_to/band_size_from
+    sigs) — the corpus text is NEVER re-shingled. The result is
+    bitwise identical to ``minhash_band_signatures(corpus, ...,
+    band_size=band_size_to)`` run from scratch (pinned by test), and
+    the ledger shrinks by the same ratio.
+
+    Sentinel rows (band = -1, the shingle-less-doc markers from
+    streaming/corpus_ingest.py) pass through untouched — they must
+    keep suppressing the heal scan after compaction.
+
+    Collision semantics after compaction: a width-``to`` collision
+    requires all constituent width-``from`` bands to collide, so the
+    compacted ledger's decisions are exactly those of a from-scratch
+    index at the new width — a strict subset of the old width's
+    collisions (higher precision, lower recall; choose the width for
+    the corpus size). Run on a CONSISTENT ledger (after the ingest's
+    heal pass), and ingest subsequent batches with
+    ``band_size=band_size_to`` so batch signatures match the ledger.
+    """
+    if band_size_to % band_size_from != 0:
+        raise ValueError("band_size_to must be a multiple of band_size_from")
+    ratio = band_size_to // band_size_from
+    if ratio == 1:
+        return bands.select(id_col, "band", "sig")
+    sentinels = bands.filter(F.col("band") < 0).select(
+        id_col, "band", "sig"
+    )
+    merged = (
+        bands.filter(F.col("band") >= 0)
+        .withColumn("__nb", F.floor(F.col("band") / ratio).cast("long"))
+        .groupBy(id_col, "__nb")
+        .agg(
+            F.array_join(
+                F.transform(
+                    # array_sort on structs orders by the leading
+                    # field: constituent bands in ascending order
+                    F.array_sort(F.collect_list(F.struct("band", "sig"))),
+                    lambda s: s["sig"],
+                ),
+                ",",
+            ).alias("sig")
+        )
+        .select(id_col, F.col("__nb").alias("band"), "sig")
+    )
+    return merged.unionByName(sentinels)
+
+
 def incremental_minhash_dedup(
     new_df: DataFrame,
     corpus_bands: DataFrame,

@@ -137,6 +137,8 @@ def ingest_corpus_batch_neardup(
     threshold: float = 0.5,
     run_ledger_path: str | None = None,
     batch_id: int = -1,
+    num_hashes: int = 8,
+    band_size: int = 2,
 ) -> None:
     """Near-duplicate-aware micro-batch ingest: quality keep -> exact
     in-batch + vs-corpus dedup (as :func:`ingest_corpus_batch`) ->
@@ -218,8 +220,11 @@ def ingest_corpus_batch_neardup(
             [], "doc_id long, band long, sig string"
         )
     bands = bands.select("doc_id", "band", "sig")
+    # num_hashes/band_size must match the ledger's banding — after a
+    # compact_bands_path() re-band, ingest with the new band_size
     survivors, delta = incremental_minhash_dedup_delta(
-        deduped, bands, "doc_id", "text"
+        deduped, bands, "doc_id", "text",
+        num_hashes=num_hashes, band_size=band_size,
     )
     if obs:
         survivors = survivors.observe(
@@ -246,9 +251,10 @@ def ingest_corpus_batch_neardup(
         gap = corpus.filter(F.col("doc_id").isin(gap_ids)).select(
             "doc_id", "text"
         )
-        heal = minhash_band_signatures(gap, "doc_id", "text").select(
-            "doc_id", "band", "sig"
-        )
+        heal = minhash_band_signatures(
+            gap, "doc_id", "text",
+            num_hashes=num_hashes, band_size=band_size,
+        ).select("doc_id", "band", "sig")
         new_rows = new_rows.unionByName(heal)
         sentinels = (
             spark.createDataFrame(
@@ -298,6 +304,8 @@ def run_neardup_ingest_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = 1,
     run_ledger_path: str | None = None,
+    num_hashes: int = 8,
+    band_size: int = 2,
 ) -> None:
     """availableNow backlog drain through the near-dup-aware ingest."""
     stream = read_docs_stream(spark, source_dir, max_files_per_trigger)
@@ -309,6 +317,8 @@ def run_neardup_ingest_stream(
                 bands_path,
                 run_ledger_path=run_ledger_path,
                 batch_id=bid,
+                num_hashes=num_hashes,
+                band_size=band_size,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -316,6 +326,35 @@ def run_neardup_ingest_stream(
         .start()
         .awaitTermination()
     )
+
+
+def compact_bands_path(
+    spark: SparkSession,
+    bands_path: str,
+    band_size_from: int = 2,
+    band_size_to: int = 4,
+) -> None:
+    """Compact the persisted band ledger in place to wider bands
+    (``similarity_dedup.compact_band_ledger`` — see its docstring for
+    the equivalence and collision-semantics contract). Run BETWEEN
+    stream runs on a healed ledger, then ingest subsequent batches
+    with ``band_size=band_size_to``.
+
+    The rewrite localCheckpoints the compacted rows before the
+    overwrite so the read and the write never race on the same files;
+    a crash between checkpoint and overwrite leaves the old ledger
+    intact (parquet overwrite is delete-then-write of the directory —
+    at real scale this is the swap-a-table-pointer step of whatever
+    ACID table format hosts the ledger)."""
+    from ..operators.similarity_dedup import compact_band_ledger
+
+    bands = read_parquet_if_exists(spark, bands_path)
+    if bands is None:
+        return
+    compacted = compact_band_ledger(
+        bands, "doc_id", band_size_from, band_size_to
+    ).localCheckpoint(eager=True)
+    compacted.write.mode("overwrite").parquet(bands_path)
 
 
 def run_corpus_ingest_stream(
