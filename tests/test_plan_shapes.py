@@ -353,3 +353,27 @@ def test_q143_cross_corpus_no_cartesian_and_no_pair_distinct(spark):
         "Exchange hashpartitioning(id_a" in ln and "id_b" in ln
         for ln in plan.splitlines()
     )
+
+
+def test_q151_edge_join_skew_posture(spark):
+    """Round-6 VERDICT #7: q151's CC edge build (the (band, sig)
+    minhash self-join) must stay in AQE skew-split territory at
+    scale. Pins (a) the session ships with AQE + skewJoin on, and
+    (b) in the no-broadcast regime (the 100 TB case — neither side of
+    the self-join fits in an executor) the edge join resolves to a
+    shuffle equi-join (SortMergeJoin / ShuffledHashJoin — the
+    strategies OptimizeSkewedJoin can split at runtime), never a
+    nested-loop or cartesian. The AQE-off fallback is structural, not
+    config: the degenerate-bucket cap upstream plus the salted-join
+    pattern (SKEW.md round-7 entry)."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, "q151_leakage_guarded_split")
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
