@@ -171,12 +171,80 @@ def q159_incremental_novelty_ledger(
 from .curation_queries import Q157_ORACLE as Q159_ORACLE
 
 
+def q160_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN-budget corpus fill (`operators/budget_fill.py`):
+    the data-recipe step that converts token budgets ("30% web, 30%
+    code" in tokens, not documents) into a concrete selection — each
+    source's documents order by a deterministic md5 draw and the
+    prefix whose running token total fits the source's budget is
+    selected. One window shuffle; budgets broadcast. Budgets derive
+    from md5(source) for the test surface (2000 + md5%9 * 1000
+    tokens); a real recipe ships the same broadcast table. The DuckDB
+    twin replays draw order, integer running sum, and the budget
+    comparison exactly."""
+    from ..operators.budget_fill import token_budget_fill
+    from ..operators.similarity_dedup import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = F.coalesce(F.col("source"), F.lit(""))
+    budgets = (
+        docs.select(src.alias("source"))
+        .distinct()
+        .select(
+            "source",
+            (
+                F.lit(2000)
+                + F.pmod(
+                    md5_long(F.concat(F.lit("tb"), F.col("source"))),
+                    F.lit(9),
+                )
+                * 1000
+            ).cast("long").alias("token_budget"),
+        )
+    )
+    return token_budget_fill(docs, budgets)
+
+
+Q160_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, source, COALESCE(source, '') AS src,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST(concat('0x', substring(
+             md5('fill:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS draw
+  FROM documents
+),
+b AS (
+  SELECT src,
+         CAST(2000 + (CAST(concat('0x', substring(md5('tb' || src), 1, 15))
+                      AS BIGINT) % 9) * 1000 AS BIGINT) AS token_budget
+  FROM (SELECT DISTINCT COALESCE(source, '') AS src FROM documents)
+),
+c AS (
+  SELECT t.doc_id, t.source, t.n_tokens,
+         CAST(SUM(t.n_tokens) OVER (
+           PARTITION BY t.src
+           ORDER BY t.draw, t.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens,
+         b.token_budget
+  FROM tok t JOIN b USING (src)
+)
+SELECT doc_id, source, n_tokens, cum_tokens, token_budget,
+       cum_tokens <= token_budget AS selected
+FROM c
+"""
+
+
 HYGIENE_QUERIES = {
     "q158_rule_quality_battery": q158_rule_quality_battery,
     "q159_incremental_novelty_ledger": q159_incremental_novelty_ledger,
+    "q160_token_budget_fill": q160_token_budget_fill,
 }
 
 HYGIENE_ORACLES = {
     "q158_rule_quality_battery": Q158_ORACLE,
     "q159_incremental_novelty_ledger": Q159_ORACLE,
+    "q160_token_budget_fill": Q160_ORACLE,
 }

@@ -191,3 +191,70 @@ def test_pipeline_observed_ledger_matches_direct_recomputation(spark):
         "domain_mixture": s6.count(),
     }
     assert ledger == direct
+
+
+def test_token_budget_fill_prefix_property(spark):
+    """Per source: selected docs form exactly the draw-ordered prefix
+    that fits the budget; the first unselected doc would overflow."""
+    from data_integration_openfoodfacts_spark.operators.budget_fill import (
+        token_budget_fill,
+    )
+    from data_integration_openfoodfacts_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    # src0/src1: real sources (25 docs x ~50 tokens each, so a
+    # 600-token budget both selects a prefix AND cuts); src2 absent
+    # from the table -> budget 0
+    budgets = spark.createDataFrame(
+        [("src0", 600), ("src1", 600)],
+        "source string, token_budget long",
+    )
+    docs = docs.filter(F.col("source").isin("src0", "src1", "src2"))
+    out = token_budget_fill(docs, budgets).collect()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    saw_selected = saw_cut = False
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r["cum_tokens"])
+        budget = rows[0]["token_budget"]
+        running = 0
+        cut = False
+        for r in rows:
+            running += r["n_tokens"]
+            assert r["cum_tokens"] == running
+            want = running <= budget
+            assert r["selected"] == want, (src, r)
+            if want:
+                saw_selected = True
+            else:
+                cut = True
+        saw_cut = saw_cut or cut
+        # sources absent from the budget table -> budget 0, nothing
+        # selected
+        if src == "src2":
+            assert budget == 0 and not any(r["selected"] for r in rows)
+    assert saw_selected and saw_cut  # both outcomes exercised
+
+
+def test_token_budget_fill_single_window_shuffle_and_broadcast(spark):
+    from data_integration_openfoodfacts_spark.operators.budget_fill import (
+        token_budget_fill,
+    )
+    from data_integration_openfoodfacts_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    budgets = spark.createDataFrame(
+        [("web", 1000)], "source string, token_budget long"
+    )
+    plan = (
+        token_budget_fill(docs, budgets)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
