@@ -53,34 +53,28 @@ STAGES = (
 )
 
 
-def run_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Returns the curation ledger: (stage_no, stage, n_docs), one row
-    per pipeline stage, ordered by stage_no — collected from a SINGLE
-    execution of the final selection with per-stage ``observe``
-    counters."""
+def corpus_stage_parts(spark: SparkSession, sf_dir: str) -> dict:
+    """The pipeline's stage predicates, side inputs, and survivor
+    frames — the single source of truth shared by the observed ledger
+    (:func:`run_corpus_pipeline`) and the per-document drop
+    attribution (plans/hygiene_queries.q161).
+
+    Keys: ``docs``; predicates ``lang_en``/``rules_ok``/``not_bench``
+    (Columns); side inputs ``keep_q``/``keep_d``/``contaminated``/
+    ``rates`` (id / rate frames); survivor frames ``s1``..``s6``
+    (s6 = final mixture-selected docs)."""
     docs = load_table(spark, sf_dir, "documents")
-    obs = {name: Observation() for name in STAGES}
-
-    def counted(df: DataFrame, stage: str) -> DataFrame:
-        return df.observe(obs[stage], F.count(F.lit(1)).alias("n"))
-
-    # `chain` is the observed main flow; the s* frames are un-observed
-    # twins used ONLY to derive side inputs (each Observation may
-    # appear once in the executed plan).
-    chain = counted(docs, "loaded")
 
     # 1. language filter (metadata column; functions/text_analysis.py's
     # n-gram lang-id is the no-metadata path, oracle-gated as q22)
     lang_en = F.col("lang") == "en"
     s1 = docs.filter(lang_en)
-    chain = counted(chain.filter(lang_en), "lang_en")
 
     # 2. rule-based quality battery (Gopher/C4 heuristics,
     # operators/quality_rules.py, oracle-gated as q158) — the cheap
     # narrow filter that fronts the learned classifier
     rules_ok = rule_pass_filter("text")
     s2 = s1.filter(rules_ok)
-    chain = counted(chain.filter(rules_ok), "rule_quality")
 
     # 3. model-based quality filter (q134's classifier, keep >= 0.5)
     keep_q = (
@@ -92,7 +86,6 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     s3 = s2.join(keep_q, "doc_id")
-    chain = counted(chain.join(keep_q, "doc_id"), "quality_keep")
 
     # 4. exact dedup: keep the lowest doc_id per exact text
     keep_d = (
@@ -101,7 +94,6 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     s4 = s3.join(keep_d, "doc_id")
-    chain = counted(chain.join(keep_d, "doc_id"), "exact_dedup")
 
     # 5. benchmark decontamination (q46's operator): the held-out
     # benchmark slice leaves the corpus entirely, and any training doc
@@ -113,10 +105,6 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         s4b, benchmark, "doc_id", "text", n=3, min_shared=5
     ).select("doc_id")
     s5 = s4b.join(contaminated, "doc_id", "left_anti")
-    chain = counted(
-        chain.filter(not_bench).join(contaminated, "doc_id", "left_anti"),
-        "decontaminated",
-    )
 
     # 6. domain cap + mixture (q145's operator, rates from md5(source))
     rates = (
@@ -134,8 +122,49 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("rate_permille"),
         )
     )
+    s6 = domain_cap_and_mix(s5, rates, cap=15).filter(F.col("selected"))
+    return {
+        "docs": docs,
+        "lang_en": lang_en,
+        "rules_ok": rules_ok,
+        "not_bench": not_bench,
+        "keep_q": keep_q,
+        "keep_d": keep_d,
+        "contaminated": contaminated,
+        "rates": rates,
+        "s1": s1, "s2": s2, "s3": s3, "s4": s4, "s5": s5, "s6": s6,
+    }
+
+
+def run_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returns the curation ledger: (stage_no, stage, n_docs), one row
+    per pipeline stage, ordered by stage_no — collected from a SINGLE
+    execution of the final selection with per-stage ``observe``
+    counters."""
+    p = corpus_stage_parts(spark, sf_dir)
+    obs = {name: Observation() for name in STAGES}
+
+    def counted(df: DataFrame, stage: str) -> DataFrame:
+        return df.observe(obs[stage], F.count(F.lit(1)).alias("n"))
+
+    # `chain` is the observed main flow; corpus_stage_parts' frames are
+    # its un-observed twins, used ONLY to derive side inputs (each
+    # Observation may appear once in the executed plan).
+    chain = counted(p["docs"], "loaded")
+    chain = counted(chain.filter(p["lang_en"]), "lang_en")
+    chain = counted(chain.filter(p["rules_ok"]), "rule_quality")
+    chain = counted(chain.join(p["keep_q"], "doc_id"), "quality_keep")
+    chain = counted(chain.join(p["keep_d"], "doc_id"), "exact_dedup")
     chain = counted(
-        domain_cap_and_mix(chain, rates, cap=15).filter(F.col("selected")),
+        chain.filter(p["not_bench"]).join(
+            p["contaminated"], "doc_id", "left_anti"
+        ),
+        "decontaminated",
+    )
+    chain = counted(
+        domain_cap_and_mix(chain, p["rates"], cap=15).filter(
+            F.col("selected")
+        ),
         "domain_mixture",
     )
 
@@ -150,3 +179,91 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "stage_no int, stage string, n_docs long"
     ).orderBy("stage_no")
+
+
+def corpus_chain_sql() -> str:
+    """DuckDB CTE body replaying :func:`corpus_stage_parts` — the
+    single SQL source of truth for the q148 ledger oracle and the q161
+    drop-attribution oracle. Emits CTEs ``s1`` (lang), ``s1r`` (rule
+    battery), ``s2`` (classifier keep), ``s3`` (exact dedup), ``s3b``
+    (benchmark slice removed), ``s4`` (decontaminated), ``s5``
+    (mixture-selected doc_ids)."""
+    from ..operators.quality_rules import rule_pass_sql
+
+    return f"""s1 AS (SELECT * FROM documents WHERE lang = 'en'),
+s1r AS (SELECT * FROM s1 WHERE {rule_pass_sql('text')}),
+toksq AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM s1r
+),
+featsq AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) % 4096
+           AS bucket
+  FROM toksq
+),
+wq AS (
+  SELECT i AS bucket,
+         CAST(concat('0x', substring(md5('qw' || i), 1, 15)) AS BIGINT)
+           % 2001 - 1000 AS w_milli
+  FROM range(4096) t(i)
+),
+aggq AS (
+  SELECT f.doc_id,
+         CAST(SUM(COALESCE(w.w_milli, 0)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM featsq f LEFT JOIN wq w USING (bucket)
+  GROUP BY 1
+),
+s2 AS (
+  SELECT s1r.* FROM s1r JOIN aggq a USING (doc_id)
+  WHERE 1.0 / (1.0 + exp(-(CAST(a.s AS DOUBLE)
+                           / (CAST(a.n_tokens AS DOUBLE) * 1000.0))))
+        >= 0.5
+),
+keep_d AS (SELECT MIN(doc_id) AS doc_id FROM s2 GROUP BY md5(text)),
+s3 AS (SELECT s2.* FROM s2 JOIN keep_d USING (doc_id)),
+s3b AS (SELECT * FROM s3 WHERE doc_id % 50 <> 0),
+btoks AS (SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE doc_id % 50 = 0),
+bsh AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM btoks, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) u
+  WHERE len(t) >= 3
+),
+ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM s3b),
+csh AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM ctoks, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) u
+  WHERE len(t) >= 3
+),
+cont AS (
+  SELECT c.doc_id FROM csh c JOIN bsh b USING (shingle)
+  GROUP BY c.doc_id
+  HAVING COUNT(DISTINCT c.shingle) >= 5
+),
+s4 AS (SELECT * FROM s3b WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+rates AS (
+  SELECT source,
+         100 + (CAST(concat('0x', substring(md5('mix' || source), 1, 15))
+                     AS BIGINT) % 9) * 100 AS rate_permille
+  FROM (SELECT DISTINCT source FROM s4)
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substring(
+                      md5('dommix:' || source || ':' || doc_id), 1, 15))
+                    AS BIGINT), doc_id
+         ) AS rk
+  FROM s4
+),
+s5 AS (
+  SELECT r.doc_id FROM ranked r LEFT JOIN rates rt USING (source)
+  WHERE r.rk <= 15
+    AND CAST(concat('0x', substring(md5('dommix/mix:' || r.doc_id),
+                                    1, 15)) AS BIGINT) % 1000
+        < COALESCE(rt.rate_permille, 500)
+)"""

@@ -237,14 +237,87 @@ FROM c
 """
 
 
+def q161_drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DROP ATTRIBUTION for the curation pipeline: which
+    stage removed each document (or 'selected') — the "why was my
+    document dropped" debugging table behind q148's aggregate ledger,
+    and the per-doc lineage a dataset card's composition appendix
+    publishes. Both queries share ONE stage definition
+    (`plans/corpus_pipeline.corpus_stage_parts` / `corpus_chain_sql`),
+    so the attribution and the ledger cannot drift apart; their
+    reconciliation (attribution counts == ledger stage deltas) is
+    pinned by test.
+
+    Shape: the stage survivor id-sets LEFT-join onto the corpus once
+    each (doc_id equi-joins, broadcastable survivor sets at gate
+    scale, AQE-handled at 100 TB) and a CASE picks the first exit."""
+    from .corpus_pipeline import corpus_stage_parts
+
+    p = corpus_stage_parts(spark, sf_dir)
+    docs = p["docs"].select("doc_id", "lang")
+
+    def flag(df: DataFrame, name: str) -> DataFrame:
+        return df.select("doc_id", F.lit(True).alias(name))
+
+    out = (
+        docs.join(flag(p["s2"], "__rules"), "doc_id", "left")
+        .join(flag(p["s3"], "__quality"), "doc_id", "left")
+        .join(flag(p["s4"], "__exact"), "doc_id", "left")
+        .join(flag(p["s5"], "__decont"), "doc_id", "left")
+        .join(flag(p["s6"], "__mix"), "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        F.when(~F.col("lang").eqNullSafe("en"), F.lit("lang_en"))
+        .when(F.col("__rules").isNull(), F.lit("rule_quality"))
+        .when(F.col("__quality").isNull(), F.lit("quality_keep"))
+        .when(F.col("__exact").isNull(), F.lit("exact_dedup"))
+        .when(F.col("doc_id") % 50 == 0, F.lit("benchmark_heldout"))
+        .when(F.col("__decont").isNull(), F.lit("decontaminated"))
+        .when(F.col("__mix").isNull(), F.lit("domain_mixture"))
+        .otherwise(F.lit("selected"))
+        .alias("dropped_at"),
+    )
+
+
+def _q161_oracle() -> str:
+    from .corpus_pipeline import corpus_chain_sql
+
+    return f"""
+WITH {corpus_chain_sql()}
+SELECT d.doc_id,
+       CASE
+         WHEN d.lang IS DISTINCT FROM 'en' THEN 'lang_en'
+         WHEN d.doc_id NOT IN (SELECT doc_id FROM s1r)
+           THEN 'rule_quality'
+         WHEN d.doc_id NOT IN (SELECT doc_id FROM s2)
+           THEN 'quality_keep'
+         WHEN d.doc_id NOT IN (SELECT doc_id FROM s3)
+           THEN 'exact_dedup'
+         WHEN d.doc_id % 50 = 0 THEN 'benchmark_heldout'
+         WHEN d.doc_id NOT IN (SELECT doc_id FROM s4)
+           THEN 'decontaminated'
+         WHEN d.doc_id NOT IN (SELECT doc_id FROM s5)
+           THEN 'domain_mixture'
+         ELSE 'selected'
+       END AS dropped_at
+FROM documents d
+"""
+
+
+Q161_ORACLE = _q161_oracle()
+
+
 HYGIENE_QUERIES = {
     "q158_rule_quality_battery": q158_rule_quality_battery,
     "q159_incremental_novelty_ledger": q159_incremental_novelty_ledger,
     "q160_token_budget_fill": q160_token_budget_fill,
+    "q161_drop_attribution": q161_drop_attribution,
 }
 
 HYGIENE_ORACLES = {
     "q158_rule_quality_battery": Q158_ORACLE,
     "q159_incremental_novelty_ledger": Q159_ORACLE,
     "q160_token_budget_fill": Q160_ORACLE,
+    "q161_drop_attribution": Q161_ORACLE,
 }

@@ -2487,86 +2487,10 @@ def q148_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_corpus_pipeline(spark, sf_dir)
 
 
-from ..operators.quality_rules import rule_pass_sql as _rule_pass_sql
+from .corpus_pipeline import corpus_chain_sql as _corpus_chain_sql
 
 Q148_ORACLE = f"""
-WITH s1 AS (SELECT * FROM documents WHERE lang = 'en'),
-s1r AS (SELECT * FROM s1 WHERE {_rule_pass_sql('text')}),
-toksq AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM s1r
-),
-featsq AS (
-  SELECT doc_id,
-         CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) % 4096
-           AS bucket
-  FROM toksq
-),
-wq AS (
-  SELECT i AS bucket,
-         CAST(concat('0x', substring(md5('qw' || i), 1, 15)) AS BIGINT)
-           % 2001 - 1000 AS w_milli
-  FROM range(4096) t(i)
-),
-aggq AS (
-  SELECT f.doc_id,
-         CAST(SUM(COALESCE(w.w_milli, 0)) AS BIGINT) AS s,
-         CAST(COUNT(*) AS BIGINT) AS n_tokens
-  FROM featsq f LEFT JOIN wq w USING (bucket)
-  GROUP BY 1
-),
-s2 AS (
-  SELECT s1r.* FROM s1r JOIN aggq a USING (doc_id)
-  WHERE 1.0 / (1.0 + exp(-(CAST(a.s AS DOUBLE)
-                           / (CAST(a.n_tokens AS DOUBLE) * 1000.0))))
-        >= 0.5
-),
-keep_d AS (SELECT MIN(doc_id) AS doc_id FROM s2 GROUP BY md5(text)),
-s3 AS (SELECT s2.* FROM s2 JOIN keep_d USING (doc_id)),
-s3b AS (SELECT * FROM s3 WHERE doc_id % 50 <> 0),
-btoks AS (SELECT doc_id, string_split(text, ' ') AS t
-          FROM documents WHERE doc_id % 50 = 0),
-bsh AS (
-  SELECT DISTINCT doc_id,
-         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-  FROM btoks, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) u
-  WHERE len(t) >= 3
-),
-ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM s3b),
-csh AS (
-  SELECT DISTINCT doc_id,
-         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-  FROM ctoks, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) u
-  WHERE len(t) >= 3
-),
-cont AS (
-  SELECT c.doc_id FROM csh c JOIN bsh b USING (shingle)
-  GROUP BY c.doc_id
-  HAVING COUNT(DISTINCT c.shingle) >= 5
-),
-s4 AS (SELECT * FROM s3b WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
-rates AS (
-  SELECT source,
-         100 + (CAST(concat('0x', substring(md5('mix' || source), 1, 15))
-                     AS BIGINT) % 9) * 100 AS rate_permille
-  FROM (SELECT DISTINCT source FROM s4)
-),
-ranked AS (
-  SELECT doc_id, source,
-         ROW_NUMBER() OVER (
-           PARTITION BY source
-           ORDER BY CAST(concat('0x', substring(
-                      md5('dommix:' || source || ':' || doc_id), 1, 15))
-                    AS BIGINT), doc_id
-         ) AS rk
-  FROM s4
-),
-s5 AS (
-  SELECT r.doc_id FROM ranked r LEFT JOIN rates rt USING (source)
-  WHERE r.rk <= 15
-    AND CAST(concat('0x', substring(md5('dommix/mix:' || r.doc_id),
-                                    1, 15)) AS BIGINT) % 1000
-        < COALESCE(rt.rate_permille, 500)
-)
+WITH {_corpus_chain_sql()}
 SELECT CAST(stage_no AS INTEGER) AS stage_no, stage,
        CAST(n_docs AS BIGINT) AS n_docs
 FROM (

@@ -258,3 +258,42 @@ def test_token_budget_fill_single_window_shuffle_and_broadcast(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_drop_attribution_reconciles_with_ledger(spark):
+    """q161's per-doc attribution counts equal q148's ledger stage
+    deltas (benchmark_heldout + decontaminated together make up the
+    exact_dedup -> decontaminated delta: the ledger folds the heldout
+    slice's exit into that stage; the attribution splits it out)."""
+    from data_integration_openfoodfacts_spark.plans.corpus_pipeline import (
+        run_corpus_pipeline,
+    )
+    from data_integration_openfoodfacts_spark.plans.hygiene_queries import (
+        q161_drop_attribution,
+    )
+
+    ledger = {
+        r["stage"]: r["n_docs"]
+        for r in run_corpus_pipeline(spark, SF).collect()
+    }
+    att: dict = {}
+    for r in q161_drop_attribution(spark, SF).collect():
+        att[r["dropped_at"]] = att.get(r["dropped_at"], 0) + 1
+    assert sum(att.values()) == ledger["loaded"]
+    assert att.get("lang_en", 0) == ledger["loaded"] - ledger["lang_en"]
+    assert att.get("rule_quality", 0) == (
+        ledger["lang_en"] - ledger["rule_quality"]
+    )
+    assert att.get("quality_keep", 0) == (
+        ledger["rule_quality"] - ledger["quality_keep"]
+    )
+    assert att.get("exact_dedup", 0) == (
+        ledger["quality_keep"] - ledger["exact_dedup"]
+    )
+    assert att.get("benchmark_heldout", 0) + att.get(
+        "decontaminated", 0
+    ) == ledger["exact_dedup"] - ledger["decontaminated"]
+    assert att.get("domain_mixture", 0) == (
+        ledger["decontaminated"] - ledger["domain_mixture"]
+    )
+    assert att.get("selected", 0) == ledger["domain_mixture"]
