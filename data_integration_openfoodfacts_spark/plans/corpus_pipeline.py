@@ -53,7 +53,9 @@ STAGES = (
 )
 
 
-def corpus_stage_parts(spark: SparkSession, sf_dir: str) -> dict:
+def corpus_stage_parts(
+    spark: SparkSession, sf_dir: str, checkpoint_stages: bool = False
+) -> dict:
     """The pipeline's stage predicates, side inputs, and survivor
     frames — the single source of truth shared by the observed ledger
     (:func:`run_corpus_pipeline`) and the per-document drop
@@ -62,7 +64,19 @@ def corpus_stage_parts(spark: SparkSession, sf_dir: str) -> dict:
     Keys: ``docs``; predicates ``lang_en``/``rules_ok``/``not_bench``
     (Columns); side inputs ``keep_q``/``keep_d``/``contaminated``/
     ``rates`` (id / rate frames); survivor frames ``s1``..``s6``
-    (s6 = final mixture-selected docs)."""
+    (s6 = final mixture-selected docs).
+
+    ``checkpoint_stages``: eagerly localCheckpoint the expensive
+    survivor frames (s3..s6) so a consumer that joins SEVERAL of them
+    (q161 joins five) executes the chain once instead of once per
+    join. The ledger path leaves this off — its observed chain is the
+    single execution. A production pipeline persists each stage's
+    output to storage anyway; the checkpoint is the in-session stand-in
+    for exactly that."""
+
+    def _cp(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True) if checkpoint_stages else df
+
     docs = load_table(spark, sf_dir, "documents")
 
     # 1. language filter (metadata column; functions/text_analysis.py's
@@ -85,7 +99,7 @@ def corpus_stage_parts(spark: SparkSession, sf_dir: str) -> dict:
         .filter(F.col("keep"))
         .select("doc_id")
     )
-    s3 = s2.join(keep_q, "doc_id")
+    s3 = _cp(s2.join(keep_q, "doc_id"))
 
     # 4. exact dedup: keep the lowest doc_id per exact text
     keep_d = (
@@ -93,7 +107,7 @@ def corpus_stage_parts(spark: SparkSession, sf_dir: str) -> dict:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    s4 = s3.join(keep_d, "doc_id")
+    s4 = _cp(s3.join(keep_d, "doc_id"))
 
     # 5. benchmark decontamination (q46's operator): the held-out
     # benchmark slice leaves the corpus entirely, and any training doc
@@ -104,7 +118,7 @@ def corpus_stage_parts(spark: SparkSession, sf_dir: str) -> dict:
     contaminated = benchmark_contamination(
         s4b, benchmark, "doc_id", "text", n=3, min_shared=5
     ).select("doc_id")
-    s5 = s4b.join(contaminated, "doc_id", "left_anti")
+    s5 = _cp(s4b.join(contaminated, "doc_id", "left_anti"))
 
     # 6. domain cap + mixture (q145's operator, rates from md5(source))
     rates = (
@@ -122,7 +136,7 @@ def corpus_stage_parts(spark: SparkSession, sf_dir: str) -> dict:
             ).cast("long").alias("rate_permille"),
         )
     )
-    s6 = domain_cap_and_mix(s5, rates, cap=15).filter(F.col("selected"))
+    s6 = _cp(domain_cap_and_mix(s5, rates, cap=15).filter(F.col("selected")))
     return {
         "docs": docs,
         "lang_en": lang_en,

@@ -250,10 +250,13 @@ def q161_drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: the stage survivor id-sets LEFT-join onto the corpus once
     each (doc_id equi-joins, broadcastable survivor sets at gate
-    scale, AQE-handled at 100 TB) and a CASE picks the first exit."""
+    scale, AQE-handled at 100 TB) and a CASE picks the first exit.
+    ``checkpoint_stages=True`` materializes s3..s6 once, so the chain
+    executes a single time instead of once per membership join (a
+    production pipeline reads each stage's persisted output here)."""
     from .corpus_pipeline import corpus_stage_parts
 
-    p = corpus_stage_parts(spark, sf_dir)
+    p = corpus_stage_parts(spark, sf_dir, checkpoint_stages=True)
     docs = p["docs"].select("doc_id", "lang")
 
     def flag(df: DataFrame, name: str) -> DataFrame:

@@ -139,9 +139,24 @@ def main() -> int:
             slow.append((name, round(dt, 1)))
         return dt
 
+    import gc
+
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # bench.py's benchmark-isolation hygiene, applied to the gate
+        # replica: iterative queries leave localCheckpoint blocks
+        # behind until their Py4J proxies are GC'd; across a 160-query
+        # session the accumulated block-manager pressure showed up as
+        # 3-10x wall drift on the Arrow-heavy pair queries (q43 ran
+        # 35s in-suite vs ~7s standalone at sf0.1). Python gc drops
+        # the proxies per query; a periodic JVM System.gc() lets the
+        # ContextCleaner actually reclaim the blocks.
+        gc.collect()
+        n_run += 1
+        if n_run % 5 == 0:
+            spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
