@@ -91,7 +91,13 @@ def main() -> None:
     total = 0.0
     import gc
 
-    jvm_gc_every = 10
+    # every 5 since round 7: the registry's checkpoint-heavy additions
+    # (q159's ledger loop, q161's stage materializations) leave more
+    # blocks per query, and the 161-query session showed a thin ~+9%
+    # wall spread vs r05's 142-query subset with zero per-query tier
+    # regressions — classic accumulated-block pressure, the same
+    # signal that set the original every-10 cadence
+    jvm_gc_every = 5
     errors: dict[str, str] = {}
     for qi, (name, fn) in enumerate(QUERIES.items()):
         best = float("inf")

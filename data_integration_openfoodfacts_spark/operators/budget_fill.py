@@ -72,7 +72,12 @@ def token_budget_fill(
             F.col(id_col),
             F.col(source_col),
             src.alias("__src"),
-            whitespace_token_count(text_col).alias("n_tokens"),
+            # NULL text counts as the empty document (1 empty token —
+            # the ws_tokens convention), never a NULL that would
+            # poison the running sum
+            whitespace_token_count(
+                F.coalesce(F.col(text_col), F.lit(""))
+            ).alias("n_tokens"),
         )
         .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
         .join(F.broadcast(b), "__src", "left")

@@ -208,8 +208,8 @@ def q160_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q160_ORACLE = r"""
 WITH tok AS (
   SELECT doc_id, source, COALESCE(source, '') AS src,
-         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
-           AS n_tokens,
+         CAST(len(string_split_regex(trim(COALESCE(text, '')), '\s+'))
+           AS BIGINT) AS n_tokens,
          CAST(concat('0x', substring(
              md5('fill:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
            AS draw

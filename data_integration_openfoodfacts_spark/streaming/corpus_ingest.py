@@ -239,6 +239,16 @@ def ingest_corpus_batch_neardup(
     # The set is bounded by ~one batch, so it collects; text is then
     # fetched for exactly those ids via a pushed-down id filter.
     corpus = read_parquet_if_exists(spark, target_path)
+    if corpus is None:
+        # every doc of every batch so far was filtered/deduped away:
+        # an all-empty append leaves no readable parquet, and there is
+        # nothing to heal (the ledger delta below is empty too)
+        delta.select("doc_id", "band", "sig").write.mode("append").parquet(
+            bands_path
+        )
+        if obs:
+            _write_run_ledger(spark, obs, run_ledger_path, batch_id)
+        return
     gap_ids = [
         r[0]
         for r in corpus.select("doc_id")
@@ -270,30 +280,34 @@ def ingest_corpus_batch_neardup(
         new_rows = new_rows.unionByName(sentinels)
     new_rows.write.mode("append").parquet(bands_path)
     if obs:
-        # Observation.get blocks until the observed frame's first
-        # action fills it — all four rode jobs that already ran.
-        # Written per-batch with mode("ignore") (first-writer-wins):
-        # a crash-replayed trigger re-runs with the corpus/bands
-        # appends deduped to no-ops, so its stage counts are zeros —
-        # appending would double the batch row and overwriting would
-        # replace the true counts with the replay's zeros. "ignore"
-        # keeps the original attempt's row and stays idempotent. (A
-        # crash DURING the first ledger write can leave an empty
-        # partition a replay then skips — a bounded observable gap,
-        # never a double count.)
-        spark.createDataFrame(
-            [
-                (
-                    obs["in"].get["n"],
-                    obs["quality"].get["n"],
-                    obs["exact"].get["n"],
-                    obs["neardup"].get["n"],
-                )
-            ],
-            "n_in long, n_quality long, n_exact long, n_neardup long",
-        ).coalesce(1).write.mode("ignore").parquet(
-            f"{run_ledger_path}/batch_id={batch_id}"
-        )
+        _write_run_ledger(spark, obs, run_ledger_path, batch_id)
+
+
+def _write_run_ledger(spark, obs, run_ledger_path, batch_id) -> None:
+    # Observation.get blocks until the observed frame's first
+    # action fills it — all four rode jobs that already ran.
+    # Written per-batch with mode("ignore") (first-writer-wins):
+    # a crash-replayed trigger re-runs with the corpus/bands
+    # appends deduped to no-ops, so its stage counts are zeros —
+    # appending would double the batch row and overwriting would
+    # replace the true counts with the replay's zeros. "ignore"
+    # keeps the original attempt's row and stays idempotent. (A
+    # crash DURING the first ledger write can leave an empty
+    # partition a replay then skips — a bounded observable gap,
+    # never a double count.)
+    spark.createDataFrame(
+        [
+            (
+                obs["in"].get["n"],
+                obs["quality"].get["n"],
+                obs["exact"].get["n"],
+                obs["neardup"].get["n"],
+            )
+        ],
+        "n_in long, n_quality long, n_exact long, n_neardup long",
+    ).coalesce(1).write.mode("ignore").parquet(
+        f"{run_ledger_path}/batch_id={batch_id}"
+    )
 
 
 def run_neardup_ingest_stream(

@@ -215,3 +215,28 @@ def test_neardup_stream_availablenow(spark, tmp_path):
     ingest_corpus_batch_neardup(_docs(spark, B2), t2, b2)
     want = {r["doc_id"] for r in spark.read.parquet(t2).collect()}
     assert got == want
+
+
+def test_all_filtered_first_batch_leaves_consistent_state(spark, tmp_path):
+    """A first batch whose every doc fails the quality filter (or
+    dedupes away) writes no readable corpus parquet — the heal must
+    short-circuit instead of dereferencing a missing corpus, the run
+    ledger must still record the batch, and a following healthy batch
+    must ingest normally."""
+    target = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    runs = str(tmp_path / "runs")
+    # threshold 1.1 is unreachable for a sigmoid: everything filtered
+    ingest_corpus_batch_neardup(
+        _docs(spark, B1), target, bands, threshold=1.1,
+        run_ledger_path=runs, batch_id=0,
+    )
+    rows = spark.read.parquet(runs).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_in"] == len(B1) and rows[0]["n_quality"] == 0
+    # healthy batch afterwards ingests normally
+    ingest_corpus_batch_neardup(
+        _docs(spark, B1), target, bands, run_ledger_path=runs, batch_id=1,
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    assert kept == _kept_ids(spark, B1)
