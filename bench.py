@@ -91,12 +91,13 @@ def main() -> None:
     total = 0.0
     import gc
 
-    # every 5 since round 7: the registry's checkpoint-heavy additions
-    # (q159's ledger loop, q161's stage materializations) leave more
-    # blocks per query, and the 161-query session showed a thin ~+9%
-    # wall spread vs r05's 142-query subset with zero per-query tier
-    # regressions — classic accumulated-block pressure, the same
-    # signal that set the original every-10 cadence
+    # every 5 since round 7 (the registry's checkpoint-heavy additions
+    # leave more blocks per query). Measured honestly: back-to-back
+    # 161-query runs at 10 vs 5 differed by 0.4s total — the thin ~+9%
+    # common-subset wall drift vs r05 is HOST-level (it hits untouched
+    # TPC-H queries like q33/q65 equally; zero per-query tier
+    # regressions), not block pressure. The tighter cadence is kept as
+    # cheap insurance, not as a fix for that drift.
     jvm_gc_every = 5
     errors: dict[str, str] = {}
     for qi, (name, fn) in enumerate(QUERIES.items()):

@@ -395,8 +395,12 @@ def compact_band_ledger(
             F.array_join(
                 F.transform(
                     # array_sort on structs orders by the leading
-                    # field: constituent bands in ascending order
-                    F.array_sort(F.collect_list(F.struct("band", "sig"))),
+                    # field: constituent bands in ascending order.
+                    # collect_SET: a crash-replayed append can leave
+                    # byte-identical duplicate (band, sig) rows, which
+                    # a list would merge into a corrupted double-width
+                    # sig — the set dedupes them for free
+                    F.array_sort(F.collect_set(F.struct("band", "sig"))),
                     lambda s: s["sig"],
                 ),
                 ",",

@@ -130,3 +130,25 @@ def test_compact_bands_path_roundtrip(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_compaction_tolerates_duplicated_ledger_rows(spark):
+    """A crash-replayed append can leave byte-identical duplicate
+    (doc, band, sig) rows; compaction must dedupe them instead of
+    merging a doubled-width sig."""
+    docs = _docs(spark, DOCS[:3])
+    narrow = minhash_band_signatures(
+        docs, "doc_id", "text", num_hashes=8, band_size=2
+    )
+    duplicated = narrow.unionByName(narrow)  # every row twice
+    got = {
+        tuple(r)
+        for r in compact_band_ledger(duplicated, "doc_id", 2, 4).collect()
+    }
+    want = {
+        tuple(r)
+        for r in minhash_band_signatures(
+            docs, "doc_id", "text", num_hashes=8, band_size=4
+        ).collect()
+    }
+    assert got == want

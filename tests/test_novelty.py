@@ -146,3 +146,60 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     assert sorted(
         tuple(r) for r in spark.read.parquet(results_path).collect()
     ) == first_results
+
+
+def test_stream_restart_continues_ledger(spark, tmp_path):
+    """Two availableNow drains against the SAME checkpoint: the first
+    processes tranches 0-4, new files 5-9 arrive, the restarted stream
+    processes ONLY them against the persisted ledger — and the final
+    totals still equal the batch curve (a real stop/start, not just a
+    per-function replay)."""
+    import os
+
+    from data_integration_openfoodfacts_spark.plans.curation_queries import (
+        q157_novelty_curve,
+    )
+    from data_integration_openfoodfacts_spark.sources.parquet_source import (
+        load_table,
+    )
+    from data_integration_openfoodfacts_spark.streaming.novelty_ingest import (
+        run_novelty_stream,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang", "source",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+
+    def stage(t):
+        d = f"{src}/_stage{t}"
+        (
+            docs.filter(F.floor(F.col("doc_id") * 10 / (hi + 1)) == t)
+            .coalesce(1).write.mode("overwrite").parquet(d)
+        )
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.rename(f"{d}/{part}", f"{src}/tranche_{t}.parquet")
+
+    ledger_path = str(tmp_path / "ledger")
+    results_path = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+    for t in range(5):
+        stage(t)
+    run_novelty_stream(spark, src, ledger_path, results_path, ckpt)
+    n_first = spark.read.parquet(results_path).count()
+    assert n_first == 5
+    for t in range(5, 10):
+        stage(t)
+    run_novelty_stream(spark, src, ledger_path, results_path, ckpt)
+    got = {
+        (r["batch_id"], r["n_docs"], r["n_shingles"], r["n_novel"])
+        for r in spark.read.parquet(results_path).collect()
+    }
+    want = {
+        (r["tranche"], r["n_docs"], r["n_shingles"], r["n_novel"])
+        for r in q157_novelty_curve(spark, SF).collect()
+    }
+    assert got == want
