@@ -297,3 +297,30 @@ def test_drop_attribution_reconciles_with_ledger(spark):
         ledger["decontaminated"] - ledger["domain_mixture"]
     )
     assert att.get("selected", 0) == ledger["domain_mixture"]
+
+
+def test_round7_queries_partition_invariant(spark):
+    """q158-q161 produce identical rows under different shuffle
+    fan-outs (the suite-wide 32-vs-200 invariance claim, pinned in
+    pytest for the round-7 additions)."""
+    from data_integration_openfoodfacts_spark.plans.hygiene_queries import (
+        HYGIENE_QUERIES,
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n in ("4", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results[n] = {
+                name: canon(fn(spark, SF))
+                for name, fn in HYGIENE_QUERIES.items()
+            }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for name in HYGIENE_QUERIES:
+        assert results["4"][name] == results["17"][name], name
+        assert len(results["4"][name]) > 0, name
