@@ -324,3 +324,21 @@ def test_round7_queries_partition_invariant(spark):
     for name in HYGIENE_QUERIES:
         assert results["4"][name] == results["17"][name], name
         assert len(results["4"][name]) > 0, name
+
+
+def test_dataset_card_coherent(spark):
+    """tools/dataset_card.py assembles the card from the verified
+    queries and the pieces agree: drop-attribution totals sum to the
+    loaded count, and 'selected' equals the ledger's final stage."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.dataset_card import build_card
+
+    card = build_card(spark, SF)
+    ledger = {e["stage"]: e["n_docs"] for e in card["curation"]}
+    drops = {e["dropped_at"]: e["n_docs"] for e in card["drop_attribution"]}
+    assert sum(drops.values()) == ledger["loaded"]
+    assert drops.get("selected", 0) == ledger["domain_mixture"]
+    assert sum(e["n_docs"] for e in card["composition"]) == ledger["loaded"]
+    assert 0 < len(card["novelty"]) <= 10
