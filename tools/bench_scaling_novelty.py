@@ -150,10 +150,13 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALING_LLM.json",
     )
+    key = "q159_novelty_ledger_fixed_tranche" + (
+        "" if k == 10 else f"_k{k}"
+    )
     rep = json.load(open(path))
-    rep["queries"]["q159_novelty_ledger_fixed_tranche"] = entry
+    rep["queries"][key] = entry
     json.dump(rep, open(path, "w"), indent=1)
-    print(json.dumps({"q159_novelty_ledger_fixed_tranche": entry}))
+    print(json.dumps({key: entry}))
 
 
 if __name__ == "__main__":
