@@ -168,6 +168,7 @@ def q159_incremental_novelty_ledger(
 
 # the reconciliation contract: the incremental ledger query must equal
 # the BATCH novelty curve — its oracle is q157's SQL, verbatim
+from .curation_queries import _SHINGLE8_CTE  # noqa: E402
 from .curation_queries import Q157_ORACLE as Q159_ORACLE
 
 
@@ -311,11 +312,106 @@ FROM documents d
 Q161_ORACLE = _q161_oracle()
 
 
+def q162_kmv_snapshot_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot overlap via KMV bottom-k sketches
+    (`operators/kmv.py`): split the corpus into two snapshot halves
+    (doc_id parity), sketch each side's 8-gram shingle SET with k=256
+    minimum hashes, and estimate per-side distinct counts, the union's
+    distinct count, and the Jaccard overlap — the sketch-only answer
+    to "how much does the next snapshot overlap the corpus", costing
+    two TakeOrdered scans instead of the exact shingle join. The
+    sketch is deterministic (md5 minima), so the DuckDB twin replays
+    it value-exactly; estimator ACCURACY vs exact counts is pinned in
+    pytest (tests/test_kmv.py), not here."""
+    from ..operators.kmv import kmv_estimate, kmv_jaccard, kmv_sketch
+    from ..operators.similarity_dedup import word_shingles
+
+    k = 256
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=8)
+    a = kmv_sketch(
+        sh.filter(F.col("doc_id") % 2 == 0), "shingle", k
+    ).localCheckpoint(eager=True)
+    b = kmv_sketch(
+        sh.filter(F.col("doc_id") % 2 == 1), "shingle", k
+    ).localCheckpoint(eager=True)
+
+    def est(s: DataFrame, tag: str) -> DataFrame:
+        return kmv_estimate(s, k).select(
+            F.col("n_mins").alias(f"n_mins_{tag}"),
+            F.col("kth_hash").alias(f"kth_{tag}"),
+            F.col("est_distinct").alias(f"est_distinct_{tag}"),
+        )
+
+    from ..operators.kmv import kmv_union
+
+    return (
+        est(a, "a")
+        .crossJoin(est(b, "b"))
+        .crossJoin(est(kmv_union(a, b, k), "union"))
+        .crossJoin(kmv_jaccard(a, b, k))
+    )
+
+
+def _q162_oracle() -> str:
+    from ..operators.kmv import KMV_M
+
+    h = (
+        "CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)"
+    )
+    k = 256
+    est = (
+        "CASE WHEN {n} < %d THEN CAST({n} AS DOUBLE) "
+        "ELSE CAST(%d AS DOUBLE) * %.1f / CAST({kth} AS DOUBLE) END"
+        % (k, k - 1, KMV_M)
+    )
+    return f"""
+WITH {_SHINGLE8_CTE},
+ha AS (SELECT DISTINCT {h} AS h FROM sh8 WHERE doc_id % 2 = 0),
+hb AS (SELECT DISTINCT {h} AS h FROM sh8 WHERE doc_id % 2 = 1),
+mins_a AS (SELECT h FROM ha ORDER BY h LIMIT {k}),
+mins_b AS (SELECT h FROM hb ORDER BY h LIMIT {k}),
+mins_u AS (
+  SELECT h FROM (SELECT DISTINCT h FROM
+    (SELECT h FROM mins_a UNION ALL SELECT h FROM mins_b))
+  ORDER BY h LIMIT {k}
+),
+ea AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_mins_a,
+              MAX(h) AS kth_a FROM mins_a),
+eb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_mins_b,
+              MAX(h) AS kth_b FROM mins_b),
+eu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_mins_union,
+              MAX(h) AS kth_union FROM mins_u),
+ovl AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM mins_u u
+  WHERE u.h IN (SELECT h FROM mins_a)
+    AND u.h IN (SELECT h FROM mins_b)
+),
+uk AS (SELECT CAST(COUNT(*) AS BIGINT) AS union_k FROM mins_u)
+SELECT ea.n_mins_a, ea.kth_a,
+       {est.format(n='ea.n_mins_a', kth='ea.kth_a')} AS est_distinct_a,
+       eb.n_mins_b, eb.kth_b,
+       {est.format(n='eb.n_mins_b', kth='eb.kth_b')} AS est_distinct_b,
+       eu.n_mins_union, eu.kth_union,
+       {est.format(n='eu.n_mins_union', kth='eu.kth_union')}
+         AS est_distinct_union,
+       uk.union_k, ovl.n_both,
+       CAST(ovl.n_both AS DOUBLE) / CAST(uk.union_k AS DOUBLE)
+         AS jaccard_est
+FROM ea, eb, eu, ovl, uk
+"""
+
+
+Q162_ORACLE = _q162_oracle()
+
+
 HYGIENE_QUERIES = {
     "q158_rule_quality_battery": q158_rule_quality_battery,
     "q159_incremental_novelty_ledger": q159_incremental_novelty_ledger,
     "q160_token_budget_fill": q160_token_budget_fill,
     "q161_drop_attribution": q161_drop_attribution,
+    "q162_kmv_snapshot_overlap": q162_kmv_snapshot_overlap,
 }
 
 HYGIENE_ORACLES = {
@@ -323,4 +419,5 @@ HYGIENE_ORACLES = {
     "q159_incremental_novelty_ledger": Q159_ORACLE,
     "q160_token_budget_fill": Q160_ORACLE,
     "q161_drop_attribution": Q161_ORACLE,
+    "q162_kmv_snapshot_overlap": Q162_ORACLE,
 }
