@@ -113,6 +113,10 @@ HEADLINERS = {
         "token-budget fill: one window shuffle (per-source running "
         "sum), budgets broadcast"
     ),
+    "q162_kmv_snapshot_overlap": (
+        "KMV sketches: distinct + TakeOrdered per side, everything "
+        "downstream <= k rows"
+    ),
 }
 
 
