@@ -63,10 +63,15 @@ def token_budget_fill(
         .orderBy(draw, F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    b = budgets.select(
-        F.coalesce(F.col(source_col), F.lit("")).alias("__src"),
-        F.col("token_budget").cast("long").alias("token_budget"),
-    )
+    # aggregate per coalesced key: a budgets table carrying BOTH a
+    # NULL-source row and an ''-source row coalesces them onto the same
+    # __src — without this the broadcast left join would fan every
+    # empty-source document out into one row per colliding budget
+    # (round-7 ADVICE). max() picks the more permissive budget; real
+    # recipes should not carry the collision at all.
+    b = budgets.groupBy(
+        F.coalesce(F.col(source_col), F.lit("")).alias("__src")
+    ).agg(F.max(F.col("token_budget").cast("long")).alias("token_budget"))
     return (
         docs.select(
             F.col(id_col),

@@ -41,11 +41,20 @@ KMV_M = float(1 << 60)
 
 def kmv_sketch(df: DataFrame, element: Column | str, k: int) -> DataFrame:
     """The k smallest distinct ``md5_long(element)`` values: (h long).
-    One distinct + TakeOrdered; the result is a <= k-row frame."""
+    One distinct + TakeOrdered; the result is a <= k-row frame.
+
+    NULL elements are excluded from the sketch (the SQL COUNT DISTINCT
+    convention). This is load-bearing for cross-engine parity: a NULL
+    element hashes to a NULL h, which Spark's ascending sort places
+    FIRST (entering the k minima and inflating n_mins) but DuckDB
+    places LAST — without the filter a nullable element column would
+    silently corrupt the sketch on exactly one engine (round-7
+    ADVICE)."""
     col = F.col(element) if isinstance(element, str) else element
     # md5_long is 15 hex digits, i.e. already < 2^60 = KMV_M
     return (
         df.select(md5_long(col).alias("h"))
+        .filter(F.col("h").isNotNull())
         .distinct()
         .orderBy("h")
         .limit(k)

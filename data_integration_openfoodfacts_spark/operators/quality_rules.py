@@ -280,17 +280,24 @@ def rule_flags_sql(
     }
 
 
-def rule_pass_sql(text_expr: str, **thresholds: int) -> str:
-    """One SQL predicate equivalent to :func:`rule_pass_filter` —
-    signals inlined, for use directly in a WHERE clause."""
+def rule_pass_ctes(
+    src: str, out: str, text_expr: str = "text", **thresholds: int
+) -> str:
+    """Two CTE definitions (splice into a WITH list) filtering ``src``
+    by :func:`rule_pass_filter`'s battery: ``{out}__sig`` computes the
+    signals AS NAMED COLUMNS over ``src``, ``{out}`` applies the flag
+    predicate over those names and projects the signals back out
+    (DuckDB ``* EXCLUDE``). Flags bind to signal columns by SQL name
+    resolution — no textual substitution, so a future signal whose
+    name embeds another's cannot corrupt the predicate (round-7
+    ADVICE; the same two-CTE shape q158's oracle uses). ``src`` must
+    not already carry columns named like the signals."""
     sig = rule_signals_sql(text_expr)
     flags = rule_flags_sql(**thresholds)
-    subst = {k: f"({v})" for k, v in sig.items()}
-    out = []
-    for expr in flags.values():
-        for name, inline in sorted(
-            subst.items(), key=lambda kv: -len(kv[0])
-        ):
-            expr = expr.replace(name, inline)
-        out.append(expr)
-    return "(" + "\n   AND ".join(out) + ")"
+    sig_cols = ",\n    ".join(f"({v}) AS {k}" for k, v in sig.items())
+    pred = "\n   AND ".join(flags.values())
+    return (
+        f"{out}__sig AS (SELECT *,\n    {sig_cols}\n  FROM {src}),\n"
+        f"{out} AS (SELECT * EXCLUDE ({', '.join(sig)})\n"
+        f"  FROM {out}__sig WHERE {pred})"
+    )

@@ -202,10 +202,10 @@ def corpus_chain_sql() -> str:
     battery), ``s2`` (classifier keep), ``s3`` (exact dedup), ``s3b``
     (benchmark slice removed), ``s4`` (decontaminated), ``s5``
     (mixture-selected doc_ids)."""
-    from ..operators.quality_rules import rule_pass_sql
+    from ..operators.quality_rules import rule_pass_ctes
 
     return f"""s1 AS (SELECT * FROM documents WHERE lang = 'en'),
-s1r AS (SELECT * FROM s1 WHERE {rule_pass_sql('text')}),
+{rule_pass_ctes('s1', 's1r')},
 toksq AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM s1r
 ),

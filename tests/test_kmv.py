@@ -86,3 +86,21 @@ def test_sketch_plan_is_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_null_elements_excluded(spark):
+    """NULL elements must not enter the sketch: Spark sorts NULL h
+    FIRST ascending (it would displace real minima) while DuckDB sorts
+    it LAST — the round-7 ADVICE cross-engine corruption. The sketch of
+    a column with NULLs equals the sketch of the non-null subset."""
+    df = spark.createDataFrame(
+        [(i, f"elem-{i}" if i % 3 else None) for i in range(60)],
+        "id long, e string",
+    )
+    with_nulls = {r["h"] for r in kmv_sketch(df, "e", K).collect()}
+    clean = {
+        r["h"]
+        for r in kmv_sketch(df.filter("e IS NOT NULL"), "e", K).collect()
+    }
+    assert with_nulls == clean
+    assert None not in with_nulls

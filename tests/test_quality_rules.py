@@ -255,7 +255,16 @@ def test_token_budget_fill_single_window_shuffle_and_broadcast(spark):
         token_budget_fill(docs, budgets)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("Exchange hashpartitioning") == 1
+    # two exchanges total: ONE on the docs side (the window partition)
+    # and one over the source-sized budgets aggregate (the round-7
+    # ADVICE key-dedup guard — bounded by n_sources, never doc-scaled).
+    # The docs-side contract is the load-bearing one: exactly one
+    # exchange partitioned on the window key __src.
+    assert plan.count("Exchange hashpartitioning") == 2
+    # the budgets-side exchange feeds the broadcast (grouping expr on
+    # the bounded frame); the docs-side one is the window partition
+    assert plan.count("Exchange hashpartitioning(_w0") == 1
+    assert plan.count("Exchange hashpartitioning(_groupingexpression") == 1
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
@@ -342,3 +351,28 @@ def test_dataset_card_coherent(spark):
     assert drops.get("selected", 0) == ledger["domain_mixture"]
     assert sum(e["n_docs"] for e in card["composition"]) == ledger["loaded"]
     assert 0 < len(card["novelty"]) <= 10
+
+
+def test_token_budget_fill_colliding_null_and_empty_source(spark):
+    """A budgets table carrying BOTH a NULL-source and an ''-source row
+    coalesces them onto one __src key: the join must see ONE budget row
+    (max wins), never fan empty-source documents into duplicates
+    (round-7 ADVICE)."""
+    from data_integration_openfoodfacts_spark.operators.budget_fill import (
+        token_budget_fill,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None, "a b c"), (2, "", "d e"), (3, "web", "f g h i")],
+        "doc_id long, source string, text string",
+    )
+    budgets = spark.createDataFrame(
+        [(None, 2), ("", 5), ("web", 100)],
+        "source string, token_budget long",
+    )
+    out = token_budget_fill(docs, budgets)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 3  # no fan-out
+    # both colliding rows resolve to max(2, 5) = 5
+    assert rows[1]["token_budget"] == 5
+    assert rows[2]["token_budget"] == 5
