@@ -165,12 +165,14 @@ def ingest_corpus_batch_neardup(
       is doc_id-projections ONLY (corpus doc_id anti-join ledger
       doc_id — column-pruned parquet scans, the same O(ledger-
       metadata) cost class as the md5 ledger read); the gap-id set is
-      bounded by one batch (this batch's too-short survivors, plus at
-      most one crashed batch's survivors), so it collects to the
-      driver, and ONLY those ids' corpus rows are re-read for text —
-      an id-pushdown point lookup, never a full text-column scan.
-      When the gap is empty (a healthy run with no short docs) the
-      heal short-circuits entirely.
+      normally bounded by one batch (this batch's too-short survivors,
+      plus at most one crashed batch's survivors) but stays
+      DISTRIBUTED regardless: text is fetched by a left-semi join
+      against the checkpointed gap-id frame — AQE broadcasts the small
+      gap side in the normal case and shuffle-joins on a worst-case
+      ledger wipe, so no id list ever rides the driver (round-7
+      VERDICT #3). When the gap is empty (a healthy run with no short
+      docs) the heal short-circuits entirely.
     - Survivors' band rows come from the collision check's already-
       checkpointed signatures (``incremental_minhash_dedup_delta``) —
       the batch is shingled ONCE, as the O(batch) claim requires.
@@ -249,16 +251,23 @@ def ingest_corpus_batch_neardup(
         if obs:
             _write_run_ledger(spark, obs, run_ledger_path, batch_id)
         return
-    gap_ids = [
-        r[0]
-        for r in corpus.select("doc_id")
+    # gap ids stay DISTRIBUTED (round-7 VERDICT #3 / ADVICE): in
+    # normal operation the gap is one crash window (bounded), but a
+    # worst-case ledger wipe makes it O(corpus) — the old collect +
+    # isin() would push an unbounded id list through the driver and
+    # into one giant IN-expression. A checkpointed doc_id frame + a
+    # left-semi text fetch keeps the heal path collect-free at any gap
+    # size; AQE broadcasts the gap side when it is small (the normal
+    # case), and falls back to a shuffle join on a genuine wipe.
+    gap_ids = (
+        corpus.select("doc_id")
         .join(bands.select("doc_id"), "doc_id", "left_anti")
         .join(delta.select("doc_id"), "doc_id", "left_anti")
-        .collect()
-    ]
+        .localCheckpoint(eager=True)
+    )
     new_rows = delta.select("doc_id", "band", "sig")
-    if gap_ids:
-        gap = corpus.filter(F.col("doc_id").isin(gap_ids)).select(
+    if not gap_ids.isEmpty():
+        gap = corpus.join(gap_ids, "doc_id", "left_semi").select(
             "doc_id", "text"
         )
         heal = minhash_band_signatures(
@@ -266,16 +275,12 @@ def ingest_corpus_batch_neardup(
             num_hashes=num_hashes, band_size=band_size,
         ).select("doc_id", "band", "sig")
         new_rows = new_rows.unionByName(heal)
-        sentinels = (
-            spark.createDataFrame(
-                [(i,) for i in gap_ids], "doc_id long"
-            )
-            .join(new_rows.select("doc_id"), "doc_id", "left_anti")
-            .select(
-                "doc_id",
-                F.lit(-1).cast("long").alias("band"),
-                F.lit("").alias("sig"),
-            )
+        sentinels = gap_ids.join(
+            new_rows.select("doc_id"), "doc_id", "left_anti"
+        ).select(
+            "doc_id",
+            F.lit(-1).cast("long").alias("band"),
+            F.lit("").alias("sig"),
         )
         new_rows = new_rows.unionByName(sentinels)
     new_rows.write.mode("append").parquet(bands_path)

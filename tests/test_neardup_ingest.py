@@ -240,3 +240,38 @@ def test_all_filtered_first_batch_leaves_consistent_state(spark, tmp_path):
     )
     kept = {r["doc_id"] for r in spark.read.parquet(target).collect()}
     assert kept == _kept_ids(spark, B1)
+
+
+def test_heal_path_is_collect_free(spark, tmp_path, monkeypatch):
+    """Round-7 VERDICT #3: the wipe-heal must not push ids through the
+    driver. Even with a worst-case O(corpus) gap, the ingest batch
+    performs ZERO driver-side materializations (collect / toPandas /
+    toLocalIterator) — the gap text fetch is a distributed left-semi
+    join against the checkpointed gap-id frame."""
+    import shutil
+
+    from pyspark.sql import DataFrame
+
+    target = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    ingest_corpus_batch_neardup(_docs(spark, B1), target, bands)
+    shutil.rmtree(bands)
+
+    calls: list[str] = []
+    for meth in ("collect", "toPandas", "toLocalIterator"):
+        orig = getattr(DataFrame, meth)
+
+        def spy(self, *a, _m=meth, _o=orig, **kw):
+            calls.append(_m)
+            return _o(self, *a, **kw)
+
+        monkeypatch.setattr(DataFrame, meth, spy)
+    ingest_corpus_batch_neardup(_docs(spark, B2), target, bands)
+    assert calls == []
+    # and the heal still repaired the wiped ledger
+    led = {
+        r["doc_id"]
+        for r in spark.read.parquet(bands).select("doc_id").distinct().collect()
+    }
+    got = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    assert led == got
