@@ -5,11 +5,22 @@ The production question ("how much NEW text does the next crawl
 snapshot add?") arrives tranche by tranche, and at 100 TB a full-corpus
 shingle ``groupBy`` per snapshot (q157's batch shape) is the wrong
 plan: O(corpus) reshuffle to score O(tranche) new data. This module
-keeps a persisted ledger of (shingle_md5, first_doc) — every shingle
-the corpus has ever seen and the doc that introduced it — and scores a
-new tranche with O(tranche) shingle work plus ONE anti-join against
-the ledger, appending only the tranche's first-occurrences. The exact
+keeps a ledger of (shingle_md5, first_doc) — every shingle the corpus
+has ever seen and the doc that introduced it — and scores a new
+tranche with O(tranche) shingle work plus ONE streaming pass over the
+ledger keys, appending only the tranche's first-occurrences. The exact
 analogue of the near-dup band ledger in streaming/corpus_ingest.py.
+
+Join direction is load-bearing at scale (round-7 VERDICT #1): the
+membership probe BROADCASTS THE TRANCHE's distinct keys and left-semi
+scans the ledger — never the reverse. A plain
+``tranche left_anti ledger`` plans BuildRight, i.e. broadcasts (or
+shuffles) the O(corpus-shingles) ledger per tranche; the flipped form
+keeps the per-tranche cost at one ledger key-column SCAN (no ledger
+shuffle, no ledger sort, no ledger broadcast) plus O(tranche)
+everything else. The PERSISTED form in
+:mod:`operators.novelty_ledger` additionally key-bucket-partitions the
+ledger parquet so that scan prunes to the buckets the tranche touches.
 
 Ledger key: ``md5(shingle)`` (full 128-bit hex, 32 bytes fixed) — an
 8-gram shingle string averages ~50 variable bytes, so the hashed key
@@ -60,18 +71,23 @@ def tranche_novelty_update(
       tranche-local min doc_id.
 
     Cost class: one O(tranche-shingles) aggregate (map-side
-    combinable), one anti-join that reads ONLY the ledger's key column,
-    one join-back within the tranche. Nothing scans corpus text.
+    combinable), one STREAMING SCAN of the ledger's key column with
+    the tranche's distinct keys broadcast (left-semi — the ledger is
+    never shuffled, sorted, or broadcast), one broadcast anti-join of
+    two tranche-bounded frames. Nothing scans corpus text.
 
     ``checkpoint_shingles``: eagerly localCheckpoint the tranche's
-    shingle frame so BOTH returned frames read it cached — callers
-    that materialize ``new_firsts`` and ``per_doc`` in separate
-    actions shingle each tranche once instead of twice.
+    shingle frame AND the intermediate tranche-bounded frames so
+    callers that materialize ``new_firsts`` and ``per_doc`` in
+    separate actions pay the shingle pass and the ledger scan once
+    each, not once per action.
     """
     sh = doc_shingle_keys(tranche, id_col, text_col, n=n)
     if checkpoint_shingles:
         sh = sh.localCheckpoint(eager=True)
-    return tranche_novelty_update_shingled(sh, ledger, id_col)
+    return tranche_novelty_update_shingled(
+        sh, ledger, id_col, checkpoint_intermediates=checkpoint_shingles
+    )
 
 
 def doc_shingle_keys(
@@ -87,31 +103,66 @@ def doc_shingle_keys(
     )
 
 
+def seen_keys(tranche_keys: DataFrame, ledger: DataFrame) -> DataFrame:
+    """Ledger membership probe with the SCALE-SAFE join direction:
+    broadcast the tranche's (bounded) distinct ``shingle_md5`` keys,
+    left-semi scan the ledger — one pass over the ledger key column,
+    no ledger shuffle/sort/broadcast. Returns the LEDGER key rows that
+    match a tranche key — unique iff the ledger's keys are unique
+    (true for a real first-occurrences ledger; a caller passing a
+    multi-tranche key frame, like q159's batched rounds, gets bounded
+    duplicates that anti-join semantics ignore)."""
+    return ledger.select("shingle_md5").join(
+        F.broadcast(tranche_keys.select("shingle_md5")),
+        "shingle_md5",
+        "left_semi",
+    )
+
+
 def tranche_novelty_update_shingled(
     sh: DataFrame,
     ledger: DataFrame,
     id_col: str = "doc_id",
+    checkpoint_intermediates: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Core of :func:`tranche_novelty_update` over an already-shingled
     tranche (``(id_col, shingle_md5)`` rows) — for callers that
-    materialize shingles once for several consumers (q159 shingles the
-    whole corpus in one pass and feeds each tranche's slice here; the
-    streaming twin shingles per micro-batch via the wrapper)."""
+    materialize shingles once for several consumers (the streaming
+    twin shingles per micro-batch via the wrapper; the persisted form
+    is :func:`operators.novelty_ledger.score_tranche_against_ledger`).
+    """
     firsts_t = sh.groupBy("shingle_md5").agg(
         F.min(id_col).alias("first_doc")
     )
+    if checkpoint_intermediates:
+        firsts_t = firsts_t.localCheckpoint(eager=True)
+    # membership via broadcast-tranche semi scan (see module
+    # docstring), then an anti-join of two TRANCHE-bounded frames —
+    # `seen` is a subset of the tranche's keys, so BuildRight here
+    # broadcasts a bounded frame, never the ledger
+    seen = seen_keys(firsts_t, ledger)
     new_firsts = firsts_t.join(
-        ledger.select("shingle_md5"), "shingle_md5", "left_anti"
+        F.broadcast(seen), "shingle_md5", "left_anti"
     )
-    # a doc's n_novel is exactly the number of new_firsts rows
-    # ATTRIBUTED to it (first_doc == doc) — counted straight off the
-    # tiny new_firsts frame instead of joining it back through the
-    # full shingle list (one small agg replaces an
-    # O(tranche-shingles) join)
+    if checkpoint_intermediates:
+        new_firsts = new_firsts.localCheckpoint(eager=True)
+    per_doc = per_doc_novelty(sh, new_firsts, id_col)
+    return per_doc, new_firsts
+
+
+def per_doc_novelty(
+    sh: DataFrame, new_firsts: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_col, n_shingles, n_novel) from the tranche's shingle frame
+    and its new-firsts: a doc's n_novel is exactly the number of
+    new_firsts rows ATTRIBUTED to it (first_doc == doc) — counted
+    straight off the tiny new_firsts frame instead of joining it back
+    through the full shingle list (one small agg replaces an
+    O(tranche-shingles) join)."""
     novel_counts = new_firsts.groupBy(
         F.col("first_doc").alias(id_col)
     ).agg(F.count(F.lit(1)).alias("__novel"))
-    per_doc = (
+    return (
         sh.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shingles"))
         .join(novel_counts, id_col, "left")
@@ -121,4 +172,3 @@ def tranche_novelty_update_shingled(
             F.coalesce("__novel", F.lit(0)).cast("long").alias("n_novel"),
         )
     )
-    return per_doc, new_firsts

@@ -90,12 +90,22 @@ def q159_incremental_novelty_ledger(
     Bounded driver work: one 1-row max(doc_id) lookup to fix tranche
     bounds (the k x d envelope convention); everything else stays on
     executors. Job-count shape (the static-corpus batching the query
-    form allows; the streaming twin computes these per live batch):
-    the corpus shingles ONCE and the per-(tranche, shingle) firsts
-    pre-aggregate in the same pass, so each of the 10 sequential
-    ledger rounds is ONLY the anti-join + append — the real
-    incremental step — not a re-shingle or re-agg."""
-    from ..operators.novelty import doc_shingle_keys, empty_ledger
+    form allows; the streaming twin pays per live batch): the corpus
+    shingles ONCE, the per-(tranche, shingle) firsts pre-aggregate in
+    the same pass, and all 10 ledger rounds then ride ONE job
+    (round-7 VERDICT #4 — the old form ran 10 sequential
+    checkpoint jobs). The batching identity: the ledger's key set
+    before round t is exactly the distinct shingles of tranches < t
+    (every earlier round appended its tranche's first-occurrences, and
+    a shingle seen in any tranche < t has one), so round t's
+    membership probe can read ``firsts_pre.filter(tranche < t)``
+    directly — the rounds decouple and submit together. Each round
+    keeps the REAL incremental plan shape (`operators/novelty.py`):
+    tranche keys broadcast, ledger side scanned left-semi, never
+    shuffled or broadcast. The live accumulate-and-append form is the
+    streaming twin + `operators/novelty_ledger.py`'s bucket-pruned
+    persisted ledger."""
+    from ..operators.novelty import doc_shingle_keys, seen_keys
 
     docs = load_table(spark, sf_dir, "documents")
     hi = docs.agg(F.max("doc_id")).first()[0]
@@ -113,26 +123,26 @@ def q159_incremental_novelty_ledger(
         .agg(F.min("doc_id").alias("first_doc"))
         .localCheckpoint(eager=True)
     )
-    ledger = empty_ledger(spark)
     novel_parts = []
     for t in range(10):
-        new_firsts = (
-            firsts_pre.filter(F.col("tranche") == t)
-            .select("shingle_md5", "first_doc")
-            .join(ledger.select("shingle_md5"), "shingle_md5", "left_anti")
-            # checkpoint keeps the 10-step ledger lineage flat: each
-            # round's anti-join reads cached frames, not a growing
-            # recomputation tree
-            .localCheckpoint(eager=True)
+        firsts_t = firsts_pre.filter(F.col("tranche") == t).select(
+            "shingle_md5", "first_doc"
+        )
+        ledger_keys = firsts_pre.filter(F.col("tranche") < t).select(
+            "shingle_md5"
+        )
+        new_firsts = firsts_t.join(
+            F.broadcast(seen_keys(firsts_t, ledger_keys)),
+            "shingle_md5",
+            "left_anti",
         )
         # a doc's n_novel = new_firsts rows attributed to it
-        # (operators/novelty.py's novel_counts identity)
+        # (operators/novelty.py's per_doc_novelty identity)
         novel_parts.append(
             new_firsts.groupBy(
                 F.col("first_doc").alias("doc_id")
             ).agg(F.count(F.lit(1)).alias("__novel"))
         )
-        ledger = ledger.unionByName(new_firsts)
     novel = novel_parts[0]
     for p in novel_parts[1:]:
         novel = novel.unionByName(p)

@@ -162,7 +162,9 @@ def read_parquet_if_exists(spark, path: str):
         raise
 
 
-def overwrite_parquet_atomically(df: DataFrame, path: str) -> None:
+def overwrite_parquet_atomically(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
     """Write-to-temp-then-swap: a plain overwrite of a path the plan is
     lazily reading from deletes the source mid-computation if any cached
     partition is evicted and recomputed. The temp write fully
@@ -183,7 +185,10 @@ def overwrite_parquet_atomically(df: DataFrame, path: str) -> None:
     token = uuid.uuid4().hex[:8]
     tmp = f"{path.rstrip('/')}__tmp_{token}"
     trash = f"{path.rstrip('/')}__trash_{token}"
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     hpath = jvm.org.apache.hadoop.fs.Path(path)

@@ -24,9 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.novelty import empty_ledger, tranche_novelty_update
+from ..operators.novelty_ledger import (
+    DEFAULT_BUCKETS,
+    append_ledger_delta,
+    score_tranche_against_ledger,
+)
 from .corpus_ingest import DOCS_STREAM_SCHEMA, read_docs_stream
-from .events_stream import read_parquet_if_exists
 
 __all__ = ["novelty_score_batch", "run_novelty_stream", "DOCS_STREAM_SCHEMA"]
 
@@ -37,15 +40,18 @@ def novelty_score_batch(
     results_path: str,
     batch_id: int,
     n: int = 8,
+    n_buckets: int = DEFAULT_BUCKETS,
 ) -> None:
     """Score one micro-batch against the persisted ledger, append its
-    first-occurrences, record its totals row."""
-    spark = batch.sparkSession
-    ledger = read_parquet_if_exists(spark, ledger_path)
-    if ledger is None:
-        ledger = empty_ledger(spark)
-    per_doc, new_firsts = tranche_novelty_update(
-        batch, ledger, "doc_id", "text", n=n, checkpoint_shingles=True
+    first-occurrences, record its totals row.
+
+    The ledger is key-bucket-partitioned parquet
+    (`operators/novelty_ledger.py`, round-7 VERDICT #1): the
+    membership scan prunes to the buckets this batch's shingles touch,
+    and the batch's distinct keys are broadcast against it — the
+    ledger is never shuffled, sorted, or broadcast."""
+    per_doc, new_firsts = score_tranche_against_ledger(
+        batch, ledger_path, "doc_id", "text", n=n, n_buckets=n_buckets
     )
     totals = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -61,9 +67,7 @@ def novelty_score_batch(
     totals.coalesce(1).write.mode("ignore").parquet(
         f"{results_path}/batch_id={batch_id}"
     )
-    new_firsts.select("shingle_md5", "first_doc").write.mode(
-        "append"
-    ).parquet(ledger_path)
+    append_ledger_delta(new_firsts, ledger_path, n_buckets=n_buckets)
 
 
 def run_novelty_stream(

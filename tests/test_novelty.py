@@ -203,3 +203,151 @@ def test_stream_restart_continues_ledger(spark, tmp_path):
         for r in q157_novelty_curve(spark, SF).collect()
     }
     assert got == want
+
+
+def test_partitioned_ledger_equals_in_memory_scorer(spark, tmp_path):
+    """The persisted bucket-partitioned scorer
+    (operators/novelty_ledger.py) returns exactly the in-memory
+    operator's results, tranche by tranche — including against a
+    legacy UNPARTITIONED ledger (schema-detected fallback)."""
+    from data_integration_openfoodfacts_spark.operators.novelty import (
+        empty_ledger,
+        tranche_novelty_update,
+    )
+    from data_integration_openfoodfacts_spark.operators.novelty_ledger import (
+        append_ledger_delta,
+        score_tranche_against_ledger,
+    )
+    from data_integration_openfoodfacts_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    t1 = docs.filter(F.col("doc_id") % 2 == 0)
+    t2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    led_path = str(tmp_path / "ledger")
+    mem_ledger = empty_ledger(spark)
+    for tranche in (t1, t2):
+        pd_mem, nf_mem = tranche_novelty_update(
+            tranche, mem_ledger, checkpoint_shingles=True
+        )
+        pd_part, nf_part = score_tranche_against_ledger(
+            tranche, led_path, n_buckets=64
+        )
+        assert sorted(tuple(r) for r in pd_part.collect()) == sorted(
+            tuple(r) for r in pd_mem.collect()
+        )
+        assert sorted(tuple(r) for r in nf_part.collect()) == sorted(
+            tuple(r) for r in nf_mem.collect()
+        )
+        mem_ledger = mem_ledger.unionByName(
+            nf_mem.localCheckpoint(eager=True)
+        )
+        append_ledger_delta(nf_part, led_path, n_buckets=64)
+
+    # legacy unpartitioned layout: same answers, schema-detected
+    legacy_path = str(tmp_path / "legacy")
+    mem_ledger.select("shingle_md5", "first_doc").write.parquet(legacy_path)
+    pd_leg, nf_leg = score_tranche_against_ledger(t2, legacy_path)
+    pd_mem2, nf_mem2 = tranche_novelty_update(t2, mem_ledger)
+    assert sorted(tuple(r) for r in pd_leg.collect()) == sorted(
+        tuple(r) for r in pd_mem2.collect()
+    )
+    assert nf_leg.count() == nf_mem2.count() == 0
+
+
+def test_partitioned_ledger_plan_prunes_and_never_moves_ledger(
+    spark, tmp_path
+):
+    """Round-7 VERDICT #1's done-criterion plan pin. The tranche
+    membership probe against the persisted ledger must show, in ONE
+    physical plan: (a) PartitionFilters bucket pruning on kb at the
+    ledger FileScan, (b) a key-column-only ReadSchema, (c) ZERO
+    shuffle exchanges — the ledger is scanned in place with the
+    tranche broadcast (LeftSemi BuildRight), and the final anti-join
+    broadcasts the bounded seen-set (LeftAnti BuildRight). The
+    pre-round-8 shape (tranche left_anti ledger) broadcast the whole
+    O(corpus-shingles) ledger instead."""
+    from data_integration_openfoodfacts_spark.operators.novelty_ledger import (
+        append_ledger_delta,
+        score_tranche_against_ledger,
+    )
+    from data_integration_openfoodfacts_spark.operators.novelty import (
+        doc_shingle_keys,
+    )
+    from data_integration_openfoodfacts_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    led_path = str(tmp_path / "ledger")
+    firsts = (
+        doc_shingle_keys(docs)
+        .groupBy("shingle_md5")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    append_ledger_delta(firsts, led_path, n_buckets=256)
+
+    tranche = docs.limit(3).localCheckpoint(eager=True)
+    _, new_firsts = score_tranche_against_ledger(
+        tranche, led_path, n_buckets=256, checkpoint=False
+    )
+    plan = new_firsts._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [kb" in plan and "INSET" in plan
+    assert "ReadSchema: struct<shingle_md5:string>" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "LeftSemi, BuildRight" in plan
+    assert "LeftAnti, BuildRight" in plan
+    # pruning actually bit: a 3-doc tranche touches a strict subset of
+    # the 256 buckets, so at least one ledger file was skipped
+    from data_integration_openfoodfacts_spark.operators.novelty_ledger import (
+        kb_of,
+    )
+
+    touched = (
+        doc_shingle_keys(tranche)
+        .select(kb_of("shingle_md5", 256).alias("kb"))
+        .distinct()
+        .count()
+    )
+    assert touched < 256
+
+
+def test_ledger_compaction_preserves_answers(spark, tmp_path):
+    """compact_ledger_path rewrites to one file per bucket without
+    changing any scoring result."""
+    import glob
+
+    from data_integration_openfoodfacts_spark.operators.novelty_ledger import (
+        append_ledger_delta,
+        compact_ledger_path,
+        score_tranche_against_ledger,
+    )
+
+    led_path = str(tmp_path / "ledger")
+    batches = [
+        _docs(spark, [(1, "a b c d e f g h i"), (2, "j k l m n o p q r")]),
+        _docs(spark, [(3, "a b c d e f g h i z"), (4, "s t u v w x y z a")]),
+    ]
+    for b in batches:
+        _, nf = score_tranche_against_ledger(b, led_path, n_buckets=8)
+        append_ledger_delta(nf, led_path, n_buckets=8)
+    probe = _docs(spark, [(9, "a b c d e f g h i"), (10, "q r s t u v w x y")])
+    before_pd, before_nf = score_tranche_against_ledger(
+        probe, led_path, n_buckets=8
+    )
+    before = (
+        sorted(tuple(r) for r in before_pd.collect()),
+        sorted(tuple(r) for r in before_nf.collect()),
+    )
+    compact_ledger_path(spark, led_path, n_buckets=8)
+    after_pd, after_nf = score_tranche_against_ledger(
+        probe, led_path, n_buckets=8
+    )
+    assert before == (
+        sorted(tuple(r) for r in after_pd.collect()),
+        sorted(tuple(r) for r in after_nf.collect()),
+    )
+    for d in glob.glob(f"{led_path}/kb=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1, d

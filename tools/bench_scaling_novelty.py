@@ -1,34 +1,43 @@
 """Ledger-growth probe for the incremental shingle-novelty path
-(round-7; the q128-style "O(batch) against a grown index" measurement
-applied to operators/novelty.py): score the SAME fixed tranche against
-a 1x and a Kx shingle ledger and log wall time + ledger row counts.
+(round-7 VERDICT #1; the q128-style "O(batch) against a grown index"
+measurement applied to operators/novelty_ledger.py): score the SAME
+fixed tranche against a 1x and a Kx PERSISTED key-bucket-partitioned
+shingle ledger and log wall time + ledger row counts.
 
 Decorrelation (the bench_scaling_llm rule): replicas suffix every
 token ``w -> w_r{i}``, so replica shingles share nothing with the base
 corpus or each other — the Kx ledger is K-times the DISTINCT shingles,
 not K copies of the same keys. The probe tranche uses suffix ``_probe``
 (absent from every ledger), so its novelty work is identical in both
-runs; only the anti-join's ledger side grows.
+runs; only the membership scan's ledger side grows.
 
-What "flat" means here: the tranche's shingle/agg work is O(tranche)
-by construction; the anti-join streams the ledger's 32-byte key column
-once per batch (broadcast of the small tranche side — no ledger
-shuffle). At probe scale that column scan is noise; at true 100 TB
-ledger scale the scan is bounded by ledger-key bytes/trigger and the
-documented next step is key-range partitioning of the ledger parquet
-so the anti-join prunes to the tranche's key buckets.
+Two tranche sizes, probing the two scale mechanisms:
 
-    python tools/bench_scaling_novelty.py [K] [probe_dir]
+- ``full`` (the whole documents table, ~all buckets touched): measures
+  the round-8 JOIN-DIRECTION fix — the tranche keys broadcast against
+  a streaming ledger scan (no ledger shuffle/sort/broadcast; the
+  round-7 plan broadcast the whole ledger per tranche and measured
+  1.76x wall at 10x ledger).
+- ``micro`` (a handful of docs, touching a strict subset of the 256
+  buckets): additionally measures PARTITION PRUNING — the ledger read
+  lists only the tranche's buckets, so growth should be flatter still
+  and the plan shows PartitionFilters (pinned by
+  tests/test_novelty.py).
+
+    python tools/bench_scaling_novelty.py [K] [n_buckets]
 
 Appends its results under SCALING_LLM.json "queries" as
-"q159_novelty_ledger_fixed_tranche".
+"q159_novelty_ledger_fixed_tranche" (full) and
+"q159_novelty_ledger_micro_tranche" (micro).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -68,10 +77,12 @@ def decorrelated_docs(spark, src: str, k: int):
     )
 
 
-def probe_tranche(spark, src: str):
+def probe_tranche(spark, src: str, n_docs: int | None = None):
     docs = spark.read.parquet(f"{src}/documents.parquet").select(
         "doc_id", "text"
     )
+    if n_docs is not None:
+        docs = docs.orderBy("doc_id").limit(n_docs)
     suffixed = F.array_join(
         F.transform(
             F.split(F.col("text"), " "),
@@ -84,27 +95,33 @@ def probe_tranche(spark, src: str):
     )
 
 
-def ledger_of(spark, docs):
+def build_ledger(spark, docs, path: str, n_buckets: int) -> int:
+    """Persist the bucket-partitioned ledger of ``docs`` (untimed
+    setup) and return its row count."""
     from data_integration_openfoodfacts_spark.operators.novelty import (
         doc_shingle_keys,
     )
+    from data_integration_openfoodfacts_spark.operators.novelty_ledger import (
+        append_ledger_delta,
+    )
 
-    return (
+    firsts = (
         doc_shingle_keys(docs, "doc_id", "text", n=8)
         .groupBy("shingle_md5")
         .agg(F.min("doc_id").alias("first_doc"))
-        .localCheckpoint(eager=True)
     )
+    append_ledger_delta(firsts, path, n_buckets=n_buckets)
+    return spark.read.parquet(path).count()
 
 
-def score_time(spark, tranche, ledger) -> tuple[float, int, int]:
-    from data_integration_openfoodfacts_spark.operators.novelty import (
-        tranche_novelty_update,
+def score_time(spark, tranche, ledger_path, n_buckets) -> tuple[float, int, int]:
+    from data_integration_openfoodfacts_spark.operators.novelty_ledger import (
+        score_tranche_against_ledger,
     )
 
     t0 = time.time()
-    per_doc, new_firsts = tranche_novelty_update(
-        tranche, ledger, "doc_id", "text", n=8, checkpoint_shingles=True
+    per_doc, new_firsts = score_tranche_against_ledger(
+        tranche, ledger_path, "doc_id", "text", n=8, n_buckets=n_buckets
     )
     n_new = new_firsts.count()
     n_docs = per_doc.count()
@@ -113,50 +130,75 @@ def score_time(spark, tranche, ledger) -> tuple[float, int, int]:
 
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    n_buckets = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     from data_integration_openfoodfacts_spark.session import get_spark
 
     spark = get_spark("bench-scaling-novelty")
     spark.sparkContext.setLogLevel("ERROR")
 
-    base_docs = decorrelated_docs(spark, SF_DIR, 1).localCheckpoint(True)
-    big_docs = decorrelated_docs(spark, SF_DIR, k).localCheckpoint(True)
-    tranche = probe_tranche(spark, SF_DIR).localCheckpoint(True)
+    tmp = tempfile.mkdtemp(prefix="novelty_probe_")
+    base_path = f"{tmp}/ledger_base"
+    big_path = f"{tmp}/ledger_x{k}"
+    try:
+        base_docs = decorrelated_docs(spark, SF_DIR, 1)
+        big_docs = decorrelated_docs(spark, SF_DIR, k)
+        rows_base = build_ledger(spark, base_docs, base_path, n_buckets)
+        rows_big = build_ledger(spark, big_docs, big_path, n_buckets)
 
-    led_base = ledger_of(spark, base_docs)
-    led_big = ledger_of(spark, big_docs)
-    rows_base, rows_big = led_base.count(), led_big.count()
+        out = {}
+        for tag, n_docs in (("fixed", None), ("micro", 5)):
+            tranche = probe_tranche(spark, SF_DIR, n_docs).localCheckpoint(
+                eager=True
+            )
+            # warm both paths once, then min-of-2 timed runs
+            score_time(spark, tranche, base_path, n_buckets)
+            base_sec = min(
+                score_time(spark, tranche, base_path, n_buckets)[0]
+                for _ in range(2)
+            )
+            score_time(spark, tranche, big_path, n_buckets)
+            best, nd, nn = None, None, None
+            for _ in range(2):
+                s, nd, nn = score_time(spark, tranche, big_path, n_buckets)
+                best = s if best is None else min(best, s)
+            entry = {
+                "base_sec": round(base_sec, 2),
+                f"x{k}_sec": round(best, 2),
+                "growth": round(best / base_sec, 2),
+                "ledger_rows_base": rows_base,
+                "ledger_rows_big": rows_big,
+                "tranche_docs": nd,
+                "tranche_new_firsts": nn,
+                "n_buckets": n_buckets,
+            }
+            if tag == "micro":
+                from data_integration_openfoodfacts_spark.operators.novelty import (  # noqa: E501
+                    doc_shingle_keys,
+                )
+                from data_integration_openfoodfacts_spark.operators.novelty_ledger import (  # noqa: E501
+                    kb_of,
+                )
 
-    # warm both paths once, then min-of-2 timed runs
-    score_time(spark, tranche, led_base)
-    base_sec = min(score_time(spark, tranche, led_base)[0] for _ in range(2))
-    score_time(spark, tranche, led_big)
-    big_sec, n_docs, n_new = None, None, None
-    best = None
-    for _ in range(2):
-        s, n_docs, n_new = score_time(spark, tranche, led_big)
-        best = s if best is None else min(best, s)
-    big_sec = best
+                entry["buckets_touched"] = (
+                    doc_shingle_keys(tranche, "doc_id", "text", n=8)
+                    .select(kb_of("shingle_md5", n_buckets))
+                    .distinct()
+                    .count()
+                )
+            out[tag] = entry
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
-    entry = {
-        "base_sec": round(base_sec, 2),
-        "x10_sec": round(big_sec, 2),
-        "growth": round(big_sec / base_sec, 2),
-        "ledger_rows_base": rows_base,
-        "ledger_rows_big": rows_big,
-        "tranche_docs": n_docs,
-        "tranche_new_firsts": n_new,
-    }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALING_LLM.json",
     )
-    key = "q159_novelty_ledger_fixed_tranche" + (
-        "" if k == 10 else f"_k{k}"
-    )
+    suffix = "" if k == 10 else f"_k{k}"
     rep = json.load(open(path))
-    rep["queries"][key] = entry
+    rep["queries"]["q159_novelty_ledger_fixed_tranche" + suffix] = out["fixed"]
+    rep["queries"]["q159_novelty_ledger_micro_tranche" + suffix] = out["micro"]
     json.dump(rep, open(path, "w"), indent=1)
-    print(json.dumps({key: entry}))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
