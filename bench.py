@@ -28,28 +28,50 @@ def load_prev_timings(repo_dir: str, sf: float):
     so a 2x drift (like q26's 1.33->2.79s between r01 and r03) surfaces
     in-round instead of at judge time. Only same-sf records compare.
     Returns (round_number, {qN: sec}) or (None, {}).
+
+    Sources, newest round wins across both: the committed
+    ``plans/bench_history/rNN.json`` full records (round-7 VERDICT #2 —
+    the driver's BENCH_r*.json tail capture truncates at 2,000 chars,
+    which silently dropped r06/r07's per-query maps and made r07
+    compare against r05), plus legacy driver ``BENCH_r*.json`` records
+    that still carry a parsed queries map.
     """
     import glob
     import re
 
-    best_n, best_q = None, {}
+    candidates: list[tuple[int, dict]] = []
     for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
         m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(path))
         if not m:
             continue
-        n = int(m.group(1))
         try:
             with open(path) as f:
                 rec = json.load(f)
             parsed = rec.get("parsed") or {}
             queries = parsed.get("queries") or {}
-            if not queries or parsed.get("sf") != sf:
-                continue
+            if queries and parsed.get("sf") == sf:
+                candidates.append((int(m.group(1)), queries))
         except (OSError, ValueError):
             continue
-        if best_n is None or n > best_n:
-            best_n, best_q = n, queries
-    return best_n, best_q
+    hist_dir = os.path.join(
+        repo_dir, "data_integration_openfoodfacts_spark", "plans",
+        "bench_history",
+    )
+    for path in glob.glob(os.path.join(hist_dir, "r*.json")):
+        m = re.match(r"r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            queries = rec.get("queries") or {}
+            if queries and rec.get("sf") == sf:
+                candidates.append((int(m.group(1)), queries))
+        except (OSError, ValueError):
+            continue
+    if not candidates:
+        return None, {}
+    return max(candidates, key=lambda c: c[0])
 
 
 def main() -> None:
@@ -241,13 +263,47 @@ def main() -> None:
         if q in prev_q and cur > 2 * prev_q[q] and cur - prev_q[q] > 0.5
     }
 
+    # Full record -> committed report file; stdout stays a COMPACT
+    # digest (round-7 VERDICT #2): the driver's output-tail capture is
+    # 2,000 chars, and the full 161-query map overflowed it in r06/r07
+    # (parsed:null — the r02 failure mode recurring at registry scale).
+    # The regression gate reads the committed plans/bench_history/
+    # records, which the end-of-round protocol snapshots from
+    # plans/bench_report.json (tools/record_bench.py).
+    full = {
+        "metric": "engine_query_suite_wall",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pipeline_e2e_418k_sec": pipeline_sec,
+        "pipeline_e2e_418k_hash_sk_sec": pipeline_hash_sec,
+        "pipeline_modes_dq_match": pipeline_modes_dq_match,
+        "baseline_pipeline_e2e_418k_sec": 393,
+        "prev_round": prev_round,
+        "regressions": regressions,
+        "errors": errors,
+    }
+    report_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "data_integration_openfoodfacts_spark",
+        "plans",
+        "bench_report.json",
+    )
+    with open(report_path, "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+    )
     line = json.dumps(
         {
             "metric": "engine_query_suite_wall",
             "value": round(total, 2),
             "unit": "sec",
-            "queries": timings,
             "sf": sf,
+            "n_queries": len(timings),
+            "slowest": slowest,
             "pipeline_e2e_418k_sec": pipeline_sec,
             "pipeline_e2e_418k_hash_sk_sec": pipeline_hash_sec,
             "pipeline_modes_dq_match": pipeline_modes_dq_match,
@@ -255,9 +311,20 @@ def main() -> None:
             "prev_round": prev_round,
             "regressions": regressions,
             "errors": errors,
+            "full_report": "plans/bench_report.json",
         },
         separators=(",", ":"),
     )
+    # hard guard: the whole point is fitting the driver's tail
+    # capture. A pathological run (mass regressions/errors) trims the
+    # variable-size maps rather than overflowing — the full detail is
+    # in the report file either way.
+    if len(line) >= 1900:
+        digest = json.loads(line)
+        digest["slowest"] = {}
+        digest["regressions"] = {"n": len(regressions)}
+        digest["errors"] = {"n": len(errors)}
+        line = json.dumps(digest, separators=(",", ":"))
     sys.stdout.flush()
     print(line, flush=True)
 

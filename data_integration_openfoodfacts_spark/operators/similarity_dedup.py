@@ -462,6 +462,7 @@ def incremental_minhash_dedup_delta(
     n: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
+    new_bands: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`incremental_minhash_dedup`, but returning the index
     DELTA — only the surviving documents' band rows — instead of the
@@ -469,14 +470,56 @@ def incremental_minhash_dedup_delta(
     ingest appends the delta; re-unioning the full corpus index per
     batch would rewrite O(corpus)): the signatures were already
     computed and checkpointed for the collision check, so consumers
-    must never re-shingle survivors to index them."""
-    new_bands = minhash_band_signatures(
-        new_df, id_col, text_col, n, num_hashes, band_size
-    ).localCheckpoint(eager=True)
-    vs_corpus = (
-        new_bands.join(
-            corpus_bands.select("band", "sig"), ["band", "sig"], "left_semi"
+    must never re-shingle survivors to index them.
+
+    ``new_bands``: optionally the batch's ALREADY-checkpointed band
+    signatures (callers that needed them earlier, e.g. to prune the
+    ledger read — streaming/corpus_ingest.py); computed here when
+    omitted.
+
+    Join direction is load-bearing at scale (round-7 VERDICT stretch
+    item — the novelty-ledger fix applied here): the collision probe
+    scans the LEDGER with the batch's bounded (band, sig) keys
+    broadcast, never the reverse. The old
+    ``new_bands left_semi corpus_bands`` planned BuildRight and
+    broadcast (or shuffled) the O(corpus) index per batch."""
+    if new_bands is None:
+        new_bands = minhash_band_signatures(
+            new_df, id_col, text_col, n, num_hashes, band_size
+        ).localCheckpoint(eager=True)
+    collided = collision_ids(new_bands, corpus_bands, id_col).localCheckpoint(
+        eager=True
+    )
+    survivors = new_df.join(collided, id_col, "left_anti")
+    delta = new_bands.join(collided, id_col, "left_anti")
+    return survivors, delta
+
+
+def collision_ids(
+    new_bands: DataFrame, corpus_bands: DataFrame, id_col: str
+) -> DataFrame:
+    """Batch doc ids whose signatures collide with the corpus index OR
+    with a lower-id same-batch doc — the (lazy) core of the
+    incremental dedup, exposed so plan-shape tests can pin the join
+    direction (its consumers eagerly checkpoint it).
+
+    The corpus probe scans the LEDGER with the batch's keys broadcast
+    (LeftSemi BuildRight on a batch-bounded frame), then matches the
+    bounded distinct seen-keys back against the batch — the ledger is
+    never shuffled, sorted, or broadcast. The distinct matters: a
+    degenerate sig bucket must not blow the matched-key set back up
+    before it is broadcast to the batch probe."""
+    seen_sigs = (
+        corpus_bands.select("band", "sig")
+        .join(
+            F.broadcast(new_bands.select("band", "sig")),
+            ["band", "sig"],
+            "left_semi",
         )
+        .distinct()
+    )
+    vs_corpus = (
+        new_bands.join(F.broadcast(seen_sigs), ["band", "sig"], "left_semi")
         .select(id_col)
     )
     earlier = new_bands.select(
@@ -487,12 +530,7 @@ def incremental_minhash_dedup_delta(
         .filter(F.col("__earlier_id") < F.col(id_col))
         .select(id_col)
     )
-    collided = vs_corpus.unionByName(vs_batch).distinct().localCheckpoint(
-        eager=True
-    )
-    survivors = new_df.join(collided, id_col, "left_anti")
-    delta = new_bands.join(collided, id_col, "left_anti")
-    return survivors, delta
+    return vs_corpus.unionByName(vs_batch).distinct()
 
 
 def dedup_near_duplicates(

@@ -148,16 +148,24 @@ def dedup_events_stream(
 
 
 def read_parquet_if_exists(spark, path: str):
-    """Read a parquet target, returning None ONLY when the path does not
-    exist. Any other failure (corrupt file, permission, FS timeout)
-    propagates — treating it as "first batch" would silently overwrite
-    and destroy the accumulated target."""
+    """Read a parquet target, returning None when the path does not
+    exist OR holds no data files yet (UNABLE_TO_INFER_SCHEMA — an
+    all-empty PARTITIONED append writes only a _SUCCESS marker, no
+    footers, so the very first real batch of a bucketed ledger can
+    find the directory present but schemaless). Any other failure
+    (corrupt file, permission, FS timeout) propagates — treating it as
+    "first batch" would silently overwrite and destroy the accumulated
+    target."""
     from pyspark.errors import AnalysisException
 
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        if (
+            "PATH_NOT_FOUND" in str(e)
+            or "Path does not exist" in str(e)
+            or "UNABLE_TO_INFER_SCHEMA" in str(e)
+        ):
             return None
         raise
 

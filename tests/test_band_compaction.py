@@ -122,7 +122,12 @@ def test_compact_bands_path_roundtrip(spark, tmp_path):
         docs, "doc_id", "text", num_hashes=8, band_size=2
     ).write.parquet(path)
     compact_bands_path(spark, path, 2, 4)
-    got = {tuple(r) for r in spark.read.parquet(path).collect()}
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .select("doc_id", "band", "sig")
+        .collect()
+    }
     want = {
         tuple(r)
         for r in minhash_band_signatures(
@@ -130,6 +135,9 @@ def test_compact_bands_path_roundtrip(spark, tmp_path):
         ).collect()
     }
     assert got == want
+    # the rewrite migrates a legacy flat ledger to the sb-bucketed
+    # layout (round-8: partition-pruned collision probes)
+    assert "sb" in spark.read.parquet(path).columns
 
 
 def test_compaction_tolerates_duplicated_ledger_rows(spark):

@@ -275,3 +275,111 @@ def test_heal_path_is_collect_free(spark, tmp_path, monkeypatch):
     }
     got = {r["doc_id"] for r in spark.read.parquet(target).collect()}
     assert led == got
+
+
+def test_band_ledger_probe_prunes_and_never_moves_ledger(spark, tmp_path):
+    """Round-8 band-ledger layout pin (the novelty_ledger recipe): the
+    collision probe against a persisted sb-bucketed ledger must show
+    (a) PartitionFilters pruning on sb at the ledger FileScan, (b) a
+    (band, sig)-only ReadSchema, (c) the ledger never shuffled — the
+    only hashpartitioning exchange is the bounded seen-sigs distinct;
+    the old direction broadcast the whole index per batch."""
+    from data_integration_openfoodfacts_spark.operators.similarity_dedup import (
+        collision_ids,
+        minhash_band_signatures,
+    )
+    from data_integration_openfoodfacts_spark.streaming.corpus_ingest import (
+        SB_COL,
+        append_bands,
+        band_bucket,
+    )
+
+    bands_path = str(tmp_path / "bands")
+    append_bands(
+        minhash_band_signatures(_docs(spark, B1), "doc_id", "text"),
+        bands_path,
+    )
+    # probe = a near-dup of doc 1: its buckets exist in the ledger, so
+    # the pruned scan survives planning (an all-pruned read would be
+    # empty-relation-optimized away and show no FileScan at all)
+    new_bands = minhash_band_signatures(
+        _docs(spark, [(42, B2[0][1])]), "doc_id", "text"
+    ).localCheckpoint(eager=True)
+    sbs = [
+        r[0]
+        for r in new_bands.select(
+            band_bucket(F.col("band"), F.col("sig")).alias(SB_COL)
+        ).distinct().collect()
+    ]
+    probe = (
+        spark.read.parquet(bands_path)
+        .filter(F.col(SB_COL).isin(sbs))
+        .select("doc_id", "band", "sig")
+    )
+    plan = (
+        collision_ids(new_bands, probe, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [sb" in plan, plan
+    assert "ReadSchema: struct<band:bigint,sig:string>" in plan, plan
+    # exactly one ledger scan, streamed IN PLACE through its LeftSemi
+    # probe: no Exchange/Sort sits between the FileScan and its first
+    # enclosing join (the bounded post-scan seen-sigs distinct and the
+    # batch's ExistingRDD self-join may shuffle; the ledger must not)
+    assert plan.count("FileScan parquet") == 1
+    lines = plan.splitlines()
+    (scan_i,) = [
+        i for i, ln in enumerate(lines) if "FileScan parquet" in ln
+    ]
+
+    def depth(ln: str) -> int:
+        for marker in ("+- ", ":- "):
+            if marker in ln:
+                return ln.index(marker)
+        return -1
+
+    d = depth(lines[scan_i])
+    join_seen = False
+    for i in range(scan_i - 1, -1, -1):
+        di = depth(lines[i])
+        if di < 0 or di >= d:
+            continue
+        d = di
+        if "Join" in lines[i]:
+            assert "BroadcastHashJoin" in lines[i], lines[i]
+            assert "LeftSemi, BuildRight" in lines[i], lines[i]
+            join_seen = True
+            break
+        assert "Exchange" not in lines[i], lines[i]
+        assert "Sort" not in lines[i], lines[i]
+    assert join_seen, plan
+
+
+def test_legacy_flat_band_ledger_still_ingests_flat(spark, tmp_path):
+    """A pre-round-8 FLAT ledger keeps its layout on append (mixed
+    flat+bucketed layouts don't read back); compact_bands_path is the
+    migration point."""
+    import os
+
+    from data_integration_openfoodfacts_spark.operators.similarity_dedup import (
+        minhash_band_signatures,
+    )
+
+    target = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    # seed a legacy flat ledger + matching corpus
+    first = _docs(spark, B1)
+    ingest_corpus_batch_neardup(first, target, str(tmp_path / "b0"))
+    corpus = spark.read.parquet(target)
+    minhash_band_signatures(corpus, "doc_id", "text").write.parquet(bands)
+    assert "sb" not in spark.read.parquet(bands).columns
+    ingest_corpus_batch_neardup(_docs(spark, B2), target, bands)
+    led = spark.read.parquet(bands)
+    assert "sb" not in led.columns  # layout preserved
+    assert not any(
+        d.startswith("sb=") for d in os.listdir(bands)
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    assert {r["doc_id"] for r in led.select("doc_id").distinct().collect()} == got
