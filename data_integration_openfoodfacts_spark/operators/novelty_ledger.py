@@ -61,13 +61,20 @@ def kb_of(shingle_md5: Column | str, n_buckets: int = DEFAULT_BUCKETS) -> Column
 def append_ledger_delta(
     new_firsts: DataFrame, path: str, n_buckets: int = DEFAULT_BUCKETS
 ) -> None:
-    """Append a tranche's first-occurrences under their key buckets."""
+    """Append a tranche's first-occurrences under their key buckets.
+
+    The delta repartitions BY BUCKET before the write — one shuffle
+    over the tranche-bounded delta buys one file per touched bucket
+    per append instead of one per (task x bucket): without it a
+    32-partition delta writes up to 32 files into every bucket it
+    touches, and the ledger's file count explodes append by append."""
     (
         new_firsts.select(
             "shingle_md5",
             "first_doc",
             kb_of("shingle_md5", n_buckets).alias(KB_COL),
         )
+        .repartition(KB_COL)
         .write.partitionBy(KB_COL)
         .mode("append")
         .parquet(path)

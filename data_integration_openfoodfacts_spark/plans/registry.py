@@ -18,6 +18,7 @@ from .etl_queries import ETL_ORACLES, ETL_QUERIES
 from .gold_oracle_queries import GOLD_ORACLE_ORACLES, GOLD_ORACLE_QUERIES
 from .hygiene_queries import HYGIENE_ORACLES, HYGIENE_QUERIES
 from .insight_queries import INSIGHT_ORACLES, INSIGHT_QUERIES
+from .ledger_queries import LEDGER_ORACLES, LEDGER_QUERIES
 from .llm_queries import LLM_ORACLES, LLM_QUERIES
 from .multimodal_queries import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
 from .olap_queries import OLAP_ORACLES, OLAP_QUERIES
@@ -40,6 +41,7 @@ _ALL_QUERIES = {
     **INSIGHT_QUERIES,
     **CURATION_QUERIES,
     **HYGIENE_QUERIES,
+    **LEDGER_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -55,6 +57,7 @@ _ALL_ORACLES = {
     **INSIGHT_ORACLES,
     **CURATION_ORACLES,
     **HYGIENE_ORACLES,
+    **LEDGER_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry

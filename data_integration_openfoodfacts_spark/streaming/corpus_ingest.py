@@ -83,10 +83,14 @@ def append_bands(
     if not partitioned:
         rows.write.mode("append").parquet(bands_path)
         return
+    # repartition by bucket: one file per touched bucket per append
+    # instead of one per (task x bucket) — one bounded-delta shuffle
+    # per batch vs an append-by-append file-count explosion
     (
         rows.select(
             "*", band_bucket(F.col("band"), F.col("sig"), n_buckets).alias(SB_COL)
         )
+        .repartition(SB_COL)
         .write.partitionBy(SB_COL)
         .mode("append")
         .parquet(bands_path)
