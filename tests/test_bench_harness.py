@@ -91,7 +91,6 @@ def test_committed_r07_backfill_is_readable():
     lookup at the real repo returns round >= 7 with a populated map."""
     import os
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(bench.__file__)))
     repo = os.path.dirname(os.path.abspath(bench.__file__))
     n, q = bench.load_prev_timings(repo, 0.1)
     assert n is not None and n >= 7
