@@ -61,6 +61,47 @@ DOCS_STREAM_SCHEMA = StructType(
 BAND_LEDGER_BUCKETS = 64
 SB_COL = "sb"
 
+#: Corpus-store bucket layout (round 8, same recipe): corpus rows
+#: persist hive-partitioned by ``mb = md5_long_of_hex(text_md5) %
+#: CORPUS_BUCKETS`` so each batch's EXACT-dedup probe prunes the
+#: corpus md5 read to the buckets the batch's texts hash into. Gap
+#: heals and text fetches key on doc_id and scan all buckets — only
+#: the md5 membership probe prunes. Legacy flat corpora keep their
+#: layout on append; ``compact_corpus_path`` migrates.
+CORPUS_BUCKETS = 64
+MB_COL = "mb"
+
+
+def corpus_bucket(text_md5, n_buckets: int = CORPUS_BUCKETS):
+    # text_md5 is ALREADY hex md5 — bucket on its 60-bit prefix (the
+    # novelty ledger's kb_of convention), never md5-of-md5
+    from ..operators.novelty_ledger import kb_of
+
+    return kb_of(text_md5, n_buckets)
+
+
+def append_corpus(
+    rows: DataFrame,
+    target_path: str,
+    partitioned: bool = True,
+    n_buckets: int = CORPUS_BUCKETS,
+) -> None:
+    """Append survivor rows (carrying ``text_md5``) to the corpus
+    store under its layout — bucketed (default) or legacy flat. Same
+    one-file-per-touched-bucket repartition as the ledgers."""
+    if not partitioned:
+        rows.write.mode("append").parquet(target_path)
+        return
+    (
+        rows.select(
+            "*", corpus_bucket(F.col("text_md5"), n_buckets).alias(MB_COL)
+        )
+        .repartition(MB_COL)
+        .write.partitionBy(MB_COL)
+        .mode("append")
+        .parquet(target_path)
+    )
+
 
 def band_bucket(band, sig, n_buckets: int = BAND_LEDGER_BUCKETS):
     from ..operators.similarity_dedup import md5_long
@@ -122,8 +163,18 @@ def _exact_dedup_stage(
     Observation} — attached with ``observe`` so the per-stage row
     counts ride the job that materializes the chain anyway (ZERO extra
     actions, unlike ``count()`` probes which would re-run the quality
-    classifier per metric)."""
+    classifier per metric). The stage also records RECOUNT FALLBACK
+    frames under ``observations["_fallbacks"]``: AQE's empty-relation
+    propagation can eliminate a CollectMetrics node outright when a
+    join input turns out empty at runtime (which of the four
+    observations survives depends on shuffle-partition config — seen
+    with both "in" and "neardup"), and an eliminated observation's
+    ``get`` raises instead of returning 0. The fallback recount is
+    deterministic (same frames) and only ever runs on that
+    empty-plan corner."""
     spark = batch.sparkSession
+    if observations:
+        observations.setdefault("_fallbacks", {})["in"] = batch
     if observations and "in" in observations:
         batch = batch.observe(
             observations["in"], F.count(F.lit(1)).alias("n")
@@ -141,6 +192,8 @@ def _exact_dedup_stage(
     filtered = batch.join(keep, "doc_id").withColumn(
         "text_md5", F.md5("text")
     )
+    if observations:
+        observations["_fallbacks"]["quality"] = filtered
     if observations and "quality" in observations:
         filtered = filtered.observe(
             observations["quality"], F.count(F.lit(1)).alias("n")
@@ -150,12 +203,35 @@ def _exact_dedup_stage(
     )
     existing = read_parquet_if_exists(spark, target_path)
     if existing is not None:
-        # no distinct(): left_anti semantics ignore right-side
-        # duplicates, and the corpus is unique-by-text_md5 by
-        # construction — a distinct here would add an O(corpus) hash
-        # aggregate per micro-batch for nothing (round-6 review)
-        ledger = existing.select("text_md5")
-        deduped = deduped.join(ledger, "text_md5", "left_anti")
+        # Flipped probe direction (round 8, the ledger rule): scan the
+        # CORPUS md5 column with the batch's bounded keys broadcast —
+        # the old `deduped left_anti corpus_md5` planned BuildRight
+        # and broadcast (or shuffled) the O(corpus) md5 column per
+        # micro-batch. `seen` is bounded by the batch (the corpus is
+        # unique-by-text_md5 by construction), so the final anti-join
+        # broadcasts a batch-sized frame. The batch is checkpointed
+        # FIRST so its classifier/window chain isn't evaluated twice
+        # (once for the broadcast, once as the anti-join's left) —
+        # this is also the action that fills the in/quality
+        # observations.
+        deduped = deduped.localCheckpoint(eager=True)
+        ledger = existing
+        if MB_COL in existing.columns:
+            # bounded driver envelope (<= CORPUS_BUCKETS ints): the
+            # batch's touched md5 buckets as a partition filter
+            mbs = [
+                r[0]
+                for r in deduped.select(
+                    corpus_bucket(F.col("text_md5")).alias(MB_COL)
+                )
+                .distinct()
+                .collect()
+            ]
+            ledger = existing.filter(F.col(MB_COL).isin(mbs))
+        seen = ledger.select("text_md5").join(
+            F.broadcast(deduped.select("text_md5")), "text_md5", "left_semi"
+        )
+        deduped = deduped.join(F.broadcast(seen), "text_md5", "left_anti")
     return deduped
 
 
@@ -169,11 +245,18 @@ def ingest_corpus_batch(
     doc_id per text) -> anti-join the corpus ledger -> append.
 
     The stored corpus carries a ``text_md5`` column so the ledger read
-    is a single-column scan.
+    is a single-column scan, and lands md5-bucketed so that scan
+    PRUNES to the batch's touched buckets (legacy flat corpora keep
+    their layout).
     """
-    _exact_dedup_stage(batch, target_path, num_buckets, threshold).write.mode(
-        "append"
-    ).parquet(target_path)
+    spark = batch.sparkSession
+    existing = read_parquet_if_exists(spark, target_path)
+    partitioned = existing is None or MB_COL in existing.columns
+    append_corpus(
+        _exact_dedup_stage(batch, target_path, num_buckets, threshold),
+        target_path,
+        partitioned=partitioned,
+    )
 
 
 def ingest_corpus_batch_neardup(
@@ -251,6 +334,12 @@ def ingest_corpus_batch_neardup(
             "exact": Observation(),
             "neardup": Observation(),
         }
+    # corpus layout detected BEFORE this batch's append (the exact
+    # stage re-reads internally for its pruned md5 probe)
+    corpus_existing = read_parquet_if_exists(spark, target_path)
+    corpus_partitioned = (
+        corpus_existing is None or MB_COL in corpus_existing.columns
+    )
     deduped = _exact_dedup_stage(
         batch, target_path, num_buckets, threshold, observations=obs
     )
@@ -301,10 +390,12 @@ def ingest_corpus_batch_neardup(
         new_bands=new_bands,
     )
     if obs:
+        obs["_fallbacks"]["exact"] = deduped
+        obs["_fallbacks"]["neardup"] = survivors
         survivors = survivors.observe(
             obs["neardup"], F.count(F.lit(1)).alias("n")
         )
-    survivors.write.mode("append").parquet(target_path)
+    append_corpus(survivors, target_path, partitioned=corpus_partitioned)
     # heal: corpus docs in neither the ledger nor this batch's delta
     # (crash-gap docs, plus this batch's too-short survivors). The
     # gap IDS come from doc_id-only projections — the corpus text
@@ -361,9 +452,26 @@ def ingest_corpus_batch_neardup(
         _write_run_ledger(spark, obs, run_ledger_path, batch_id)
 
 
+def _obs_n(obs: dict, key: str) -> int:
+    """An observation's count, with a deterministic recount fallback:
+    AQE's runtime empty-relation propagation can ELIMINATE a
+    CollectMetrics node when a join input turns out empty (which of
+    the four survives depends on shuffle-partition config), and an
+    eliminated observation's ``get`` raises rather than yielding 0.
+    The recount re-executes the same frame (checkpointed inputs where
+    the chain is expensive), so the value is identical — the fallback
+    only ever fires on the empty-plan corner where the recount is
+    near-free anyway."""
+    try:
+        return obs[key].get["n"]
+    except Exception:  # noqa: BLE001 — Py4J wraps the JVM assertion
+        return obs["_fallbacks"][key].count()
+
+
 def _write_run_ledger(spark, obs, run_ledger_path, batch_id) -> None:
     # Observation.get blocks until the observed frame's first
-    # action fills it — all four rode jobs that already ran.
+    # action fills it — all four rode jobs that already ran
+    # (or recount via _obs_n's documented fallback).
     # Written per-batch with mode("ignore") (first-writer-wins):
     # a crash-replayed trigger re-runs with the corpus/bands
     # appends deduped to no-ops, so its stage counts are zeros —
@@ -376,10 +484,10 @@ def _write_run_ledger(spark, obs, run_ledger_path, batch_id) -> None:
     spark.createDataFrame(
         [
             (
-                obs["in"].get["n"],
-                obs["quality"].get["n"],
-                obs["exact"].get["n"],
-                obs["neardup"].get["n"],
+                _obs_n(obs, "in"),
+                _obs_n(obs, "quality"),
+                _obs_n(obs, "exact"),
+                _obs_n(obs, "neardup"),
             )
         ],
         "n_in long, n_quality long, n_exact long, n_neardup long",
@@ -398,21 +506,37 @@ def run_neardup_ingest_stream(
     run_ledger_path: str | None = None,
     num_hashes: int = 8,
     band_size: int = 2,
+    compact_files_every: int | None = None,
 ) -> None:
-    """availableNow backlog drain through the near-dup-aware ingest."""
+    """availableNow backlog drain through the near-dup-aware ingest.
+
+    ``compact_files_every``: every N triggers, rewrite the band ledger
+    and corpus store to one file per bucket (pure FILE compaction —
+    re-banding is separate, ``compact_bands_path`` with a wider
+    band_size_to between runs). Appends grow the stores by one file
+    per touched bucket per batch; without a cadence a long-running
+    stream accumulates O(batches x buckets) small files. Runs AFTER
+    the batch's own writes, so a crash mid-compaction is survived by
+    the staged-swap writers and replays see a consistent store.
+    """
+
+    def _batch(b: DataFrame, bid: int) -> None:
+        ingest_corpus_batch_neardup(
+            b,
+            target_path,
+            bands_path,
+            run_ledger_path=run_ledger_path,
+            batch_id=bid,
+            num_hashes=num_hashes,
+            band_size=band_size,
+        )
+        if compact_files_every and (bid + 1) % compact_files_every == 0:
+            compact_bands_path(spark, bands_path, band_size, band_size)
+            compact_corpus_path(spark, target_path)
+
     stream = read_docs_stream(spark, source_dir, max_files_per_trigger)
     (
-        stream.writeStream.foreachBatch(
-            lambda b, bid: ingest_corpus_batch_neardup(
-                b,
-                target_path,
-                bands_path,
-                run_ledger_path=run_ledger_path,
-                batch_id=bid,
-                num_hashes=num_hashes,
-                band_size=band_size,
-            )
-        )
+        stream.writeStream.foreachBatch(_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -433,15 +557,21 @@ def compact_bands_path(
     with ``band_size=band_size_to``.
 
     The rewrite localCheckpoints the compacted rows before the
-    overwrite so the read and the write never race on the same files;
-    a crash between checkpoint and overwrite leaves the old ledger
-    intact (parquet overwrite is delete-then-write of the directory —
-    at real scale this is the swap-a-table-pointer step of whatever
-    ACID table format hosts the ledger).
+    overwrite so the read and the write never race on the same files,
+    and the overwrite itself is the staged write-then-swap
+    (``overwrite_parquet_atomically`` — round-8 upgrade: the old
+    direct overwrite was delete-then-write, and a crash in the gap
+    LOST the ledger; at real scale the swap is the table-pointer flip
+    of whatever ACID format hosts it).
 
     The rewrite also (re)establishes the sb-bucketed layout — this is
-    the MIGRATION point for a legacy flat ledger."""
+    the MIGRATION point for a legacy flat ledger. Called with
+    ``band_size_from == band_size_to`` it is a pure FILE compaction
+    (re-banding is the identity): the every-N-batches hygiene pass for
+    the one-file-per-touched-bucket-per-append growth."""
     from ..operators.similarity_dedup import compact_band_ledger
+
+    from .events_stream import overwrite_parquet_atomically
 
     bands = read_parquet_if_exists(spark, bands_path)
     if bands is None:
@@ -452,14 +582,36 @@ def compact_bands_path(
         band_size_from,
         band_size_to,
     ).localCheckpoint(eager=True)
-    (
+    overwrite_parquet_atomically(
         compacted.select(
             "*", band_bucket(F.col("band"), F.col("sig")).alias(SB_COL)
-        )
-        .repartition(SB_COL)
-        .write.partitionBy(SB_COL)
-        .mode("overwrite")
-        .parquet(bands_path)
+        ).repartition(SB_COL),
+        bands_path,
+        partition_by=[SB_COL],
+    )
+
+
+def compact_corpus_path(
+    spark: SparkSession,
+    target_path: str,
+    n_buckets: int = CORPUS_BUCKETS,
+) -> None:
+    """Rewrite the corpus store with one file per md5 bucket — the
+    corpus-side small-file hygiene, and the MIGRATION point for a
+    legacy flat corpus. Atomic via the staged write-then-swap."""
+    from .events_stream import overwrite_parquet_atomically
+
+    corpus = read_parquet_if_exists(spark, target_path)
+    if corpus is None:
+        return
+    cols = [c for c in corpus.columns if c != MB_COL]
+    out = corpus.select(*cols).select(
+        "*", corpus_bucket(F.col("text_md5"), n_buckets).alias(MB_COL)
+    )
+    # no checkpoint needed: the staged write materializes fully from
+    # the still-present source before the swap touches it
+    overwrite_parquet_atomically(
+        out.repartition(MB_COL), target_path, partition_by=[MB_COL]
     )
 
 
