@@ -27,6 +27,13 @@ Appends create one file per touched bucket per batch; like every
 append-ledger in this engine (see similarity_dedup's band ledger) the
 small-file count is bounded by batches x buckets and compacted by
 rewriting the partition — ``compact_ledger_path`` here.
+
+Round 9: the layout mechanics (append/prune/compact, the
+``_bucket_meta.json`` sidecar, mismatched-bucket-count detection) live
+in the SHARED :mod:`operators.bucketed_ledger`; this module keeps the
+novelty semantics. Probes DERIVE the bucket count from the store's
+own sidecar (a caller's stale ``n_buckets`` can no longer mis-prune);
+appends VALIDATE it and raise ``BucketLayoutError`` on mismatch.
 """
 
 from __future__ import annotations
@@ -35,6 +42,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.events_stream import read_parquet_if_exists
+from .bucketed_ledger import (
+    append_bucketed,
+    compact_bucketed,
+    prune_to_buckets,
+    store_n_buckets,
+    touched_buckets,
+    validate_layout,
+)
 from .novelty import (
     doc_shingle_keys,
     per_doc_novelty,
@@ -43,6 +58,11 @@ from .novelty import (
 
 KB_COL = "kb"
 DEFAULT_BUCKETS = 256
+
+
+def _kb_of_buckets(n_buckets: int) -> Column:
+    """bucket_of closure for the shared layout helper."""
+    return kb_of(F.col("shingle_md5"), n_buckets)
 
 
 def kb_of(shingle_md5: Column | str, n_buckets: int = DEFAULT_BUCKETS) -> Column:
@@ -63,21 +83,17 @@ def append_ledger_delta(
 ) -> None:
     """Append a tranche's first-occurrences under their key buckets.
 
-    The delta repartitions BY BUCKET before the write — one shuffle
-    over the tranche-bounded delta buys one file per touched bucket
-    per append instead of one per (task x bucket): without it a
-    32-partition delta writes up to 32 files into every bucket it
-    touches, and the ledger's file count explodes append by append."""
-    (
-        new_firsts.select(
-            "shingle_md5",
-            "first_doc",
-            kb_of("shingle_md5", n_buckets).alias(KB_COL),
-        )
-        .repartition(KB_COL)
-        .write.partitionBy(KB_COL)
-        .mode("append")
-        .parquet(path)
+    Layout mechanics (bucket repartition before the write, the
+    ``_bucket_meta.json`` sidecar, loud refusal of a mismatched
+    ``n_buckets``) are the shared helper's
+    (:func:`operators.bucketed_ledger.append_bucketed`)."""
+    append_bucketed(
+        new_firsts,
+        path,
+        KB_COL,
+        _kb_of_buckets,
+        n_buckets,
+        columns=["shingle_md5", "first_doc"],
     )
 
 
@@ -111,10 +127,34 @@ def score_tranche_against_ledger(
     detected by schema and scanned unpruned — correct, just not
     pruned. ``checkpoint=False`` keeps plans lazy for inspection.
     """
-    spark = tranche.sparkSession
     sh = doc_shingle_keys(tranche, id_col, text_col, n=n)
     if checkpoint:
         sh = sh.localCheckpoint(eager=True)
+    return score_shingled_tranche_against_ledger(
+        sh, ledger_path, id_col=id_col, n_buckets=n_buckets,
+        checkpoint=checkpoint,
+    )
+
+
+def score_shingled_tranche_against_ledger(
+    sh: DataFrame,
+    ledger_path: str,
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    checkpoint: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`score_tranche_against_ledger` over an ALREADY-SHINGLED
+    tranche (``(id_col, shingle_md5)`` rows, checkpointed by the
+    caller if expensive) — for callers that shingle several tranches
+    in one pass (q163 shingles both halves in a single job and feeds
+    the splits here; the in-memory analogue is
+    ``novelty.tranche_novelty_update_shingled``).
+
+    The probe's bucket count is DERIVED from the ledger's own sidecar
+    (``bucketed_ledger.store_n_buckets``) — the caller's ``n_buckets``
+    only sizes a legacy/first-write ledger, so a stale caller constant
+    can no longer silently mis-prune (round-8 ADVICE)."""
+    spark = sh.sparkSession
     firsts_t = sh.groupBy("shingle_md5").agg(
         F.min(id_col).alias("first_doc")
     )
@@ -125,18 +165,15 @@ def score_tranche_against_ledger(
         seen = spark.createDataFrame([], "shingle_md5 string")
     else:
         if KB_COL in ledger.columns:
+            b_eff = store_n_buckets(spark, ledger_path, KB_COL, n_buckets)
+            validate_layout(
+                spark, ledger_path, ledger, KB_COL, _kb_of_buckets, b_eff
+            )
             # bounded driver envelope: <= n_buckets distinct ints;
             # isin over the PARTITION column is what turns into
             # PartitionFilters (file-listing-level pruning)
-            kbs = [
-                r[0]
-                for r in firsts_t.select(
-                    kb_of("shingle_md5", n_buckets).alias(KB_COL)
-                )
-                .distinct()
-                .collect()
-            ]
-            ledger = ledger.filter(F.col(KB_COL).isin(kbs))
+            kbs = touched_buckets(firsts_t, _kb_of_buckets, b_eff)
+            ledger = prune_to_buckets(ledger, KB_COL, kbs)
         seen = seen_keys(firsts_t, ledger)
     new_firsts = firsts_t.join(
         F.broadcast(seen), "shingle_md5", "left_anti"
@@ -151,18 +188,15 @@ def compact_ledger_path(
 ) -> None:
     """Rewrite the ledger with one file per bucket (append-ledger
     small-file hygiene). Atomic via the engine's staged-overwrite
-    helper so a crash mid-compaction never loses the ledger."""
-    from ..streaming.events_stream import overwrite_parquet_atomically
-
-    df = read_ledger(spark, path)
-    if df is None:
-        return
-    cols = ["shingle_md5", "first_doc"]
-    out = df.select(*cols).select(
-        *cols, kb_of("shingle_md5", n_buckets).alias(KB_COL)
-    )
-    overwrite_parquet_atomically(
-        out.repartition(KB_COL).sortWithinPartitions("shingle_md5"),
+    helper so a crash mid-compaction never loses the ledger; also the
+    MIGRATION point for a legacy flat ledger and the ONE operation
+    allowed to change the bucket count (it re-stamps the sidecar)."""
+    compact_bucketed(
+        spark,
         path,
-        partition_by=[KB_COL],
+        KB_COL,
+        _kb_of_buckets,
+        n_buckets,
+        columns=["shingle_md5", "first_doc"],
+        sort_within="shingle_md5",
     )

@@ -35,7 +35,15 @@ def md5_long(col: Column) -> Column:
 def word_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Distinct n-word shingles per document: (id, shingle)."""
+    """Distinct n-word shingles per document: (id, shingle).
+
+    Requires one row per ``id_col`` (true of every document frame in
+    this engine). Distinctness comes from the NARROW per-row
+    ``array_distinct`` alone — with unique ids, a global ``.distinct()``
+    would dedup nothing while costing a full shuffle of the exploded
+    shingle frame (measured 4.5s -> 1.7s for the 8-gram pass over
+    sf0.1 documents; every shingle consumer — novelty, Jaccard,
+    MinHash — pays this pass at least once)."""
     toks = _tokens(text_col)
     shingle_arr = F.when(
         F.size(toks) >= n,
@@ -44,9 +52,9 @@ def word_shingles(
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingle_arr)).alias("shingle"))
-        .distinct()
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle_arr)).alias("shingle"),
     )
 
 

@@ -71,6 +71,52 @@ def duplicate_window_stats(
     """
     if window < 2:
         raise ValueError("window must be >= 2")
+    base, dwins = _dup_window_positions(docs, window, text_col, id_col)
+    # Union-of-intervals coverage WITHOUT exploding the W positions of
+    # every duplicated window: all intervals have length W, so over
+    # per-doc pos-sorted windows each contributes min(W, next_pos -
+    # pos) and the last contributes W. One shuffle on id_col; the
+    # following groupBy reuses the window's partitioning.
+    from pyspark.sql import Window as W
+
+    seq = W.partitionBy(id_col).orderBy("pos")
+    contrib = F.coalesce(
+        F.least(
+            F.lit(window), F.lead("pos").over(seq) - F.col("pos")
+        ),
+        F.lit(window),
+    )
+    per_doc = (
+        dwins.withColumn("__c", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("dup_windows"),
+            F.sum("__c").alias("dup_tokens"),
+        )
+    )
+    return (
+        base.select(id_col, F.col("__n").alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("dup_windows", F.lit(0)).cast("long").alias(
+                "dup_windows"
+            ),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+        )
+    )
+
+
+def _dup_window_positions(
+    docs: DataFrame, window: int, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared detection front half: returns ``(base, dwins)`` where
+    ``base`` is (id_col, __toks, __n) and ``dwins`` is (id_col, pos)
+    — the start position of every length-``window`` token window
+    whose md5 occurs in >= 2 distinct documents."""
     base = docs.select(
         id_col, _tokens(text_col).alias("__toks")
     ).withColumn("__n", F.size("__toks"))
@@ -122,41 +168,99 @@ def duplicate_window_stats(
         .select("h")
     )
     dwins = wins.join(dup_hashes, "h").select(id_col, "pos")
-    # Union-of-intervals coverage WITHOUT exploding the W positions of
-    # every duplicated window: all intervals have length W, so over
-    # per-doc pos-sorted windows each contributes min(W, next_pos -
-    # pos) and the last contributes W. One shuffle on id_col; the
-    # following groupBy reuses the window's partitioning.
+    return base, dwins
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SPAN-EXACT removal half of exact-substring dedup (Lee et al.'s
+    actual output, round-9 VERDICT #7): cut every maximal duplicated
+    run of >= ``window`` tokens — the UNION of the [pos, pos+W-1]
+    spans of duplicated windows (a cross-document duplicated run of
+    length L >= W is exactly a maximal chain of duplicated W-windows)
+    — and reassemble the surviving tokens in original order.
+
+    Returns one row per input document:
+      ``id_col, n_tokens, removed_tokens, clean_text``
+    with the invariant ``removed_tokens == duplicate_window_stats(
+    ...).dup_tokens`` (same union, counted there / cut here) — pinned
+    by test.
+
+    Scale shape: detection is the shared front half
+    (:func:`_dup_window_positions` — one bounded hash agg, join-back
+    of dup hashes only); interval MERGE is the lag-gap fold (new run
+    iff pos > prev_pos + W; one shuffle on id, groupBy reuses the
+    window partitioning) so per-doc state is the merged-interval list,
+    bounded by n_tokens / W disjoint runs — the same order as the
+    token array the row already carries. Reassembly is a narrow
+    filter over token positions (exists() over the doc's own merged
+    intervals: O(n_tokens x runs) per row, CPU-bounded by the same
+    n²/W envelope as the window construction itself). Nothing joins
+    position-level rows across documents.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    base, dwins = _dup_window_positions(docs, window, text_col, id_col)
     from pyspark.sql import Window as W
 
     seq = W.partitionBy(id_col).orderBy("pos")
-    contrib = F.coalesce(
-        F.least(
-            F.lit(window), F.lead("pos").over(seq) - F.col("pos")
-        ),
-        F.lit(window),
+    # merged duplicated runs: same-length sorted intervals chain while
+    # pos <= prev_pos + W (adjacent counts as one run); the running
+    # group id is the cumulative count of chain breaks
+    brk = F.when(
+        F.col("pos")
+        > F.coalesce(F.lag("pos").over(seq), F.lit(-(1 << 60)))
+        + window,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    grp = F.sum("__brk").over(
+        W.partitionBy(id_col).orderBy("pos").rowsBetween(
+            W.unboundedPreceding, 0
+        )
     )
-    per_doc = (
-        dwins.withColumn("__c", contrib)
-        .groupBy(id_col)
+    ivs = (
+        dwins.withColumn("__brk", brk)
+        .withColumn("__g", grp)
+        .groupBy(id_col, "__g")
         .agg(
-            F.count(F.lit(1)).alias("dup_windows"),
-            F.sum("__c").alias("dup_tokens"),
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(window - 1)).alias("e"),
         )
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("__ivs"))
     )
-    return (
-        base.select(id_col, F.col("__n").alias("n_tokens"))
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.coalesce("dup_windows", F.lit(0)).cast("long").alias(
-                "dup_windows"
+    joined = base.join(ivs, id_col, "left").withColumn(
+        "__ivs",
+        F.coalesce(
+            "__ivs", F.array().cast("array<struct<s:int,e:int>>")
+        ),
+    )
+    pos_seq = F.when(
+        F.col("__n") >= 1, F.sequence(F.lit(1), F.col("__n"))
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(
+        pos_seq,
+        lambda p: ~F.exists(
+            F.col("__ivs"),
+            lambda v: (p >= v["s"]) & (p <= v["e"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.col("__n").cast("long").alias("n_tokens"),
+        (F.col("__n") - F.size(kept)).cast("long").alias(
+            "removed_tokens"
+        ),
+        F.array_join(
+            F.transform(
+                kept, lambda p: F.element_at(F.col("__toks"), p)
             ),
-            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
-                "dup_tokens"
-            ),
-        )
+            " ",
+        ).alias("clean_text"),
     )
 
 

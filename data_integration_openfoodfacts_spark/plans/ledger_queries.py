@@ -42,37 +42,57 @@ def q163_partitioned_novelty_ledger(
     Oracle: the batch novelty curve over doc_id HALVES — passing the
     gate IS the persisted-incremental-equals-batch reconciliation.
 
-    Determinism/cleanup: every tranche's per-doc scores are eagerly
-    checkpointed by the scorer, so the returned frame reads block-
-    manager state, never the temp ledger — which is deleted before
-    returning. Gate-scale bucket count 16 (the layout is what the
-    query pins; production sizes B as ledger_bytes / bucket_bytes —
-    the operators/novelty_ledger.py sizing rule)."""
+    Determinism/cleanup: every tranche's totals are eagerly
+    checkpointed, so the returned frame reads block-manager state,
+    never the temp ledger — which is deleted before returning.
+    Gate-scale bucket count 16 (the layout is what the query pins;
+    production sizes B as ledger_bytes / bucket_bytes — the
+    operators/novelty_ledger.py sizing rule).
+
+    Gate-wall trims (round-9 VERDICT #2, 14.4s -> ~7s at sf0.1):
+    both tranches' shingles come from ONE shingle pass over the corpus
+    (checkpointed with a tranche tag; shingling is
+    tranche-independent, so this changes no semantics — the persisted
+    prune/probe/append loop per tranche is untouched), and the totals
+    are aggregated DIRECTLY from the shingle frame + the checkpointed
+    new-firsts (n_novel is by construction the new-firsts row count)
+    instead of materializing the per-doc breakdown first."""
+    from ..operators.novelty import doc_shingle_keys
     from ..operators.novelty_ledger import (
         append_ledger_delta,
-        score_tranche_against_ledger,
+        score_shingled_tranche_against_ledger,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     hi = docs.agg(F.max("doc_id")).first()[0]
+    sh_all = (
+        doc_shingle_keys(docs, "doc_id", "text", n=8)
+        .withColumn(
+            "tranche",
+            F.floor(F.col("doc_id") * 2 / (hi + 1)).cast("int"),
+        )
+        .localCheckpoint(eager=True)
+    )
     tmp = tempfile.mkdtemp(prefix="q163_ledger_")
     ledger_path = f"{tmp}/ledger"
     try:
         parts = []
         for t in range(2):
-            tranche = docs.filter(
-                F.floor(F.col("doc_id") * 2 / (hi + 1)) == t
+            sh = sh_all.filter(F.col("tranche") == t).select(
+                "doc_id", "shingle_md5"
             )
-            per_doc, new_firsts = score_tranche_against_ledger(
-                tranche, ledger_path, n_buckets=16
+            _, new_firsts = score_shingled_tranche_against_ledger(
+                sh, ledger_path, n_buckets=16
             )
-            # totals ride the checkpointed per-tranche frames; collect
-            # happens after the temp ledger is gone
+            # totals ride the checkpointed frames; collect happens
+            # after the temp ledger is gone
             parts.append(
-                per_doc.agg(
-                    F.count(F.lit(1)).alias("n_docs"),
-                    F.sum("n_shingles").alias("n_shingles"),
-                    F.sum("n_novel").alias("n_novel"),
+                sh.agg(
+                    F.countDistinct("doc_id").alias("n_docs"),
+                    F.count(F.lit(1)).alias("n_shingles"),
+                )
+                .crossJoin(
+                    new_firsts.agg(F.count(F.lit(1)).alias("n_novel"))
                 )
                 .select(F.lit(t).cast("long").alias("tranche"), "*")
                 .localCheckpoint(eager=True)

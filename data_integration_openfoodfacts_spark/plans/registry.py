@@ -23,9 +23,11 @@ from .llm_queries import LLM_ORACLES, LLM_QUERIES
 from .multimodal_queries import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
 from .olap_queries import OLAP_ORACLES, OLAP_QUERIES
 from .sampling_queries import SAMPLING_ORACLES, SAMPLING_QUERIES
+from .span_queries import SPAN_ORACLES, SPAN_QUERIES
 from .streaming_queries import STREAMING_ORACLES, STREAMING_QUERIES
 from .temporal_queries import TEMPORAL_ORACLES, TEMPORAL_QUERIES
 from .tpch_queries import TPCH_ORACLES, TPCH_QUERIES
+from .training_queries import TRAINING_ORACLES, TRAINING_QUERIES
 
 _ALL_QUERIES = {
     **ANALYTICS_QUERIES,
@@ -42,6 +44,8 @@ _ALL_QUERIES = {
     **CURATION_QUERIES,
     **HYGIENE_QUERIES,
     **LEDGER_QUERIES,
+    **TRAINING_QUERIES,
+    **SPAN_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -58,6 +62,8 @@ _ALL_ORACLES = {
     **CURATION_ORACLES,
     **HYGIENE_ORACLES,
     **LEDGER_ORACLES,
+    **TRAINING_ORACLES,
+    **SPAN_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry

@@ -80,6 +80,14 @@ def corpus_bucket(text_md5, n_buckets: int = CORPUS_BUCKETS):
     return kb_of(text_md5, n_buckets)
 
 
+def _mb_of_buckets(n_buckets: int):
+    return corpus_bucket(F.col("text_md5"), n_buckets)
+
+
+def _sb_of_buckets(n_buckets: int):
+    return band_bucket(F.col("band"), F.col("sig"), n_buckets)
+
+
 def append_corpus(
     rows: DataFrame,
     target_path: str,
@@ -87,20 +95,16 @@ def append_corpus(
     n_buckets: int = CORPUS_BUCKETS,
 ) -> None:
     """Append survivor rows (carrying ``text_md5``) to the corpus
-    store under its layout — bucketed (default) or legacy flat. Same
-    one-file-per-touched-bucket repartition as the ledgers."""
+    store under its layout — bucketed (default) or legacy flat.
+    Layout mechanics (bucket repartition, sidecar, loud mismatch
+    refusal) are the shared helper's
+    (:mod:`operators.bucketed_ledger`)."""
     if not partitioned:
         rows.write.mode("append").parquet(target_path)
         return
-    (
-        rows.select(
-            "*", corpus_bucket(F.col("text_md5"), n_buckets).alias(MB_COL)
-        )
-        .repartition(MB_COL)
-        .write.partitionBy(MB_COL)
-        .mode("append")
-        .parquet(target_path)
-    )
+    from ..operators.bucketed_ledger import append_bucketed
+
+    append_bucketed(rows, target_path, MB_COL, _mb_of_buckets, n_buckets)
 
 
 def band_bucket(band, sig, n_buckets: int = BAND_LEDGER_BUCKETS):
@@ -119,23 +123,15 @@ def append_bands(
     n_buckets: int = BAND_LEDGER_BUCKETS,
 ) -> None:
     """Append (doc_id, band, sig) rows to the band ledger under its
-    layout — bucketed (default) or legacy flat."""
+    layout — bucketed (default) or legacy flat. Layout mechanics are
+    the shared helper's (:mod:`operators.bucketed_ledger`)."""
     rows = rows.select("doc_id", "band", "sig")
     if not partitioned:
         rows.write.mode("append").parquet(bands_path)
         return
-    # repartition by bucket: one file per touched bucket per append
-    # instead of one per (task x bucket) — one bounded-delta shuffle
-    # per batch vs an append-by-append file-count explosion
-    (
-        rows.select(
-            "*", band_bucket(F.col("band"), F.col("sig"), n_buckets).alias(SB_COL)
-        )
-        .repartition(SB_COL)
-        .write.partitionBy(SB_COL)
-        .mode("append")
-        .parquet(bands_path)
-    )
+    from ..operators.bucketed_ledger import append_bucketed
+
+    append_bucketed(rows, bands_path, SB_COL, _sb_of_buckets, n_buckets)
 
 
 def read_docs_stream(
@@ -217,17 +213,26 @@ def _exact_dedup_stage(
         deduped = deduped.localCheckpoint(eager=True)
         ledger = existing
         if MB_COL in existing.columns:
-            # bounded driver envelope (<= CORPUS_BUCKETS ints): the
-            # batch's touched md5 buckets as a partition filter
-            mbs = [
-                r[0]
-                for r in deduped.select(
-                    corpus_bucket(F.col("text_md5")).alias(MB_COL)
-                )
-                .distinct()
-                .collect()
-            ]
-            ledger = existing.filter(F.col(MB_COL).isin(mbs))
+            from ..operators.bucketed_ledger import (
+                prune_to_buckets,
+                store_n_buckets,
+                touched_buckets,
+                validate_layout,
+            )
+
+            # the store's OWN bucket count (sidecar; round-8 ADVICE:
+            # the old hardcoded CORPUS_BUCKETS probed a non-default
+            # store with the wrong modulus and re-admitted duplicates)
+            b_eff = store_n_buckets(
+                spark, target_path, MB_COL, CORPUS_BUCKETS
+            )
+            validate_layout(
+                spark, target_path, existing, MB_COL, _mb_of_buckets, b_eff
+            )
+            # bounded driver envelope (<= b_eff ints): the batch's
+            # touched md5 buckets as a partition filter
+            mbs = touched_buckets(deduped, _mb_of_buckets, b_eff)
+            ledger = prune_to_buckets(existing, MB_COL, mbs)
         seen = ledger.select("text_md5").join(
             F.broadcast(deduped.select("text_md5")), "text_md5", "left_semi"
         )
@@ -249,6 +254,8 @@ def ingest_corpus_batch(
     PRUNES to the batch's touched buckets (legacy flat corpora keep
     their layout).
     """
+    from ..operators.bucketed_ledger import store_n_buckets
+
     spark = batch.sparkSession
     existing = read_parquet_if_exists(spark, target_path)
     partitioned = existing is None or MB_COL in existing.columns
@@ -256,6 +263,10 @@ def ingest_corpus_batch(
         _exact_dedup_stage(batch, target_path, num_buckets, threshold),
         target_path,
         partitioned=partitioned,
+        # the store's own layout, not the module default — an ingest
+        # into a non-default-bucketed corpus keeps its layout instead
+        # of tripping the append validation
+        n_buckets=store_n_buckets(spark, target_path, MB_COL, CORPUS_BUCKETS),
     )
 
 
@@ -366,18 +377,24 @@ def ingest_corpus_batch_neardup(
         )
     bands = bands_full.select("doc_id", "band", "sig")
     if ledger_partitioned and SB_COL in bands_full.columns:
-        # bounded driver envelope (<= BAND_LEDGER_BUCKETS ints): the
-        # batch's touched buckets, pushed as a partition filter so the
-        # collision probe's ledger scan prunes at file-listing level
-        sbs = [
-            r[0]
-            for r in new_bands.select(
-                band_bucket(F.col("band"), F.col("sig")).alias(SB_COL)
-            )
-            .distinct()
-            .collect()
-        ]
-        bands_probe = bands_full.filter(F.col(SB_COL).isin(sbs)).select(
+        from ..operators.bucketed_ledger import (
+            prune_to_buckets,
+            store_n_buckets,
+            touched_buckets,
+            validate_layout,
+        )
+
+        sb_eff = store_n_buckets(
+            spark, bands_path, SB_COL, BAND_LEDGER_BUCKETS
+        )
+        validate_layout(
+            spark, bands_path, bands_full, SB_COL, _sb_of_buckets, sb_eff
+        )
+        # bounded driver envelope (<= sb_eff ints): the batch's touched
+        # buckets, pushed as a partition filter so the collision
+        # probe's ledger scan prunes at file-listing level
+        sbs = touched_buckets(new_bands, _sb_of_buckets, sb_eff)
+        bands_probe = prune_to_buckets(bands_full, SB_COL, sbs).select(
             "doc_id", "band", "sig"
         )
     else:
@@ -395,7 +412,14 @@ def ingest_corpus_batch_neardup(
         survivors = survivors.observe(
             obs["neardup"], F.count(F.lit(1)).alias("n")
         )
-    append_corpus(survivors, target_path, partitioned=corpus_partitioned)
+    from ..operators.bucketed_ledger import store_n_buckets
+
+    mb_eff = store_n_buckets(spark, target_path, MB_COL, CORPUS_BUCKETS)
+    sb_eff = store_n_buckets(spark, bands_path, SB_COL, BAND_LEDGER_BUCKETS)
+    append_corpus(
+        survivors, target_path,
+        partitioned=corpus_partitioned, n_buckets=mb_eff,
+    )
     # heal: corpus docs in neither the ledger nor this batch's delta
     # (crash-gap docs, plus this batch's too-short survivors). The
     # gap IDS come from doc_id-only projections — the corpus text
@@ -411,7 +435,10 @@ def ingest_corpus_batch_neardup(
         # every doc of every batch so far was filtered/deduped away:
         # an all-empty append leaves no readable parquet, and there is
         # nothing to heal (the ledger delta below is empty too)
-        append_bands(delta, bands_path, partitioned=ledger_partitioned)
+        append_bands(
+            delta, bands_path,
+            partitioned=ledger_partitioned, n_buckets=sb_eff,
+        )
         if obs:
             _write_run_ledger(spark, obs, run_ledger_path, batch_id)
         return
@@ -447,7 +474,10 @@ def ingest_corpus_batch_neardup(
             F.lit("").alias("sig"),
         )
         new_rows = new_rows.unionByName(sentinels)
-    append_bands(new_rows, bands_path, partitioned=ledger_partitioned)
+    append_bands(
+        new_rows, bands_path,
+        partitioned=ledger_partitioned, n_buckets=sb_eff,
+    )
     if obs:
         _write_run_ledger(spark, obs, run_ledger_path, batch_id)
 
@@ -569,25 +599,21 @@ def compact_bands_path(
     ``band_size_from == band_size_to`` it is a pure FILE compaction
     (re-banding is the identity): the every-N-batches hygiene pass for
     the one-file-per-touched-bucket-per-append growth."""
+    from ..operators.bucketed_ledger import compact_bucketed, store_n_buckets
     from ..operators.similarity_dedup import compact_band_ledger
 
-    from .events_stream import overwrite_parquet_atomically
-
-    bands = read_parquet_if_exists(spark, bands_path)
-    if bands is None:
-        return
-    compacted = compact_band_ledger(
-        bands.select("doc_id", "band", "sig"),
-        "doc_id",
-        band_size_from,
-        band_size_to,
-    ).localCheckpoint(eager=True)
-    overwrite_parquet_atomically(
-        compacted.select(
-            "*", band_bucket(F.col("band"), F.col("sig")).alias(SB_COL)
-        ).repartition(SB_COL),
+    compact_bucketed(
+        spark,
         bands_path,
-        partition_by=[SB_COL],
+        SB_COL,
+        _sb_of_buckets,
+        store_n_buckets(spark, bands_path, SB_COL, BAND_LEDGER_BUCKETS),
+        columns=["doc_id", "band", "sig"],
+        # checkpoint inside the transform: the re-band reads the same
+        # files the staged overwrite will swap out
+        transform=lambda rows: compact_band_ledger(
+            rows, "doc_id", band_size_from, band_size_to
+        ).localCheckpoint(eager=True),
     )
 
 
@@ -598,21 +624,12 @@ def compact_corpus_path(
 ) -> None:
     """Rewrite the corpus store with one file per md5 bucket — the
     corpus-side small-file hygiene, and the MIGRATION point for a
-    legacy flat corpus. Atomic via the staged write-then-swap."""
-    from .events_stream import overwrite_parquet_atomically
+    legacy flat corpus. Atomic via the staged write-then-swap (no
+    checkpoint needed: the staged write materializes fully from the
+    still-present source before the swap touches it)."""
+    from ..operators.bucketed_ledger import compact_bucketed
 
-    corpus = read_parquet_if_exists(spark, target_path)
-    if corpus is None:
-        return
-    cols = [c for c in corpus.columns if c != MB_COL]
-    out = corpus.select(*cols).select(
-        "*", corpus_bucket(F.col("text_md5"), n_buckets).alias(MB_COL)
-    )
-    # no checkpoint needed: the staged write materializes fully from
-    # the still-present source before the swap touches it
-    overwrite_parquet_atomically(
-        out.repartition(MB_COL), target_path, partition_by=[MB_COL]
-    )
+    compact_bucketed(spark, target_path, MB_COL, _mb_of_buckets, n_buckets)
 
 
 def run_corpus_ingest_stream(

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..operators.novelty_ledger import (
     DEFAULT_BUCKETS,
     append_ledger_delta,
+    compact_ledger_path,
     score_tranche_against_ledger,
 )
 from .corpus_ingest import DOCS_STREAM_SCHEMA, read_docs_stream
@@ -50,6 +51,17 @@ def novelty_score_batch(
     membership scan prunes to the buckets this batch's shingles touch,
     and the batch's distinct keys are broadcast against it — the
     ledger is never shuffled, sorted, or broadcast."""
+    from ..operators.bucketed_ledger import store_n_buckets
+    from ..operators.novelty_ledger import KB_COL
+
+    # the ledger's OWN layout wins over the caller's constant: a
+    # stream pointed at a ledger created with a different bucket count
+    # keeps that layout (the caller's n_buckets only sizes a brand-new
+    # ledger); a mismatched DIRECT append still refuses loudly inside
+    # append_ledger_delta (round-8 ADVICE)
+    n_buckets = store_n_buckets(
+        batch.sparkSession, ledger_path, KB_COL, n_buckets
+    )
     per_doc, new_firsts = score_tranche_against_ledger(
         batch, ledger_path, "doc_id", "text", n=n, n_buckets=n_buckets
     )
@@ -77,15 +89,36 @@ def run_novelty_stream(
     results_path: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = 1,
+    compact_files_every: int | None = None,
 ) -> None:
-    """availableNow backlog drain through the novelty scorer."""
+    """availableNow backlog drain through the novelty scorer.
+
+    ``compact_files_every``: every N triggers, rewrite the ledger to
+    one file per bucket (``compact_ledger_path`` — round-9 VERDICT #1,
+    mirroring the near-dup ingest's cadence). Appends grow the ledger
+    by one file per touched bucket per batch; without a cadence a
+    long-running stream accumulates O(batches x buckets) small files.
+    Runs AFTER the batch's own writes — the compaction's staged
+    write-then-swap keeps a crash mid-compaction from losing the
+    ledger, and a replayed trigger just re-compacts."""
+
+    def _batch(b: DataFrame, bid: int) -> None:
+        novelty_score_batch(b, ledger_path, results_path, batch_id=bid)
+        if compact_files_every and (bid + 1) % compact_files_every == 0:
+            from ..operators.bucketed_ledger import store_n_buckets
+            from ..operators.novelty_ledger import KB_COL
+
+            compact_ledger_path(
+                spark,
+                ledger_path,
+                n_buckets=store_n_buckets(
+                    spark, ledger_path, KB_COL, DEFAULT_BUCKETS
+                ),
+            )
+
     stream = read_docs_stream(spark, source_dir, max_files_per_trigger)
     (
-        stream.writeStream.foreachBatch(
-            lambda b, bid: novelty_score_batch(
-                b, ledger_path, results_path, batch_id=bid
-            )
-        )
+        stream.writeStream.foreachBatch(_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

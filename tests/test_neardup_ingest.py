@@ -243,31 +243,46 @@ def test_all_filtered_first_batch_leaves_consistent_state(spark, tmp_path):
 
 
 def test_heal_path_is_collect_free(spark, tmp_path, monkeypatch):
-    """Round-7 VERDICT #3: the wipe-heal must not push ids through the
-    driver. Even with a worst-case O(corpus) gap, the ingest batch
-    performs ZERO driver-side materializations (collect / toPandas /
-    toLocalIterator) — the gap text fetch is a distributed left-semi
-    join against the checkpointed gap-id frame."""
+    """Round-7 VERDICT #3 / round-8 ADVICE (the original spy was
+    vacuous — it patched the abstract pyspark.sql.DataFrame while
+    runtime frames are the classic subclass, so it intercepted
+    nothing): the wipe-heal must not push UNBOUNDED data through the
+    driver. Even with a worst-case O(corpus) gap the batch performs no
+    driver materialization except the documented bucket-envelope
+    collects (``bucketed_ledger.touched_buckets`` — single ``_b``
+    column, <= n_buckets rows); the gap text fetch is a distributed
+    left-semi join against the checkpointed gap-id frame. The spy
+    patches the CONCRETE runtime class and asserts every intercepted
+    collect is one of those envelopes — a reintroduced gap-id /
+    corpus-id collect (doc_id column) fails loudly."""
     import shutil
 
-    from pyspark.sql import DataFrame
+    concrete = type(spark.range(1))
 
     target = str(tmp_path / "corpus")
     bands = str(tmp_path / "bands")
     ingest_corpus_batch_neardup(_docs(spark, B1), target, bands)
     shutil.rmtree(bands)
 
-    calls: list[str] = []
+    calls: list[tuple[str, list[str], int]] = []
     for meth in ("collect", "toPandas", "toLocalIterator"):
-        orig = getattr(DataFrame, meth)
+        orig = getattr(concrete, meth)
 
         def spy(self, *a, _m=meth, _o=orig, **kw):
-            calls.append(_m)
-            return _o(self, *a, **kw)
+            out = _o(self, *a, **kw)
+            n = len(out) if _m != "toLocalIterator" else -1
+            calls.append((_m, list(self.columns), n))
+            return out
 
-        monkeypatch.setattr(DataFrame, meth, spy)
+        monkeypatch.setattr(concrete, meth, spy)
     ingest_corpus_batch_neardup(_docs(spark, B2), target, bands)
-    assert calls == []
+    # the spy must actually fire (the round-8 vacuousness regression):
+    # the bucketed stores make at least one envelope probe per batch
+    assert calls, "spy intercepted nothing — patched the wrong class?"
+    for meth, cols, n in calls:
+        assert meth == "collect", f"driver materialization via {meth}"
+        assert cols == ["_b"], f"non-envelope driver collect of {cols}"
+        assert 0 <= n <= 256, f"envelope collect returned {n} rows"
     # and the heal still repaired the wiped ledger
     led = {
         r["doc_id"]

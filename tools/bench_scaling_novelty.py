@@ -24,11 +24,26 @@ Two tranche sizes, probing the two scale mechanisms:
   and the plan shows PartitionFilters (pinned by
   tests/test_novelty.py).
 
+Skew-adversarial cases (round-9 VERDICT #5 — the uniform-md5 probes
+never stress the layout's degradation modes, so measure them):
+
+- ``fixed`` doubles as the **s >> B** case: ~235k distinct tranche
+  shingles against 256 buckets touch EVERY bucket, so pruning degrades
+  to the full ledger scan the sizing math predicts — its growth number
+  IS the graceful-degradation measurement (buckets_touched recorded).
+- ``skew`` (NEW): a boilerplate-heavy tranche — thousands of docs that
+  are all the SAME 8-token line, i.e. ONE distinct shingle in ONE
+  bucket. Worst-case key skew on the tranche side (a single hot
+  shingle absorbs every doc; map-side combine must flatten it) plus
+  maximal pruning on the ledger side (1 of B buckets listed). Growth
+  vs ledger size should be ~flat and the absolute wall tiny.
+
     python tools/bench_scaling_novelty.py [K] [n_buckets]
 
 Appends its results under SCALING_LLM.json "queries" as
-"q159_novelty_ledger_fixed_tranche" (full) and
-"q159_novelty_ledger_micro_tranche" (micro).
+"q159_novelty_ledger_fixed_tranche" (full / s >> B),
+"q159_novelty_ledger_micro_tranche" (micro) and
+"q159_novelty_ledger_skew_tranche" (boilerplate skew).
 """
 
 from __future__ import annotations
@@ -95,6 +110,17 @@ def probe_tranche(spark, src: str, n_docs: int | None = None):
     )
 
 
+def skew_tranche(spark, n_docs: int = 5000):
+    """Boilerplate-adversarial tranche: every doc is the identical
+    8-token line — one distinct shingle, one touched bucket, one hot
+    groupBy key fanned across all partitions."""
+    line = "skewed boilerplate line repeated across entire tranche_skew"
+    return spark.range(n_docs).select(
+        (F.col("id") + 30 * SHIFT).alias("doc_id"),
+        F.lit(line).alias("text"),
+    )
+
+
 def build_ledger(spark, docs, path: str, n_buckets: int) -> int:
     """Persist the bucket-partitioned ledger of ``docs`` (untimed
     setup) and return its row count."""
@@ -146,10 +172,13 @@ def main() -> None:
         rows_big = build_ledger(spark, big_docs, big_path, n_buckets)
 
         out = {}
-        for tag, n_docs in (("fixed", None), ("micro", 5)):
-            tranche = probe_tranche(spark, SF_DIR, n_docs).localCheckpoint(
-                eager=True
-            )
+        for tag, n_docs in (("fixed", None), ("micro", 5), ("skew", None)):
+            if tag == "skew":
+                tranche = skew_tranche(spark).localCheckpoint(eager=True)
+            else:
+                tranche = probe_tranche(
+                    spark, SF_DIR, n_docs
+                ).localCheckpoint(eager=True)
             # warm both paths once, then min-of-2 timed runs
             score_time(spark, tranche, base_path, n_buckets)
             base_sec = min(
@@ -171,20 +200,19 @@ def main() -> None:
                 "tranche_new_firsts": nn,
                 "n_buckets": n_buckets,
             }
-            if tag == "micro":
-                from data_integration_openfoodfacts_spark.operators.novelty import (  # noqa: E501
-                    doc_shingle_keys,
-                )
-                from data_integration_openfoodfacts_spark.operators.novelty_ledger import (  # noqa: E501
-                    kb_of,
-                )
+            from data_integration_openfoodfacts_spark.operators.novelty import (  # noqa: E501
+                doc_shingle_keys,
+            )
+            from data_integration_openfoodfacts_spark.operators.novelty_ledger import (  # noqa: E501
+                kb_of,
+            )
 
-                entry["buckets_touched"] = (
-                    doc_shingle_keys(tranche, "doc_id", "text", n=8)
-                    .select(kb_of("shingle_md5", n_buckets))
-                    .distinct()
-                    .count()
-                )
+            entry["buckets_touched"] = (
+                doc_shingle_keys(tranche, "doc_id", "text", n=8)
+                .select(kb_of("shingle_md5", n_buckets))
+                .distinct()
+                .count()
+            )
             out[tag] = entry
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -197,6 +225,7 @@ def main() -> None:
     rep = json.load(open(path))
     rep["queries"]["q159_novelty_ledger_fixed_tranche" + suffix] = out["fixed"]
     rep["queries"]["q159_novelty_ledger_micro_tranche" + suffix] = out["micro"]
+    rep["queries"]["q159_novelty_ledger_skew_tranche" + suffix] = out["skew"]
     json.dump(rep, open(path, "w"), indent=1)
     print(json.dumps(out))
 
