@@ -114,7 +114,10 @@ def skew_tranche(spark, n_docs: int = 5000):
     """Boilerplate-adversarial tranche: every doc is the identical
     8-token line — one distinct shingle, one touched bucket, one hot
     groupBy key fanned across all partitions."""
-    line = "skewed boilerplate line repeated across entire tranche_skew"
+    line = (
+        "skewed boilerplate line repeated identically across the"
+        " entire tranche_skew"
+    )
     return spark.range(n_docs).select(
         (F.col("id") + 30 * SHIFT).alias("doc_id"),
         F.lit(line).alias("text"),
