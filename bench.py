@@ -173,6 +173,16 @@ def main() -> None:
     # is its 418k-row end-to-end ETL (BASELINE.md: 393-580s). Run the
     # same-scale pipeline (synthetic TSV, full sinks) so the bench
     # record carries a direct comparison.
+    #
+    # Same benchmark-isolation hygiene as the per-query loop, applied
+    # BEFORE the pipeline section: after 166 queries the block manager
+    # holds every not-yet-GC'd localCheckpoint block of the suite, and
+    # the pipeline's global row_number window is the most
+    # memory-pressure-sensitive stage in the repo (round-9: 14.1s
+    # in-suite vs 7.7s standalone until this was added — the suite
+    # state, not the pipeline, was being measured).
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
     pipeline_sec = None
     try:
         import tools.bench_pipeline as bp

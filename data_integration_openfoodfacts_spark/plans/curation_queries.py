@@ -148,7 +148,14 @@ def q152_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-based dedup queries).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=8)
+    # repartition("shingle"): sh feeds TWO consumers (the firsts agg
+    # and the join probe) — this single exchange is planned once and
+    # ReuseExchange-shared by both, so the explode+md5 shingle pass
+    # runs ONCE, and neither the groupBy(shingle) nor the join needs a
+    # further shuffle of the shingle frame (round 9: word_shingles
+    # lost its redundant global distinct, whose exchange had been
+    # providing this sharing by accident).
+    sh = word_shingles(docs, "doc_id", "text", n=8).repartition("shingle")
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     return (
         sh.join(firsts, "shingle")
@@ -542,7 +549,8 @@ def q157_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT-sum in double — deterministic.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=8)
+    # shared-exchange shingle frame — q152's comment applies verbatim
+    sh = word_shingles(docs, "doc_id", "text", n=8).repartition("shingle")
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     hi = docs.agg(F.max("doc_id").alias("__max_id"))
     per_doc = (
