@@ -377,3 +377,81 @@ def test_q151_edge_join_skew_posture(spark):
         assert "BroadcastNestedLoopJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q164_training_iteration_broadcasts_weights(spark):
+    """Round-9 trainer plan pins: the per-iteration weight join must
+    BROADCAST the num_buckets-row weight table into the feature frame
+    (never shuffle the features against it), stay free of
+    row-at-a-time Python UDFs (BatchEvalPython) and of any
+    nested-loop/cartesian join. Asserted on the margin-computation
+    frame — the loop's hot path."""
+    from pyspark.sql import functions as F
+
+    from data_integration_openfoodfacts_spark.operators.training import (
+        doc_bucket_features,
+        init_weights_rows,
+    )
+    from data_integration_openfoodfacts_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").cast("long").alias("y")
+    )
+    feats = doc_bucket_features(docs, 64).localCheckpoint(eager=True)
+    wdf = spark.createDataFrame(
+        sorted(dict(init_weights_rows(64)).items()),
+        "bucket long, w_micro long",
+    )
+    margins = (
+        feats.join(F.broadcast(wdf), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.floor(
+                F.sum(F.col("w_micro") * F.col("x")) / F.first("n_tokens")
+            ).alias("m"),
+            F.first("y").alias("y"),
+        )
+    )
+    plan = margins._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q166_span_removal_plan_shape(spark):
+    """Round-9 span-removal plan pins: pure JVM expressions (no
+    Python UDF), no cartesian/nested-loop join anywhere (the interval
+    membership test is a narrow per-row higher-order function over
+    the doc's OWN merged intervals, never a position x interval
+    join), and the duplicated-hash set is found by aggregation with a
+    partial (map-side) phase."""
+    plan = plan_of(spark, "q166_duplicate_span_removal")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_q152_q157_share_one_shingle_exchange(spark):
+    """Round-9 regression pin: q152/q157's two shingle consumers must
+    SHARE one exchange of the exploded shingle frame — after
+    execution, AQE's final plan shows the shuffle stage reused
+    (the round-9 word_shingles distinct removal silently broke this
+    sharing until the explicit repartition restored it; q157 wall
+    2.67s -> 5.4s while it was broken)."""
+    for name in ("q152_ngram_novelty", "q157_novelty_curve"):
+        df = QUERIES[name](spark, SF_DIR)
+        df.collect()  # AQE finalizes stage reuse at runtime
+        full = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in full, name
+        # assert on the FINAL plan section only (the string appends
+        # the pre-AQE "== Initial Plan ==", which legitimately shows
+        # the un-deduplicated subtrees)
+        final = full.split("== Initial Plan ==")[0]
+        assert "ReusedExchange" in final, name
+        # the explode itself must appear exactly once in the final plan
+        assert final.count("Generate explode") == 1, name
