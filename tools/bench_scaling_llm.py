@@ -301,6 +301,46 @@ def probe_all(spark, sf_dir: str) -> dict:
         "sec": time_df(lambda: QUERIES["q152_ngram_novelty"](spark, sf_dir)),
         "candidates": word_shingles(docs, "doc_id", "text", n=8).count(),
     }
+
+    # q164 classifier training (round 9): the claim is LINEAR — one
+    # O(tokens) feature shuffle + per-iteration work bounded by
+    # O(feats) with a constant-size (num_buckets-row) driver envelope,
+    # never anything quadratic and never a growing driver transfer.
+    # "Candidates" = (doc, bucket) feature rows the loop iterates.
+    from data_integration_openfoodfacts_spark.operators.training import (
+        doc_bucket_features,
+        train_hashed_logistic,
+    )
+
+    labeled = docs.select(
+        "doc_id", "text", (F.col("lang") == "en").cast("long").alias("y")
+    )
+    res["q164_training_linear"] = {
+        "sec": time_df(
+            lambda: train_hashed_logistic(
+                labeled, num_buckets=64, n_iters=3
+            )
+        ),
+        "candidates": doc_bucket_features(labeled, 64).count(),
+    }
+
+    # q166 span removal (round 9): detection is the bounded window-hash
+    # agg + dup-only join-back; merge/reassembly are narrow per-doc
+    # folds — work tracks the window count (linear in corpus bytes).
+    # Replicas are token-decorrelated, so cross-replica duplicate runs
+    # cannot form and the duplicated-span structure replicates exactly.
+    from data_integration_openfoodfacts_spark.operators.substring_dedup import (
+        remove_duplicate_spans,
+    )
+
+    res["q166_span_removal_linear"] = {
+        "sec": time_df(lambda: remove_duplicate_spans(docs, window=8)),
+        "candidates": int(
+            remove_duplicate_spans(docs, window=8)
+            .agg(F.sum("n_tokens").alias("s"))
+            .first()["s"]
+        ),
+    }
     return res
 
 
