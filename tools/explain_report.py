@@ -117,6 +117,17 @@ HEADLINERS = {
         "KMV sketches: distinct + TakeOrdered per side, everything "
         "downstream <= k rows"
     ),
+    "q164_classifier_training": (
+        "hashed-logistic training (final weight table assembly; the "
+        "per-iteration plan is pinned by test_plan_shapes — broadcast "
+        "weight join, map-side-combined doc agg, 64-row gradient "
+        "envelope)"
+    ),
+    "q166_duplicate_span_removal": (
+        "span-exact removal: bounded dup-hash agg + join-back, lag-gap "
+        "interval merge (one id-window shuffle), narrow positional "
+        "filter reassembly — no position-level join, no Python UDF"
+    ),
 }
 
 
