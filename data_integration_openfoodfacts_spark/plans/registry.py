@@ -14,6 +14,10 @@ from __future__ import annotations
 
 from .analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES
 from .curation_queries import CURATION_ORACLES, CURATION_QUERIES
+from .embedding_ingest_queries import (
+    EMBEDDING_INGEST_ORACLES,
+    EMBEDDING_INGEST_QUERIES,
+)
 from .etl_queries import ETL_ORACLES, ETL_QUERIES
 from .gold_oracle_queries import GOLD_ORACLE_ORACLES, GOLD_ORACLE_QUERIES
 from .hygiene_queries import HYGIENE_ORACLES, HYGIENE_QUERIES
@@ -46,6 +50,7 @@ _ALL_QUERIES = {
     **LEDGER_QUERIES,
     **TRAINING_QUERIES,
     **SPAN_QUERIES,
+    **EMBEDDING_INGEST_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -64,6 +69,7 @@ _ALL_ORACLES = {
     **LEDGER_ORACLES,
     **TRAINING_ORACLES,
     **SPAN_ORACLES,
+    **EMBEDDING_INGEST_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry

@@ -341,6 +341,44 @@ def probe_all(spark, sf_dir: str) -> dict:
             .first()["s"]
         ),
     }
+
+    # q167 incremental embedding ingest (round 9): a FIXED batch (the
+    # base dir's vec_id % 3 == 0 vectors, id-shifted out of every
+    # ledger's id space) probed against a persisted eb-bucketed
+    # signature ledger built from THIS scale's embeddings — the crawl
+    # claim: ingest wall is O(batch), flat while the ledger grows 10x.
+    # "Candidates" = ledger band rows the probe could touch.
+    from data_integration_openfoodfacts_spark.operators.embedding_ingest import (
+        append_embedding_bands,
+        embedding_band_signatures,
+        incremental_embedding_dedup,
+    )
+
+    fixed_batch = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") % 3 == 0)
+        .select((F.col("vec_id") + 50 * SHIFT).alias("vec_id"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+    eb_tmp = tempfile.mkdtemp(prefix="q167_probe_")
+    eb_path = f"{eb_tmp}/bands"
+    append_embedding_bands(
+        embedding_band_signatures(emb, 64, rows_per_band=16, num_bands=8),
+        eb_path,
+    )
+
+    def run_q167():
+        survivors, _ = incremental_embedding_dedup(
+            fixed_batch, eb_path, 64,
+            rows_per_band=16, num_bands=8, append=False,
+        )
+        return survivors.select("vec_id")
+
+    res["q167_embedding_ingest_fixed_batch"] = {
+        "sec": time_df(run_q167),
+        "candidates": spark.read.parquet(eb_path).count(),
+    }
+    shutil.rmtree(eb_tmp, ignore_errors=True)
     return res
 
 
