@@ -163,6 +163,14 @@ def main() -> None:
         gc.collect()
         if (qi + 1) % jvm_gc_every == 0:
             spark.sparkContext._jvm.System.gc()
+        # Cache isolation (round 9): operators that .cache() a shared
+        # frame (ngram_jaccard_pairs' shingle table, deliberately left
+        # to LRU) leak that cache into LATER queries whose logical
+        # plans match it — q19 measured 0.82s when the rotation order
+        # happened to run q18 first and ~3s when it didn't, so the
+        # tiered gate flagged registry REORDERING as a regression.
+        # Clearing between queries makes each number the query's own.
+        spark.catalog.clearCache()
     # qN prefixes must stay unique or a collision silently drops a
     # query's timing from the emitted map while total still includes it
     assert len(timings) + len(errors) == len(QUERIES), (

@@ -184,6 +184,11 @@ def main() -> int:
         n_run += 1
         if n_run % 5 == 0:
             spark.sparkContext._jvm.System.gc()
+        # bench.py's cache isolation (round 9): a .cache()'d frame from
+        # an earlier query (q18's shingle table) must not flatter a
+        # later query's recorded wall — timings must survive registry
+        # reordering.
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
