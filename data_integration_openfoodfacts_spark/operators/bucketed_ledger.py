@@ -84,9 +84,18 @@ def read_meta(spark: SparkSession, path: str) -> dict | None:
         text = jvm.org.apache.commons.io.IOUtils.toString(
             stream, "UTF-8"
         )
-        return json.loads(text)
     finally:
         stream.close()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        # A truncated/corrupt sidecar (crash mid-write on a filesystem
+        # without atomic rename) must not brick the store: treat it as
+        # a LEGACY store — validate_layout then sample-recomputes the
+        # bucket modulus from the data, which catches a real layout
+        # mismatch with probability ~1 while letting a correct caller
+        # proceed (the next append re-stamps a good sidecar).
+        return None
 
 
 def write_meta(
@@ -96,8 +105,17 @@ def write_meta(
     and after compaction's swap (the swap parks the old directory —
     and the sidecar inside it — in trash)."""
     fs, _, jvm = _fs_and_path(spark, path)
-    mpath = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{META_FILE}")
-    out = fs.create(mpath, True)
+    base = path.rstrip("/")
+    mpath = jvm.org.apache.hadoop.fs.Path(f"{base}/{META_FILE}")
+    # Stage-then-rename: a crash mid-write must never leave a TRUNCATED
+    # sidecar at the canonical name (a half-written JSON bricked every
+    # subsequent read before round 10). The temp name keeps the
+    # underscore prefix so Spark's file index ignores it too. The worst
+    # crash window (between delete and rename, on filesystems without
+    # overwriting rename) leaves NO sidecar — the legacy
+    # sample-validation path, which is safe.
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{base}/_{META_FILE}.tmp")
+    out = fs.create(tmp, True)
     try:
         payload = json.dumps(
             {"bucket_col": bucket_col, "n_buckets": int(n_buckets)}
@@ -105,6 +123,10 @@ def write_meta(
         out.write(bytearray(payload))
     finally:
         out.close()
+    if fs.exists(mpath):
+        fs.delete(mpath, False)
+    if not fs.rename(tmp, mpath):
+        raise IOError(f"{path}: failed to publish {META_FILE} sidecar")
 
 
 def store_n_buckets(

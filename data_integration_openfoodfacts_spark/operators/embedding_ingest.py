@@ -29,9 +29,15 @@ Layout and join direction follow the round-9 unified rules:
   that stage).
 
 Tuning: collision probability per band is P[all rows_per_band sign
-bits agree] = (1 - theta/pi)^rows_per_band — the default 8x8 (8 bands
-of 8 bits) targets production near-dup thresholds (cosine >= 0.9);
-see the measured fixed-vs-logscaled tuning study in SCALING_LLM.json.
+bits agree] = (1 - theta/pi)^rows_per_band. The default 8x16 (8 bands
+of 16 bits) matches the streaming wrapper (embedding_stream.py) and
+q167: at 16 bits the per-band CHANCE-collision floor is 0.5^16 ~ 1.5e-5,
+so collisions mean genuinely similar vectors. The earlier 8x8 default
+had a 0.5^8 = 1/256 per-band floor and collided essentially everything
+by chance at corpus sizes in the hundreds (measured in
+plans/embedding_ingest_queries.py) — pass rows_per_band=8 explicitly
+only for recall studies, never as a production dedup threshold. See
+the measured fixed-vs-logscaled tuning study in SCALING_LLM.json.
 """
 
 from __future__ import annotations
@@ -71,7 +77,7 @@ def embedding_band_signatures(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    rows_per_band: int = 8,
+    rows_per_band: int = 16,
     num_bands: int = 8,
 ) -> DataFrame:
     """(id, band, sig) hyperplane band signatures — one vectorized
@@ -120,7 +126,7 @@ def incremental_embedding_dedup(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    rows_per_band: int = 8,
+    rows_per_band: int = 16,
     num_bands: int = 8,
     n_buckets: int = EMB_LEDGER_BUCKETS,
     append: bool = True,

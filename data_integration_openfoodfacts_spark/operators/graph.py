@@ -311,14 +311,17 @@ def pagerank_fixed_point(
     )
     # Attach the degree to each edge ONCE — every iteration re-reads
     # this; leaving the join inside the loop re-ran it 3x (measured
-    # 10.7s -> 4.4s at sf0.1 on the 2.4M-edge co-order graph). The
-    # edge table is ALSO pre-partitioned by dst: the rank side of the
-    # per-iteration join is broadcast (a rank table is O(nodes), tiny
-    # next to O(edges)), the broadcast join preserves this dst
-    # partitioning, and the groupBy(dst) aggregate then needs NO
-    # exchange — each iteration is a narrow scan over the cached edge
-    # partitions instead of a full O(edges) shuffle (measured 5.3s ->
-    # 3.3s for 3 iterations at sf0.1).
+    # 10.7s -> 4.4s at sf0.1 on the 2.4M-edge co-order graph). Each
+    # iteration then costs one narrow scan + broadcast join over the
+    # checkpointed edges plus ONE exchange: the map-side-combined
+    # groupBy(dst) of contributions, which moves only the partial
+    # aggregates (O(distinct dst)), not the edge list. A dst
+    # pre-partition before the checkpoint does NOT remove that
+    # exchange — localCheckpoint scans back as an ExistingRDD with no
+    # output-partitioning metadata, so Catalyst re-inserts
+    # ENSURE_REQUIREMENTS regardless (probed round 10); the 5.3s ->
+    # 3.3s win at sf0.1 came from the broadcast hint skipping AQE's
+    # plan-then-replan shuffle stages.
     edges_deg = (
         edges.join(out_deg, F.col(src) == F.col("node"))
         .select(F.col(src), F.col(dst), F.col("out_deg"))

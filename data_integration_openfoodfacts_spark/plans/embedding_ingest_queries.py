@@ -73,8 +73,11 @@ def q167_incremental_embedding_dedup(
             rows_per_band=_RPB, num_bands=_NB,
             n_buckets=16, append=False,
         )
-        out = survivors.select("vec_id")
-        out.localCheckpoint(eager=True)
+        # localCheckpoint RETURNS the checkpointed frame — assign it, so
+        # the returned plan provably reads only checkpointed blocks and
+        # survives the rmtree below without leaning on the operator's
+        # internal checkpoint of `collided` (round-10 ADVICE fix).
+        out = survivors.select("vec_id").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -149,25 +149,36 @@ def dedup_events_stream(
 
 def read_parquet_if_exists(spark, path: str):
     """Read a parquet target, returning None when the path does not
-    exist OR holds no data files yet (UNABLE_TO_INFER_SCHEMA — an
-    all-empty PARTITIONED append writes only a _SUCCESS marker, no
-    footers, so the very first real batch of a bucketed ledger can
-    find the directory present but schemaless). Any other failure
-    (corrupt file, permission, FS timeout) propagates — treating it as
-    "first batch" would silently overwrite and destroy the accumulated
-    target."""
-    from pyspark.errors import AnalysisException
+    exist OR holds no data files yet (an all-empty PARTITIONED append
+    writes only a _SUCCESS marker, no footers, so the very first real
+    batch of a bucketed ledger can find the directory present but
+    schemaless). Any other failure (corrupt file, permission, FS
+    timeout) propagates from ``spark.read`` — treating it as "first
+    batch" would silently overwrite and destroy the accumulated target.
 
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException as e:
-        if (
-            "PATH_NOT_FOUND" in str(e)
-            or "Path does not exist" in str(e)
-            or "UNABLE_TO_INFER_SCHEMA" in str(e)
-        ):
-            return None
-        raise
+    Both "missing" states are probed via the Hadoop FS API BEFORE
+    calling ``spark.read`` (round-10 VERDICT #2): the previous
+    catch-AnalysisException shape still let Spark log the full
+    PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA stack trace to stderr on
+    every expected first-batch ledger probe, polluting any driver tail
+    capture. A missing ledger is an ordinary state here, not an error
+    — no exception may be raised OR logged for it. The recursive
+    listing stops at the first data file, and is work ``spark.read``'s
+    own file index would repeat anyway."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    if fs.getFileStatus(hpath).isDirectory():
+        it = fs.listFiles(hpath, True)
+        while True:
+            if not it.hasNext():
+                return None  # markers/sidecars only — no footers yet
+            name = it.next().getPath().getName()
+            if not name.startswith(("_", ".")):
+                break
+    return spark.read.parquet(path)
 
 
 def overwrite_parquet_atomically(

@@ -94,6 +94,40 @@ def test_legacy_store_sample_validation(spark, tmp_path):
     }
 
 
+def test_truncated_sidecar_degrades_to_legacy_validation(spark, tmp_path):
+    """Round-10 ADVICE: a crash mid-write used to leave truncated JSON
+    at the canonical sidecar name, bricking every subsequent read_meta
+    with a raw JSONDecodeError. Now (a) writes stage-then-rename so the
+    canonical name is never half-written, and (b) a corrupt sidecar —
+    however it got there — reads as None and the store degrades to
+    legacy sample validation: wrong counts still refused, correct
+    appends succeed and re-stamp a good sidecar."""
+    path = str(tmp_path / "ledger")
+    append_ledger_delta(_firsts(spark, FIRSTS), path, n_buckets=16)
+    # no staging residue from the normal append path
+    assert not glob.glob(f"{path}/*_bucket_meta.json.tmp")
+    # simulate the crash artifact: truncated JSON at the canonical name
+    # (drop the local-FS checksum sidecar too — an out-of-band truncation
+    # invalidates it, and this test is about the JSON layer)
+    with open(f"{path}/_bucket_meta.json", "w") as f:
+        f.write('{"bucket_col": "kb", "n_bu')
+    crc = f"{path}/._bucket_meta.json.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert read_meta(spark, path) is None  # not a raised JSONDecodeError
+    with pytest.raises(BucketLayoutError, match="different bucket"):
+        append_ledger_delta(
+            _firsts(spark, [("e" * 32, 5)]), path, n_buckets=256
+        )
+    append_ledger_delta(
+        _firsts(spark, [("e" * 32, 5)]), path, n_buckets=16
+    )
+    assert spark.read.parquet(path).count() == len(FIRSTS) + 1
+    assert read_meta(spark, path) == {
+        "bucket_col": KB_COL, "n_buckets": 16,
+    }
+
+
 def test_compact_rewrites_sidecar_and_can_rebucket(spark, tmp_path):
     """Compaction is the ONE operation allowed to change the bucket
     count: it rewrites every row under the new modulus and re-stamps

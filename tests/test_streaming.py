@@ -301,3 +301,46 @@ def test_watermark_bounds_dedup_state(spark, tmp_path):
     assert peak_u == per_hour * hours
     assert peak_b < per_hour * hours
     assert peak_b >= per_hour  # at least one hour of keys live
+
+
+def test_read_parquet_if_exists_is_silent_on_missing(spark, tmp_path, capfd):
+    """Round-10 VERDICT #2: probing a not-yet-existing or data-less
+    ledger is an ORDINARY state — no AnalysisException may be raised
+    inside Spark (the JVM logs the full stack trace to stderr even when
+    Python catches it, and those traces polluted the driver's bench
+    tail capture in r09). The probe now existence-checks via the Hadoop
+    FS API, so stderr stays clean; real data still reads back."""
+    import os
+
+    from data_integration_openfoodfacts_spark.streaming.events_stream import (
+        read_parquet_if_exists,
+    )
+
+    capfd.readouterr()  # drain anything earlier tests left buffered
+    # missing path
+    assert read_parquet_if_exists(spark, str(tmp_path / "nope")) is None
+    # directory present but marker-only (all-empty partitioned append)
+    marker_only = tmp_path / "markers"
+    marker_only.mkdir()
+    (marker_only / "_SUCCESS").touch()
+    (marker_only / "_bucket_meta.json").write_text("{}")
+    assert read_parquet_if_exists(spark, str(marker_only)) is None
+    err = capfd.readouterr().err
+    for needle in ("AnalysisException", "PATH_NOT_FOUND",
+                   "UNABLE_TO_INFER_SCHEMA", "at org.apache"):
+        assert needle not in err, err[:2000]
+    # a real store still reads back, and a corrupt file still raises
+    good = str(tmp_path / "good")
+    spark.range(3).coalesce(1).write.parquet(good)
+    got = read_parquet_if_exists(spark, good)
+    assert got is not None and got.count() == 3
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet footer")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        df = read_parquet_if_exists(spark, str(bad))
+        # schema inference may be lazy for some layouts — force it
+        if df is not None:
+            df.collect()
