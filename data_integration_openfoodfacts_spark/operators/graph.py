@@ -26,6 +26,16 @@ scale formulation for graphs whose diameter is unknown:
 - the driver-side loop reads one scalar per round (the count of edges
   that changed), never data rows.
 
+Round-10 A/B (rejected): fusing TWO (large,small) pairs per
+materialization/convergence-check — halving the per-round job count —
+measured ~2x SLOWER (baseline 4.5-5.7s vs fused 8.9-12.3s over 3 runs
+on a 5k-node chain+random graph, identical labels): the deeper
+unmaterialized plan per job (4 groupBy+join stages under AQE's
+plan-then-replan) costs more than the one saved count job, and the
+gate queries converge in ~2 pairs anyway so there is almost no
+round-scheduling wall to reclaim. One checkpoint + one count per
+(large,small) pair stays the design.
+
 Deterministic by construction: the final label of every node is the
 minimum node id in its component, independent of iteration order.
 """

@@ -588,6 +588,47 @@ GROUP BY 1
 
 _EDGES_MEMO: dict[tuple[str, str], DataFrame] = {}
 
+#: the queries sharing the memoized edge checkpoint; once ALL of them
+#: have registered consumption the blocks are released (round-10
+#: VERDICT #3 / SURVEY candidate #1)
+_EDGES_CONSUMERS = frozenset({"q97_bfs_reachability", "q104_pagerank"})
+_EDGES_CONSUMED: dict[tuple[str, str], set[str]] = {}
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Deterministically free the executor blocks behind an eager
+    ``localCheckpoint``: the checkpointed Dataset's analyzed plan is a
+    LogicalRDD whose backing RDD holds the cached blocks — unpersist
+    it. The frame is DEAD afterwards (lineage was truncated at
+    checkpoint time, so there is nothing to recompute from); callers
+    must drop every reference. Transient per-call checkpoints don't
+    need this — the ContextCleaner unpersists them once the driver
+    references are garbage-collected — but a module-level memo keeps a
+    strong reference for the application's lifetime, which round 9
+    measured as block-manager pressure amplifying degraded-host stalls
+    on the Arrow-heavy pair queries that run later in the suite."""
+    df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+
+
+def _mark_edges_consumed(
+    spark: SparkSession, sf_dir: str, consumer: str
+) -> None:
+    """Register that ``consumer`` finished MATERIALIZING its result
+    from the memoized edge list (both q97 and q104 return eagerly
+    checkpointed frames, so their results never read the edge blocks
+    again). When every consumer in ``_EDGES_CONSUMERS`` has registered,
+    the checkpoint is released and the memo entry dropped — a later
+    call to ``_co_order_edges`` simply rebuilds, starting a new
+    consumption cycle."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    seen = _EDGES_CONSUMED.setdefault(key, set())
+    seen.add(consumer)
+    if seen >= _EDGES_CONSUMERS:
+        df = _EDGES_MEMO.pop(key, None)
+        if df is not None:
+            _release_local_checkpoint(df)
+        _EDGES_CONSUMED.pop(key, None)
+
 
 def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed co-order part graph: parts sharing an order are
@@ -653,7 +694,12 @@ def q97_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "part")
         .agg(F.min("p_partkey").alias("node"))
     )
+    # bfs_distances eagerly checkpoints `visited` every hop, so `out`
+    # is materialized independent of the edge blocks by the time it
+    # returns — safe to register consumption (and possibly release the
+    # shared checkpoint) before the driver collects.
     out = bfs_distances(edges, seeds, max_hops=3)
+    _mark_edges_consumed(spark, sf_dir, "q97_bfs_reachability")
     return out.select("node", F.col("dist").cast("long").alias("dist"))
 
 
@@ -693,7 +739,12 @@ def q104_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank_fixed_point
 
     edges = _co_order_edges(spark, sf_dir)
-    return pagerank_fixed_point(edges, n_iters=3)
+    # the returned ranks are eagerly checkpointed per iteration, so the
+    # result never re-reads the edge blocks — consumption can register
+    # (and release the shared checkpoint) before the driver collects
+    out = pagerank_fixed_point(edges, n_iters=3)
+    _mark_edges_consumed(spark, sf_dir, "q104_pagerank")
+    return out
 
 
 def _pagerank_oracle() -> str:
