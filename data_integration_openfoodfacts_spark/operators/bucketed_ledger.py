@@ -68,12 +68,15 @@ def _fs_and_path(spark: SparkSession, path: str):
     return hpath.getFileSystem(jsc.hadoopConfiguration()), hpath, jvm
 
 
-def read_meta(spark: SparkSession, path: str) -> dict | None:
-    """The store's layout sidecar, or None (legacy store / first
-    write). Hadoop FS so the same code runs on local disk and object
-    stores."""
+def read_json_sidecar(
+    spark: SparkSession, path: str, filename: str
+) -> dict | None:
+    """A store's JSON sidecar, or None when absent OR corrupt. Hadoop
+    FS so the same code runs on local disk and object stores. Shared
+    by every sidecar-stamped store (bucket layouts here, the Bloom
+    word table's filter geometry in streaming/bloom_ingest.py)."""
     fs, hpath, jvm = _fs_and_path(spark, path)
-    mpath = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{META_FILE}")
+    mpath = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{filename}")
     if not fs.exists(mpath):
         return None
     stream = fs.open(mpath)
@@ -91,11 +94,42 @@ def read_meta(spark: SparkSession, path: str) -> dict | None:
     except json.JSONDecodeError:
         # A truncated/corrupt sidecar (crash mid-write on a filesystem
         # without atomic rename) must not brick the store: treat it as
-        # a LEGACY store — validate_layout then sample-recomputes the
-        # bucket modulus from the data, which catches a real layout
-        # mismatch with probability ~1 while letting a correct caller
-        # proceed (the next append re-stamps a good sidecar).
+        # absent — each store's validation then falls back to its
+        # data-derived check (bucket layouts sample-recompute the
+        # modulus), and the next stamp rewrites a good sidecar.
         return None
+
+
+def write_json_sidecar(
+    spark: SparkSession, path: str, filename: str, payload: dict
+) -> None:
+    """Stage-then-rename a JSON sidecar: a crash mid-write must never
+    leave TRUNCATED JSON at the canonical name (a half-written sidecar
+    bricked every subsequent read before round 10). The temp name
+    keeps the underscore prefix so Spark's file index ignores it too.
+    The worst crash window (between delete and rename, on filesystems
+    without overwriting rename) leaves NO sidecar — the absent-sidecar
+    fallback path, which is safe."""
+    fs, _, jvm = _fs_and_path(spark, path)
+    base = path.rstrip("/")
+    mpath = jvm.org.apache.hadoop.fs.Path(f"{base}/{filename}")
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{base}/_{filename}.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(mpath):
+        fs.delete(mpath, False)
+    if not fs.rename(tmp, mpath):
+        raise IOError(f"{path}: failed to publish {filename} sidecar")
+
+
+def read_meta(spark: SparkSession, path: str) -> dict | None:
+    """The store's layout sidecar, or None (legacy store / first
+    write / corrupt sidecar — the latter degrades to the legacy
+    sample-validation path)."""
+    return read_json_sidecar(spark, path, META_FILE)
 
 
 def write_meta(
@@ -104,29 +138,10 @@ def write_meta(
     """Stamp (overwrite) the layout sidecar. Called after every append
     and after compaction's swap (the swap parks the old directory —
     and the sidecar inside it — in trash)."""
-    fs, _, jvm = _fs_and_path(spark, path)
-    base = path.rstrip("/")
-    mpath = jvm.org.apache.hadoop.fs.Path(f"{base}/{META_FILE}")
-    # Stage-then-rename: a crash mid-write must never leave a TRUNCATED
-    # sidecar at the canonical name (a half-written JSON bricked every
-    # subsequent read before round 10). The temp name keeps the
-    # underscore prefix so Spark's file index ignores it too. The worst
-    # crash window (between delete and rename, on filesystems without
-    # overwriting rename) leaves NO sidecar — the legacy
-    # sample-validation path, which is safe.
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{base}/_{META_FILE}.tmp")
-    out = fs.create(tmp, True)
-    try:
-        payload = json.dumps(
-            {"bucket_col": bucket_col, "n_buckets": int(n_buckets)}
-        ).encode("utf-8")
-        out.write(bytearray(payload))
-    finally:
-        out.close()
-    if fs.exists(mpath):
-        fs.delete(mpath, False)
-    if not fs.rename(tmp, mpath):
-        raise IOError(f"{path}: failed to publish {META_FILE} sidecar")
+    write_json_sidecar(
+        spark, path, META_FILE,
+        {"bucket_col": bucket_col, "n_buckets": int(n_buckets)},
+    )
 
 
 def store_n_buckets(

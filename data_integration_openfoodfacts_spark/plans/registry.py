@@ -13,6 +13,7 @@ new keys freely; never rename or repurpose existing ones.
 from __future__ import annotations
 
 from .analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES
+from .bloom_queries import BLOOM_ORACLES, BLOOM_QUERIES
 from .curation_queries import CURATION_ORACLES, CURATION_QUERIES
 from .embedding_ingest_queries import (
     EMBEDDING_INGEST_ORACLES,
@@ -51,6 +52,7 @@ _ALL_QUERIES = {
     **TRAINING_QUERIES,
     **SPAN_QUERIES,
     **EMBEDDING_INGEST_QUERIES,
+    **BLOOM_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -70,6 +72,7 @@ _ALL_ORACLES = {
     **TRAINING_ORACLES,
     **SPAN_ORACLES,
     **EMBEDDING_INGEST_ORACLES,
+    **BLOOM_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry

@@ -98,6 +98,43 @@ def probe_three(spark, sf_dir: str) -> dict:
         "candidates": spark.read.parquet(eb_path).count(),
     }
     shutil.rmtree(eb_tmp, ignore_errors=True)
+
+    # q170 Bloom screen: a FIXED batch (the base dir's doc_id % 3 == 0
+    # text keys) probed against a word table seeded from THIS scale's
+    # corpus keys — the whole-point claim: the table is O(m) bits no
+    # matter how many keys went in, so probe wall stays flat while
+    # "candidates" (inserted corpus keys) grows with the corpus.
+    from data_integration_openfoodfacts_spark.operators.bloom import (
+        bloom_probe_keys,
+    )
+    from data_integration_openfoodfacts_spark.streaming.bloom_ingest import (
+        DEFAULT_K,
+        DEFAULT_WORDS,
+        seed_bloom,
+    )
+
+    corpus_keys = docs.filter(F.col("doc_id") % 3 != 0).select(
+        F.md5("text").alias("kk")
+    )
+    fixed_keys = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(F.md5("text").alias("kk"))
+        .localCheckpoint(eager=True)
+    )
+    bl_tmp = tempfile.mkdtemp(prefix="q170_probe_")
+    bl_path = f"{bl_tmp}/bloom"
+    seed_bloom(corpus_keys, "kk", bl_path, DEFAULT_WORDS, DEFAULT_K)
+    table = spark.read.parquet(bl_path).localCheckpoint(eager=True)
+    res["q170_bloom_screen_fixed_batch"] = {
+        "sec": time_df(
+            lambda: bloom_probe_keys(
+                fixed_keys, "kk", table, DEFAULT_WORDS, DEFAULT_K
+            )
+        ),
+        "candidates": corpus_keys.distinct().count(),
+    }
+    shutil.rmtree(bl_tmp, ignore_errors=True)
     return res
 
 
