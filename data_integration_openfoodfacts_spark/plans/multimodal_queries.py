@@ -57,5 +57,61 @@ FROM grid g
 LEFT JOIN counts c ON c.media_id = g.media_id AND c.bucket = g.bucket
 """
 
-MULTIMODAL_QUERIES = {"q29_byte_histogram": q29_byte_histogram}
-MULTIMODAL_ORACLES = {"q29_byte_histogram": Q29_ORACLE}
+def q171_binary_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free near-dup fingerprints for binary payloads
+    (`multimodal/binary_ops.binary_simhash`): SimHash over distinct
+    byte 4-grams of the opaque payload — catches re-crawled media that
+    differ by a few bytes without any decoder. Fake-media payloads are
+    the docs' utf-8 bytes (q29's fixture), ascii-filtered so DuckDB —
+    which can only n-gram CHARACTERS — sees the identical byte stream
+    through `hex()` (verified byte-identical to `F.hex`). Payloads
+    shorter than 4 bytes carry no gram and drop out on both sides."""
+    from ..multimodal.binary_ops import attach_fake_media, binary_simhash
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").rlike("^[\\x00-\\x7F]*$") & (F.col("text") != "")
+    )
+    media = attach_fake_media(docs, "doc_id", "text")
+    return binary_simhash(media, "media_id", "payload", ngram_bytes=4,
+                          bits=16)
+
+
+Q171_ORACLE = """
+WITH ascii_docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE NOT regexp_matches(text, '[^\\x00-\\x7F]') AND text <> ''
+),
+hx AS (
+  SELECT doc_id AS media_id, hex(text) AS h, length(text) AS nb
+  FROM ascii_docs WHERE length(text) >= 4
+),
+grams AS (
+  SELECT DISTINCT media_id, substring(h, i * 2 + 1, 8) AS gram
+  FROM hx, LATERAL (SELECT UNNEST(range(0, nb - 3)) AS i) u
+),
+gh AS (
+  SELECT media_id,
+         CAST(concat('0x', substring(md5(gram), 1, 15)) AS BIGINT)
+           % 65536 AS h16
+  FROM grams
+),
+votes AS (
+  SELECT media_id, b, SUM(((h16 >> b) & 1) * 2 - 1) AS s
+  FROM gh, LATERAL (SELECT UNNEST(range(0, 16)) AS b) v
+  GROUP BY media_id, b
+)
+SELECT media_id,
+       CAST(SUM(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM votes GROUP BY media_id
+"""
+
+
+MULTIMODAL_QUERIES = {
+    "q29_byte_histogram": q29_byte_histogram,
+    "q171_binary_simhash": q171_binary_simhash,
+}
+MULTIMODAL_ORACLES = {
+    "q29_byte_histogram": Q29_ORACLE,
+    "q171_binary_simhash": Q171_ORACLE,
+}

@@ -104,3 +104,36 @@ def test_resize_media_real_codec_path_raises(spark):
         resize_media(
             attach_fake_media(docs, "doc_id", "text"), fake=False
         ).collect()
+
+
+def test_binary_simhash_neardup_vs_disjoint(spark):
+    """Codec-free payload fingerprints: byte-identical payloads share
+    a fingerprint, a few-byte mutation stays within a small Hamming
+    distance (shared gram mass dominates the votes), and an unrelated
+    payload lands far away. Sub-4-byte payloads drop out (no gram to
+    vote). Plan stays JVM-only (no BatchEvalPython)."""
+    from data_integration_openfoodfacts_spark.multimodal.binary_ops import (
+        binary_simhash,
+    )
+
+    base = bytes(range(48, 112)) * 4  # 256 bytes
+    mutated = bytearray(base)
+    mutated[100:104] = b"XYZW"  # 4-byte "EXIF churn"
+    rows = [
+        (1, bytes(base)),
+        (2, bytes(base)),          # exact dup
+        (3, bytes(mutated)),       # near dup
+        (4, b"\x01\x02" * 128),    # unrelated
+        (5, b"ab"),                # too short: no gram
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = binary_simhash(df, "media_id", "payload")
+    got = {r["media_id"]: r["simhash"] for r in out.collect()}
+    assert 5 not in got and set(got) == {1, 2, 3, 4}
+    assert got[1] == got[2]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(got[1], got[3]) <= 4, (got[1], got[3])
+    assert ham(got[1], got[4]) >= 5, (got[1], got[4])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
