@@ -128,6 +128,16 @@ HEADLINERS = {
         "interval merge (one id-window shuffle), narrow positional "
         "filter reassembly — no position-level join, no Python UDF"
     ),
+    "q168_bloom_decontamination": (
+        "Bloom screen: map-side bit_or word build (<=1024 rows out), "
+        "BROADCAST word table into the probe join, one groupBy(key) — "
+        "the filter is never shuffled, the probe side is"
+    ),
+    "q171_binary_simhash": (
+        "codec-free payload SimHash: narrow hex-gram explode, distinct, "
+        "two grouped aggs keyed on media_id — linear in corpus bytes, "
+        "zero Python"
+    ),
 }
 
 
