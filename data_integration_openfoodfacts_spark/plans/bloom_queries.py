@@ -280,14 +280,77 @@ FROM f1
 """
 
 
+def q173_screened_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production two-stage decontamination, end-to-end: the Bloom
+    SCREEN bounds the workload (only maybe-flagged corpus shingles
+    reach the join), the exact VERIFY against the benchmark shingles
+    decides (q46's semantics: >= 5 shared distinct shingles). The
+    Bloom contract makes the composition EXACT — zero false negatives
+    means no contaminated doc can be screened out, and the verify join
+    kills every false positive — so the oracle is q46's exact SQL,
+    untouched by filter arithmetic: the gate literally pins
+    screen-then-verify == exhaustive join. What the screen buys at
+    scale is the join's left side: FPR-bounded candidates instead of
+    every corpus shingle."""
+    from ..operators.bloom import bloom_build, bloom_probe_keys
+    from ..operators.similarity_dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench_sh = word_shingles(
+        docs.filter(F.col("doc_id") % _BENCH_MOD == 0), "doc_id", "text", n=3
+    )
+    corp_sh = word_shingles(
+        docs.filter(F.col("doc_id") % _BENCH_MOD != 0), "doc_id", "text", n=3
+    )
+    bloom = bloom_build(bench_sh.select("shingle"), "shingle", _NW, _K)
+    flags = bloom_probe_keys(corp_sh, "shingle", bloom, _NW, _K)
+    flagged = corp_sh.join(
+        flags.filter(F.col("maybe_member")).select("shingle"), "shingle"
+    )
+    return (
+        flagged.join(
+            bench_sh.select(
+                F.col("doc_id").alias("bench_doc"), "shingle"
+            ),
+            "shingle",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("shared_shingles"),
+            F.countDistinct("bench_doc").alias("benchmark_docs"),
+        )
+        .filter(F.col("shared_shingles") >= 5)
+    )
+
+
+# q46's exact decontamination SQL IS the oracle: the screen must be
+# invisible in the result (no false negatives by construction, false
+# positives die in the verify join).
+Q173_ORACLE = f"""
+WITH {_SH_CTE.strip()},
+bench AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0),
+corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {_BENCH_MOD} <> 0)
+SELECT c.doc_id,
+       COUNT(DISTINCT c.shingle) AS shared_shingles,
+       COUNT(DISTINCT b.doc_id) AS benchmark_docs
+FROM corp c JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+HAVING COUNT(DISTINCT c.shingle) >= 5
+"""
+
+
 BLOOM_QUERIES = {
     "q168_bloom_decontamination": q168_bloom_decontamination,
     "q169_bloom_fpr_audit": q169_bloom_fpr_audit,
     "q170_bloom_incremental_novelty": q170_bloom_incremental_novelty,
+    "q173_screened_decontamination": q173_screened_decontamination,
 }
 
 BLOOM_ORACLES = {
     "q168_bloom_decontamination": Q168_ORACLE,
     "q169_bloom_fpr_audit": Q169_ORACLE,
     "q170_bloom_incremental_novelty": Q170_ORACLE,
+    "q173_screened_decontamination": Q173_ORACLE,
 }
