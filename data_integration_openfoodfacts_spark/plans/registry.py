@@ -27,6 +27,7 @@ from .ledger_queries import LEDGER_ORACLES, LEDGER_QUERIES
 from .llm_queries import LLM_ORACLES, LLM_QUERIES
 from .multimodal_queries import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
 from .olap_queries import OLAP_ORACLES, OLAP_QUERIES
+from .fingerprint_queries import FINGERPRINT_ORACLES, FINGERPRINT_QUERIES
 from .propagation_queries import PROPAGATION_ORACLES, PROPAGATION_QUERIES
 from .sampling_queries import SAMPLING_ORACLES, SAMPLING_QUERIES
 from .span_queries import SPAN_ORACLES, SPAN_QUERIES
@@ -55,6 +56,7 @@ _ALL_QUERIES = {
     **EMBEDDING_INGEST_QUERIES,
     **BLOOM_QUERIES,
     **PROPAGATION_QUERIES,
+    **FINGERPRINT_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -76,6 +78,7 @@ _ALL_ORACLES = {
     **EMBEDDING_INGEST_ORACLES,
     **BLOOM_ORACLES,
     **PROPAGATION_ORACLES,
+    **FINGERPRINT_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry

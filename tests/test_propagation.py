@@ -76,3 +76,33 @@ def test_plan_no_python_no_cartesian(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tf_weighted_simhash_separates_repetition(spark):
+    """The weighted fingerprint's reason to exist: token-set-equal
+    documents with different repetition profiles fingerprint apart
+    when a dominant token flips contested bits, while exact duplicates
+    collide; and the weighted hash of a tf=1 document equals q20's
+    unweighted hash (weights degenerate to the unweighted vote)."""
+    from data_integration_openfoodfacts_spark.operators.similarity_dedup import (
+        simhash,
+    )
+    from data_integration_openfoodfacts_spark.operators.weighted_fingerprint import (
+        tf_weighted_simhash,
+    )
+
+    rows = [
+        (1, "spam spam spam spam spam ham eggs"),
+        (2, "spam ham eggs"),               # same token SET as 1
+        (3, "spam spam spam spam spam ham eggs"),  # exact dup of 1
+        (4, "alpha beta gamma"),             # all tf=1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w = {r["doc_id"]: r["simhash"] for r in
+         tf_weighted_simhash(df, "doc_id", "text").collect()}
+    u = {r["doc_id"]: r["simhash"] for r in
+         simhash(df, "doc_id", "text").collect()}
+    assert w[1] == w[3]                      # exact dup collides
+    assert u[1] == u[2]                      # unweighted can't see tf
+    assert w[1] != w[2]                      # weighted can
+    assert w[4] == u[4]                      # tf=1 degenerates to q20
