@@ -29,6 +29,7 @@ from .multimodal_queries import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
 from .olap_queries import OLAP_ORACLES, OLAP_QUERIES
 from .fingerprint_queries import FINGERPRINT_ORACLES, FINGERPRINT_QUERIES
 from .propagation_queries import PROPAGATION_ORACLES, PROPAGATION_QUERIES
+from .retraction_queries import RETRACTION_ORACLES, RETRACTION_QUERIES
 from .sampling_queries import SAMPLING_ORACLES, SAMPLING_QUERIES
 from .span_queries import SPAN_ORACLES, SPAN_QUERIES
 from .streaming_queries import STREAMING_ORACLES, STREAMING_QUERIES
@@ -57,6 +58,7 @@ _ALL_QUERIES = {
     **BLOOM_QUERIES,
     **PROPAGATION_QUERIES,
     **FINGERPRINT_QUERIES,
+    **RETRACTION_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -79,6 +81,7 @@ _ALL_ORACLES = {
     **BLOOM_ORACLES,
     **PROPAGATION_ORACLES,
     **FINGERPRINT_ORACLES,
+    **RETRACTION_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry
