@@ -100,6 +100,85 @@ def bloom_union(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def counting_build(
+    df: DataFrame, key: str, n_words: int, k: int
+) -> DataFrame:
+    """Counting-Bloom position table ``(p, cnt)`` over the key
+    OCCURRENCES in ``df[key]`` — the deletable master behind a bit
+    screen. ``cnt`` is how many inserted occurrences hash to position
+    ``p`` (a key inserted c times contributes c to each of its k
+    positions), so retraction is exact integer subtraction and the
+    structure answers membership for the surviving MULTISET: a key
+    shared by several owners stays set until the last owner retracts.
+
+    Representation deliberately stays unpacked — one BIGINT count per
+    OCCUPIED position, <= min(m, k * distinct keys) rows. A production
+    packing (4-bit saturating nibbles, 15 per word) trades exactness of
+    retraction for 16x space; this engine keeps the exact form because
+    the table is already tiny (m rows bounds it) and saturated counters
+    can never be decremented safely. One shuffle: the groupBy(p) with
+    map-side combine; output size is capped by m no matter the corpus."""
+    pos = df.select(F.explode(bloom_positions(F.col(key), n_words, k)).alias("p"))
+    return pos.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def counting_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two position-count tables built with the SAME (n_words,
+    k): insertion deltas carry positive counts, retraction deltas
+    negative ones (`counting_retract`). Zero rows are dropped (dead
+    weight); NEGATIVE rows are kept deliberately — they can only mean
+    the caller retracted occurrences never inserted (a contract
+    violation that silently manufactures false negatives), and a kept
+    negative row is the queryable evidence (`counts.filter("cnt < 0")`)
+    where a clamp would destroy it. Probes treat cnt > 0 as set, so a
+    negative row reads as unset either way."""
+    return (
+        a.select("p", "cnt")
+        .unionByName(b.select("p", "cnt"))
+        .groupBy("p")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )
+
+
+def counting_retract(
+    counts: DataFrame, removed: DataFrame, key: str, n_words: int, k: int
+) -> DataFrame:
+    """Subtract the removed key OCCURRENCES from the position-count
+    table — the takedown path the plain bit filter cannot offer (a set
+    bit carries no owner count, so clearing it risks false negatives
+    for every other key sharing the position; the count does carry it).
+    Exactness contract: ``removed`` must be (a subset of) occurrences
+    previously inserted. Under that contract the result is
+    POSITION-IDENTICAL to rebuilding from the surviving occurrences —
+    membership verdicts INCLUDING false positives match a fresh build
+    bit-for-bit, which is what q176's oracle pins."""
+    neg = counting_build(removed, key, n_words, k).select(
+        "p", (-F.col("cnt")).alias("cnt")
+    )
+    return counting_merge(counts, neg)
+
+
+def counting_to_words(counts: DataFrame) -> DataFrame:
+    """Collapse a position-count table to the ``(w, bits)`` word table
+    (`bloom_build`'s shape): bit set iff cnt > 0. Probes then run
+    through the ONE probe implementation (`bloom_probe_keys`) — the
+    counting master is the mutable store, the derived word table is
+    the compact broadcast artifact, and deriving it is an O(table)
+    narrow pass + the same groupBy(w) the direct build pays."""
+    return (
+        counts.filter(F.col("cnt") > 0)
+        .select(
+            F.expr(f"p DIV {WORD_BITS}").alias("w"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(p % {WORD_BITS} AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
 def bloom_probe_keys(
     keys_df: DataFrame,
     key: str,

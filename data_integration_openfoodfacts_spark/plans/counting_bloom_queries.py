@@ -1,0 +1,149 @@
+"""Counting-Bloom queries (round 10): the DELETABLE membership screen
+— the missing takedown path for the Bloom family. q175 retracts from
+the exact bucketed ledgers; the plain bit filter (q168-q170) cannot
+retract at all (a set bit carries no owner count, so clearing it would
+manufacture false negatives for every key sharing the position). The
+counting master (`operators/bloom.py::counting_build`) carries exact
+per-position occurrence counts, so a takedown is integer subtraction
+and the post-takedown screen is POSITION-IDENTICAL to one rebuilt from
+the surviving occurrences — false positives included, which is what
+the oracle pins.
+
+New module on purpose (CLAUDE.md): the closure (operators/bloom ->
+similarity_dedup.md5_long/word_shingles) stays out of llm_queries' and
+bloom_queries' fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet_source import load_table
+
+#: 8192 words x 63 bits = 516,096 bits (~64 KB broadcast), k = 5: at
+#: sf0.1's ~27k distinct corpus shingles the theoretical FPR is ~7e-4
+#: — small enough that the screen is useful, large enough that the
+#: cross-tab's false-positive cell is usually non-empty and therefore
+#: actually exercised by the oracle's bit-exact replay.
+_NW = 8192
+_K = 5
+_M = _NW * 63
+_TAKEDOWN_MOD = 11  # q175's takedown split, kept for comparability
+
+# Local copy of the 3-gram shingle CTE (bloom_queries._SH_CTE's
+# recipe; a cross-module import would couple the two fingerprints).
+_SH_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) u
+  WHERE len(t) >= 3
+)
+"""
+
+
+def q176_counting_bloom_takedown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Right-to-be-forgotten through the membership SCREEN itself:
+    every (doc, 3-gram shingle) ownership pair increments the counting
+    table, the takedown docs' (doc_id % 11 == 0) pairs are subtracted,
+    and the post-takedown screen — the derived (w, bits) word table,
+    probed by `bloom_probe_keys` like any plain filter — is cross-
+    tabbed against ground truth (does the shingle still have a
+    surviving owner?). The load-bearing cells: (present=1, maybe=0)
+    must be EMPTY (a shingle shared with any surviving doc keeps every
+    position count >= 1 — retraction can never screen out live data),
+    and (present=0, maybe=1) counts the deterministic false positives
+    the oracle replays bit-for-bit. Cost shape: two groupBy(p) builds
+    (k exploded rows per ownership pair, map-side combined, <= m rows
+    out), one O(table) word derivation, and the standard broadcast-
+    word-table probe — nothing scales with corpus size except the
+    linear hashing passes."""
+    from ..operators.bloom import (
+        bloom_probe_keys,
+        counting_build,
+        counting_retract,
+        counting_to_words,
+    )
+    from ..operators.similarity_dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # ONE shingle pass feeds the build, the retraction, the probe and
+    # the ground truth (q175's gate-wall trim — shingling is
+    # screen-independent).
+    occ = word_shingles(docs, "doc_id", "text", n=3).localCheckpoint(
+        eager=True
+    )
+    counts = counting_build(occ, "shingle", _NW, _K)
+    removed = occ.filter(F.col("doc_id") % _TAKEDOWN_MOD == 0).select(
+        "shingle"
+    )
+    after = counting_retract(counts, removed, "shingle", _NW, _K)
+    flags = bloom_probe_keys(
+        occ.select("shingle"), "shingle", counting_to_words(after), _NW, _K
+    )
+    truth = occ.groupBy("shingle").agg(
+        F.max(
+            (F.col("doc_id") % _TAKEDOWN_MOD != 0).cast("long")
+        ).alias("truly_present")
+    )
+    return (
+        truth.join(flags, "shingle")
+        .groupBy(
+            "truly_present", F.col("maybe_member").cast("long").alias("maybe_member")
+        )
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+Q176_ORACLE = f"""
+WITH {_SH_CTE.strip()},
+keys AS (
+  SELECT shingle,
+         CAST(COUNT(*) AS BIGINT) AS n_ins,
+         CAST(SUM(CASE WHEN doc_id % {_TAKEDOWN_MOD} = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+         MAX(CASE WHEN doc_id % {_TAKEDOWN_MOD} <> 0
+                  THEN 1 ELSE 0 END) AS truly_present
+  FROM sh GROUP BY shingle
+),
+kh AS (
+  SELECT shingle, n_ins - n_del AS delta, truly_present,
+         CAST(concat('0x', substring(md5(shingle || ':b1'), 1, 15))
+              AS BIGINT) % {_M} AS h1m,
+         (CAST(concat('0x', substring(md5(shingle || ':b2'), 1, 15))
+               AS BIGINT) | 1) % {_M} AS h2m
+  FROM keys
+),
+pos AS (
+  SELECT (h1m + ks.i * h2m) % {_M} AS p, delta
+  FROM kh CROSS JOIN (SELECT UNNEST(range({_K})) AS i) ks
+),
+cnts AS (SELECT p, SUM(delta) AS cnt FROM pos GROUP BY p),
+ppos AS (
+  SELECT shingle, (h1m + ks.i * h2m) % {_M} AS p
+  FROM kh CROSS JOIN (SELECT UNNEST(range({_K})) AS i) ks
+),
+flags AS (
+  SELECT shingle,
+         MIN(CASE WHEN c.cnt > 0 THEN 1 ELSE 0 END) AS allset
+  FROM ppos LEFT JOIN cnts c ON c.p = ppos.p
+  GROUP BY shingle
+)
+SELECT CAST(k.truly_present AS BIGINT) AS truly_present,
+       CAST(f.allset AS BIGINT) AS maybe_member,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM kh k JOIN flags f ON f.shingle = k.shingle
+GROUP BY 1, 2
+"""
+
+
+COUNTING_BLOOM_QUERIES = {
+    "q176_counting_bloom_takedown": q176_counting_bloom_takedown,
+}
+
+COUNTING_BLOOM_ORACLES = {
+    "q176_counting_bloom_takedown": Q176_ORACLE,
+}

@@ -14,6 +14,10 @@ from __future__ import annotations
 
 from .analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES
 from .bloom_queries import BLOOM_ORACLES, BLOOM_QUERIES
+from .counting_bloom_queries import (
+    COUNTING_BLOOM_ORACLES,
+    COUNTING_BLOOM_QUERIES,
+)
 from .curation_queries import CURATION_ORACLES, CURATION_QUERIES
 from .embedding_ingest_queries import (
     EMBEDDING_INGEST_ORACLES,
@@ -59,6 +63,7 @@ _ALL_QUERIES = {
     **PROPAGATION_QUERIES,
     **FINGERPRINT_QUERIES,
     **RETRACTION_QUERIES,
+    **COUNTING_BLOOM_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -82,6 +87,7 @@ _ALL_ORACLES = {
     **PROPAGATION_ORACLES,
     **FINGERPRINT_ORACLES,
     **RETRACTION_ORACLES,
+    **COUNTING_BLOOM_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry
