@@ -40,6 +40,10 @@ from .streaming_queries import STREAMING_ORACLES, STREAMING_QUERIES
 from .temporal_queries import TEMPORAL_ORACLES, TEMPORAL_QUERIES
 from .tpch_queries import TPCH_ORACLES, TPCH_QUERIES
 from .training_queries import TRAINING_ORACLES, TRAINING_QUERIES
+from .weighted_minhash_queries import (
+    WEIGHTED_MINHASH_ORACLES,
+    WEIGHTED_MINHASH_QUERIES,
+)
 
 _ALL_QUERIES = {
     **ANALYTICS_QUERIES,
@@ -64,6 +68,7 @@ _ALL_QUERIES = {
     **FINGERPRINT_QUERIES,
     **RETRACTION_QUERIES,
     **COUNTING_BLOOM_QUERIES,
+    **WEIGHTED_MINHASH_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -88,6 +93,7 @@ _ALL_ORACLES = {
     **FINGERPRINT_ORACLES,
     **RETRACTION_ORACLES,
     **COUNTING_BLOOM_ORACLES,
+    **WEIGHTED_MINHASH_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry
