@@ -150,6 +150,39 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+
+    # Shared-memo warmup (round-10 candidate #2, build attribution):
+    # q97/q104 share the memoized co-order edge checkpoint; in this
+    # single-run-per-query harness whichever consumer sorts FIRST
+    # absorbs the ~2.6s (sf0.1) build into its recorded wall, so the
+    # same plan reads ~14s or ~10s depending on rotation order and the
+    # SLOW flag chases the ordering, not the code. Build the memo in
+    # the warmup phase whenever any consumer is about to run (same
+    # rationale as the table/Arrow warmups above: measure the query,
+    # not session state), and force-release it after the loop so a
+    # window containing only ONE consumer doesn't leave the blocks
+    # pinned for nothing. Private-API import is deliberate — a
+    # tools-side hook keeps olap_queries' ~30-query fingerprint
+    # closure untouched (CLAUDE.md: batch edits to wide-closure
+    # modules).
+    from data_integration_openfoodfacts_spark.plans.olap_queries import (
+        _EDGES_CONSUMED,
+        _EDGES_CONSUMERS,
+        _EDGES_MEMO,
+        _co_order_edges,
+        _release_local_checkpoint,
+    )
+
+    will_run = set(only) if only else set(qs)
+    if will_run & _EDGES_CONSUMERS:
+        _co_order_edges(spark, sf_dir)
+
+    def _force_release_edge_memo() -> None:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        df = _EDGES_MEMO.pop(key, None)
+        if df is not None:
+            _release_local_checkpoint(df)
+        _EDGES_CONSUMED.pop(key, None)
     unknown = only - set(qs)
     if unknown:
         print(f"ERROR: unknown query name(s): {sorted(unknown)}")
@@ -254,6 +287,7 @@ def main() -> int:
             continue
         print(f"PASS {name} ({len(sdf)} rows, {dt:.1f}s)")
         greens.append(name)
+    _force_release_edge_memo()
     if slow:
         # Session warmup is paid before the loop (see above), so ANY
         # entry here is a real plan-cost signal.
