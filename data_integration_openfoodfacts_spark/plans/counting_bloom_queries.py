@@ -140,10 +140,93 @@ GROUP BY 1, 2
 """
 
 
+def q178_counting_store_takedown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q176's takedown driven through the PERSISTED counting store
+    (`streaming/counting_store.py`) instead of in-memory frames, with
+    the store's replay/compaction contracts exercised inside the gated
+    path: three ingest deltas partition the corpus (doc_id % 3), batch
+    1 is deliberately REPLAYED both before compaction (completed
+    directory → no-op) and after it (directory gone, sidecar tombstone
+    → refused), deltas compact into the base partition mid-flight, and
+    the takedown lands as a negative delta. The final probe must
+    cross-tab IDENTICALLY to q176 — the oracle is the same fixed-point
+    SQL, so the gate pins that the persisted delta layout, the replay
+    guards and the compaction are all invisible to the screen's
+    semantics. Results are checkpointed before the temp store dies."""
+    import shutil
+    import tempfile
+
+    from ..operators.bloom import bloom_probe_keys, counting_to_words
+    from ..operators.similarity_dedup import word_shingles
+    from ..streaming.counting_store import (
+        compact_counting,
+        read_counts,
+        retract_counting,
+        write_counting_delta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    occ = word_shingles(docs, "doc_id", "text", n=3).localCheckpoint(
+        eager=True
+    )
+    tmp = tempfile.mkdtemp(prefix="q178_cnt_")
+    path = f"{tmp}/store"
+    try:
+        for b in range(3):
+            write_counting_delta(
+                occ.filter(F.col("doc_id") % 3 == b).select("shingle"),
+                "shingle", path, f"batch-{b}", _NW, _K,
+            )
+        # replay before compaction: completed directory, writes nothing
+        assert not write_counting_delta(
+            occ.filter(F.col("doc_id") % 3 == 1).select("shingle"),
+            "shingle", path, "batch-1", _NW, _K,
+        )
+        compact_counting(spark, path, _NW, _K)
+        # replay after compaction: directory absorbed, tombstone refuses
+        assert not write_counting_delta(
+            occ.filter(F.col("doc_id") % 3 == 1).select("shingle"),
+            "shingle", path, "batch-1", _NW, _K,
+        )
+        retract_counting(
+            occ.filter(F.col("doc_id") % _TAKEDOWN_MOD == 0).select(
+                "shingle"
+            ),
+            "shingle", path, "gdpr-1", _NW, _K,
+        )
+        words = counting_to_words(read_counts(spark, path))
+        flags = bloom_probe_keys(
+            occ.select("shingle"), "shingle", words, _NW, _K
+        )
+        truth = occ.groupBy("shingle").agg(
+            F.max(
+                (F.col("doc_id") % _TAKEDOWN_MOD != 0).cast("long")
+            ).alias("truly_present")
+        )
+        out = (
+            truth.join(flags, "shingle")
+            .groupBy(
+                "truly_present",
+                F.col("maybe_member").cast("long").alias("maybe_member"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_keys"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 COUNTING_BLOOM_QUERIES = {
     "q176_counting_bloom_takedown": q176_counting_bloom_takedown,
+    "q178_counting_store_takedown": q178_counting_store_takedown,
 }
 
 COUNTING_BLOOM_ORACLES = {
     "q176_counting_bloom_takedown": Q176_ORACLE,
+    # the persisted-store flow must be semantically invisible: same
+    # fixed-point SQL as the in-memory takedown
+    "q178_counting_store_takedown": Q176_ORACLE,
 }

@@ -1,0 +1,331 @@
+"""Persisted counting-Bloom store — the deletable membership screen's
+on-disk form, completing the takedown family: the exact ledgers
+retract by rewriting touched buckets (q175), the counting screen
+retracts by appending a NEGATIVE delta here.
+
+Layout: ``path/delta_id=<name>/`` parquet partitions of ``(p, cnt)``
+position-count rows (`operators/bloom.py::counting_build`'s shape),
+plus a ``_counting_meta.json`` sidecar carrying the filter geometry
+``{n_words, k}`` and the delta ids already ABSORBED by compaction.
+The live table is the per-position SUM across every delta — inserts
+are positive deltas, takedowns negative ones, and summation is
+commutative, so readers never care about arrival order.
+
+Crash/replay contract (foreachBatch is at-least-once), deliberately
+DIFFERENT from the bit screen's (`bloom_ingest`): a bit-OR merge is
+idempotent, a count merge is NOT — replaying an applied batch would
+double-count every key. Idempotence here comes from the LAYOUT
+instead of the algebra:
+
+- each delta writes into its own ``delta_id=`` partition behind an
+  explicit completed-directory check (_SUCCESS present → replay
+  writes nothing, first-writer-wins; directory WITHOUT _SUCCESS → a
+  crashed partial write, deleted and rewritten);
+- compaction sums every delta into a single ``delta_id=base``
+  partition (staged-write-then-swap) and records the absorbed ids in
+  the sidecar — a replay of a PRE-compaction batch would otherwise
+  find its directory gone and re-append; the absorbed list is the
+  tombstone that refuses it. The list grows by one entry per absorbed
+  delta (bytes per batch — a production store on an ACID table format
+  gets this from transaction ids instead);
+- single WRITER per store (the one stream / the one takedown job) —
+  the same contract every ledger in this engine ships; concurrent
+  writers need the ACID-format swap-in documented in events_stream.
+
+Probes derive the ``(w, bits)`` word table from the summed counts and
+run the standard broadcast probe — O(sum of delta sizes) read +
+O(m) groupBy, never anything scaling with corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.bloom import (
+    bloom_probe_keys,
+    counting_build,
+    counting_to_words,
+)
+from ..operators.bucketed_ledger import (
+    _fs_and_path,
+    read_json_sidecar,
+    write_json_sidecar,
+)
+from .events_stream import (
+    overwrite_parquet_atomically,
+    read_parquet_if_exists,
+)
+
+__all__ = [
+    "CountingLayoutError",
+    "store_geometry",
+    "write_counting_delta",
+    "retract_counting",
+    "read_counts",
+    "probe_counting",
+    "screen_keys_batch",
+    "compact_counting",
+    "run_counting_screen_stream",
+]
+
+COUNTING_META = "_counting_meta.json"
+DEFAULT_WORDS = 1 << 16
+DEFAULT_K = 5
+BASE_DELTA = "base"
+
+
+class CountingLayoutError(ValueError):
+    """Geometry disagreement with the persisted store, a sidecar-less
+    existing store (unrecoverable geometry), or a delta id colliding
+    with the reserved compaction partition."""
+
+
+def _meta(spark: SparkSession, path: str) -> dict | None:
+    return read_json_sidecar(spark, path, COUNTING_META)
+
+
+def _write_meta(
+    spark: SparkSession, path: str, n_words: int, k: int,
+    absorbed: list[str],
+) -> None:
+    write_json_sidecar(
+        spark, path, COUNTING_META,
+        {"n_words": int(n_words), "k": int(k),
+         "absorbed": sorted(absorbed)},
+    )
+
+
+def store_geometry(
+    spark: SparkSession, path: str, n_words: int, k: int
+) -> tuple[int, int, list[str]]:
+    """(n_words, k, absorbed_ids) — sidecar-validated like the bit
+    screen's `store_params`: an existing store without a sidecar is
+    refused outright (a word-position table carries nothing to
+    sample-validate a geometry guess against)."""
+    meta = _meta(spark, path)
+    if meta is not None:
+        if int(meta["n_words"]) != n_words or int(meta["k"]) != k:
+            raise CountingLayoutError(
+                f"{path}: counting store was built with n_words="
+                f"{meta['n_words']}, k={meta['k']}; caller passed "
+                f"({n_words}, {k}) — all writers and readers of one "
+                "filter must share its geometry"
+            )
+        return int(meta["n_words"]), int(meta["k"]), list(
+            meta.get("absorbed", [])
+        )
+    if read_parquet_if_exists(spark, path) is not None:
+        raise CountingLayoutError(
+            f"{path}: existing counting store has no {COUNTING_META} "
+            "sidecar — its geometry is unrecoverable from the data; "
+            "rebuild the store (or restore the sidecar)"
+        )
+    return n_words, k, []
+
+
+def write_counting_delta(
+    keys: DataFrame,
+    key: str,
+    path: str,
+    delta_id: str,
+    n_words: int = DEFAULT_WORDS,
+    k: int = DEFAULT_K,
+    sign: int = 1,
+) -> bool:
+    """Append one delta partition; returns False (and writes nothing)
+    when the delta was already applied — its ``delta_id=`` directory
+    exists (``mode("ignore")``) or compaction absorbed it (sidecar
+    tombstone). ``sign=-1`` is the takedown path. Single-writer
+    contract (module docstring)."""
+    spark = keys.sparkSession
+    if delta_id == BASE_DELTA:
+        raise CountingLayoutError(
+            f"delta_id '{BASE_DELTA}' is reserved for compaction output"
+        )
+    n_words, k, absorbed = store_geometry(spark, path, n_words, k)
+    if delta_id in absorbed:
+        return False
+    # Existence is checked explicitly (not via mode("ignore"), which
+    # cannot report whether it skipped): a COMPLETED delta directory
+    # (_SUCCESS present) means this delta already landed — replay
+    # writes nothing. A directory WITHOUT _SUCCESS is a crashed
+    # partial write: mode("ignore") would silently keep the torn
+    # partition; here it is deleted and rewritten.
+    ddir = f"{path.rstrip('/')}/delta_id={delta_id}"
+    fs, hdir, _jvm = _fs_and_path(spark, ddir)
+    if fs.exists(hdir):
+        if fs.exists(_fs_and_path(spark, f"{ddir}/_SUCCESS")[1]):
+            return False
+        fs.delete(hdir, True)
+    delta = counting_build(keys, key, n_words, k)
+    if sign < 0:
+        delta = delta.select("p", (-F.col("cnt")).alias("cnt"))
+    # coalesce(1): one file per delta — the table is bounded by m
+    # rows, never worth parallel output.
+    delta.coalesce(1).write.mode("errorifexists").parquet(ddir)
+    _write_meta(spark, path, n_words, k, absorbed)
+    return True
+
+
+def retract_counting(
+    keys: DataFrame,
+    key: str,
+    path: str,
+    takedown_id: str,
+    n_words: int = DEFAULT_WORDS,
+    k: int = DEFAULT_K,
+) -> bool:
+    """Takedown = a negative delta. ``takedown_id`` must be unique per
+    takedown event (it is the idempotence handle: replaying the same
+    takedown job re-uses the id and writes nothing)."""
+    return write_counting_delta(
+        keys, key, path, f"takedown-{takedown_id}", n_words, k, sign=-1
+    )
+
+
+def read_counts(spark: SparkSession, path: str) -> DataFrame:
+    """Live position-count table: per-position sum across all deltas,
+    zero rows dropped (negative rows kept — the over-retraction
+    evidence contract of `operators/bloom.py::counting_merge`)."""
+    deltas = read_parquet_if_exists(spark, path)
+    if deltas is None:
+        return spark.createDataFrame([], "p long, cnt long")
+    return (
+        deltas.groupBy("p")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )
+
+
+def probe_counting(
+    keys: DataFrame,
+    key: str,
+    path: str,
+    n_words: int = DEFAULT_WORDS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """(key, maybe_member) against the store's CURRENT state — summed
+    counts collapsed to a word table, broadcast into the standard
+    probe join."""
+    spark = keys.sparkSession
+    n_words, k, _ = store_geometry(spark, path, n_words, k)
+    words = counting_to_words(read_counts(spark, path))
+    return bloom_probe_keys(keys, key, words, n_words, k)
+
+
+def screen_keys_batch(
+    keys: DataFrame,
+    key: str,
+    path: str,
+    results_path: str,
+    batch_id: int,
+    n_words: int = DEFAULT_WORDS,
+    k: int = DEFAULT_K,
+) -> None:
+    """One micro-batch through the counting screen: totals vs the
+    pre-batch state land FIRST (``mode("ignore")`` per batch — a
+    replay after the delta landed recomputes different totals, which
+    first-writer-wins discards; same crash-window argument as
+    `bloom_ingest.screen_keys_batch`), then the batch's occurrences
+    append as delta ``batch-<id>``. Unlike the bit screen, ALL
+    occurrences insert — not just definitely-new keys — because the
+    counting store's whole point is per-owner multiplicity: a later
+    takedown of one owner must not unset a key another owner still
+    holds."""
+    spark = keys.sparkSession
+    n_words, k, _ = store_geometry(spark, path, n_words, k)
+    flags = probe_counting(keys, key, path, n_words, k)
+    totals = flags.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.coalesce(
+            F.sum((~F.col("maybe_member")).cast("long")), F.lit(0)
+        ).cast("long").alias("n_definitely_new"),
+        F.coalesce(
+            F.sum(F.col("maybe_member").cast("long")), F.lit(0)
+        ).cast("long").alias("n_maybe"),
+    ).select(F.lit(batch_id).cast("long").alias("batch_id"), "*")
+    totals.coalesce(1).write.mode("ignore").parquet(
+        f"{results_path}/batch_id={batch_id}"
+    )
+    write_counting_delta(
+        keys, key, path, f"batch-{batch_id}", n_words, k
+    )
+
+
+def compact_counting(
+    spark: SparkSession,
+    path: str,
+    n_words: int = DEFAULT_WORDS,
+    k: int = DEFAULT_K,
+) -> None:
+    """Sum every delta into a single ``delta_id=base`` partition
+    (staged write-then-swap) and tombstone the absorbed ids in the
+    sidecar — the small-file hygiene pass, run between stream runs.
+    Post-compaction the live table is unchanged by construction
+    (summation is associative); a replay of an absorbed batch is
+    refused by the tombstone instead of the vanished directory.
+
+    Crash window: the swap replaces the directory (sidecar included)
+    before the sidecar rewrite below — a crash in between leaves a
+    sidecar-less store that `store_geometry` LOUDLY refuses (restore
+    the sidecar with the known geometry + the absorbed list from the
+    pre-crash copy; refusing beats silently guessing a geometry that
+    mis-routes every key). The other stores share this window; ACID
+    table formats remove it."""
+    n_words, k, absorbed = store_geometry(spark, path, n_words, k)
+    deltas = read_parquet_if_exists(spark, path)
+    if deltas is None:
+        return
+    seen = [
+        r["delta_id"]
+        for r in deltas.select("delta_id").distinct().collect()
+    ]
+    base = (
+        deltas.groupBy("p")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+        .select("p", "cnt", F.lit(BASE_DELTA).alias("delta_id"))
+        .coalesce(1)
+    )
+    overwrite_parquet_atomically(base, path, partition_by=["delta_id"])
+    # the swap replaced the whole directory, sidecar included — rewrite
+    # it with the union of previously-absorbed and just-absorbed ids
+    newly = [d for d in seen if d != BASE_DELTA]
+    _write_meta(spark, path, n_words, k, sorted(set(absorbed) | set(newly)))
+
+
+def run_counting_screen_stream(
+    spark: SparkSession,
+    source_dir: str,
+    path: str,
+    results_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+    n_words: int = DEFAULT_WORDS,
+    k: int = DEFAULT_K,
+    compact_every: int | None = None,
+) -> None:
+    """availableNow backlog drain through the counting screen, keyed
+    by exact-text md5 (the keep-latest family's key). ``compact_every``
+    folds deltas into the base partition every N batches — the
+    in-stream counterpart of the ledger stores' cadence compaction."""
+    from .corpus_ingest import read_docs_stream
+
+    def _batch(b: DataFrame, bid: int) -> None:
+        screen_keys_batch(
+            b.select(F.md5("text").alias("text_md5")),
+            "text_md5", path, results_path,
+            batch_id=bid, n_words=n_words, k=k,
+        )
+        if compact_every and (bid + 1) % compact_every == 0:
+            compact_counting(spark, path, n_words, k)
+
+    stream = read_docs_stream(spark, source_dir, max_files_per_trigger)
+    (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
