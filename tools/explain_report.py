@@ -138,6 +138,16 @@ HEADLINERS = {
         "two grouped aggs keyed on media_id — linear in corpus bytes, "
         "zero Python"
     ),
+    "q176_counting_bloom_takedown": (
+        "deletable screen: two groupBy(p) count builds (insert +, "
+        "takedown -), O(m)-bounded word derivation, broadcast probe — "
+        "retraction is integer subtraction, never a rebuild"
+    ),
+    "q177_weighted_jaccard_pairs": (
+        "tf-weighted MinHash: integer replication expansion (one md5 "
+        "per replica), 8 minima from ONE groupBy(id), bucket-capped "
+        "LSH self-join, candidate-bounded exact J_W verify"
+    ),
 }
 
 
