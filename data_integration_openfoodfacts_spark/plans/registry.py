@@ -38,6 +38,7 @@ from .sampling_queries import SAMPLING_ORACLES, SAMPLING_QUERIES
 from .span_queries import SPAN_ORACLES, SPAN_QUERIES
 from .streaming_queries import STREAMING_ORACLES, STREAMING_QUERIES
 from .temporal_queries import TEMPORAL_ORACLES, TEMPORAL_QUERIES
+from .timetravel_queries import TIMETRAVEL_ORACLES, TIMETRAVEL_QUERIES
 from .tpch_queries import TPCH_ORACLES, TPCH_QUERIES
 from .training_queries import TRAINING_ORACLES, TRAINING_QUERIES
 from .weighted_minhash_queries import (
@@ -69,6 +70,7 @@ _ALL_QUERIES = {
     **RETRACTION_QUERIES,
     **COUNTING_BLOOM_QUERIES,
     **WEIGHTED_MINHASH_QUERIES,
+    **TIMETRAVEL_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -94,6 +96,7 @@ _ALL_ORACLES = {
     **RETRACTION_ORACLES,
     **COUNTING_BLOOM_ORACLES,
     **WEIGHTED_MINHASH_ORACLES,
+    **TIMETRAVEL_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry

@@ -35,6 +35,23 @@ instead of the algebra:
 Probes derive the ``(w, bits)`` word table from the summed counts and
 run the standard broadcast probe — O(sum of delta sizes) read +
 O(m) groupBy, never anything scaling with corpus size.
+
+Time travel (round 10 continuation): the sidecar also carries a
+``log`` — the delta ids in APPLIED order (the single-writer contract
+makes that order well-defined) — so ``read_counts_as_of(version)``
+reconstructs any historical state as the sum of a log PREFIX, exactly
+the Delta-Lake/Iceberg version-read idea expressed over plain parquet
+partitions. Compaction is also the VACUUM: once deltas are absorbed
+into ``delta_id=base``, every version that cuts the log strictly
+before the absorption horizon is physically unreconstructable and the
+read raises instead of silently returning the compacted state — the
+same retention trade a `VACUUM`'d Delta table makes. Versions at or
+past the horizon read as ``base`` (the absorbed prefix) plus the
+surviving per-delta partitions, selected by a partition-column filter
+so the scan prunes to exactly the needed files. This store is the one
+whose layout retains per-batch history (the bit screen overwrites a
+single word table in place; the exact ledgers rewrite touched buckets),
+which is why time travel lives here.
 """
 
 from __future__ import annotations
@@ -63,6 +80,8 @@ __all__ = [
     "write_counting_delta",
     "retract_counting",
     "read_counts",
+    "read_counts_as_of",
+    "store_versions",
     "probe_counting",
     "screen_keys_batch",
     "compact_counting",
@@ -87,22 +106,26 @@ def _meta(spark: SparkSession, path: str) -> dict | None:
 
 def _write_meta(
     spark: SparkSession, path: str, n_words: int, k: int,
-    absorbed: list[str],
+    absorbed: list[str], log: list[str],
 ) -> None:
+    # ``absorbed`` is an unordered tombstone SET (sorted for stable
+    # bytes); ``log`` is the applied ORDER and must never be sorted.
     write_json_sidecar(
         spark, path, COUNTING_META,
         {"n_words": int(n_words), "k": int(k),
-         "absorbed": sorted(absorbed)},
+         "absorbed": sorted(absorbed), "log": list(log)},
     )
 
 
 def store_geometry(
     spark: SparkSession, path: str, n_words: int, k: int
-) -> tuple[int, int, list[str]]:
-    """(n_words, k, absorbed_ids) — sidecar-validated like the bit
-    screen's `store_params`: an existing store without a sidecar is
-    refused outright (a word-position table carries nothing to
-    sample-validate a geometry guess against)."""
+) -> tuple[int, int, list[str], list[str]]:
+    """(n_words, k, absorbed_ids, applied_log) — sidecar-validated like
+    the bit screen's `store_params`: an existing store without a
+    sidecar is refused outright (a word-position table carries nothing
+    to sample-validate a geometry guess against). Stores written before
+    the version log existed return ``log == []`` — current-state reads
+    work unchanged; only `read_counts_as_of` needs the log and says so."""
     meta = _meta(spark, path)
     if meta is not None:
         if int(meta["n_words"]) != n_words or int(meta["k"]) != k:
@@ -112,8 +135,9 @@ def store_geometry(
                 f"({n_words}, {k}) — all writers and readers of one "
                 "filter must share its geometry"
             )
-        return int(meta["n_words"]), int(meta["k"]), list(
-            meta.get("absorbed", [])
+        return (
+            int(meta["n_words"]), int(meta["k"]),
+            list(meta.get("absorbed", [])), list(meta.get("log", [])),
         )
     if read_parquet_if_exists(spark, path) is not None:
         raise CountingLayoutError(
@@ -121,7 +145,7 @@ def store_geometry(
             "sidecar — its geometry is unrecoverable from the data; "
             "rebuild the store (or restore the sidecar)"
         )
-    return n_words, k, []
+    return n_words, k, [], []
 
 
 def write_counting_delta(
@@ -143,7 +167,7 @@ def write_counting_delta(
         raise CountingLayoutError(
             f"delta_id '{BASE_DELTA}' is reserved for compaction output"
         )
-    n_words, k, absorbed = store_geometry(spark, path, n_words, k)
+    n_words, k, absorbed, log = store_geometry(spark, path, n_words, k)
     if delta_id in absorbed:
         return False
     # Existence is checked explicitly (not via mode("ignore"), which
@@ -156,6 +180,13 @@ def write_counting_delta(
     fs, hdir, _jvm = _fs_and_path(spark, ddir)
     if fs.exists(hdir):
         if fs.exists(_fs_and_path(spark, f"{ddir}/_SUCCESS")[1]):
+            # Crash window repair: parquet landed but the sidecar write
+            # below didn't — heal the version log on replay so as-of
+            # reads see every applied delta exactly once.
+            if delta_id not in log:
+                _write_meta(
+                    spark, path, n_words, k, absorbed, log + [delta_id]
+                )
             return False
         fs.delete(hdir, True)
     delta = counting_build(keys, key, n_words, k)
@@ -164,7 +195,9 @@ def write_counting_delta(
     # coalesce(1): one file per delta — the table is bounded by m
     # rows, never worth parallel output.
     delta.coalesce(1).write.mode("errorifexists").parquet(ddir)
-    _write_meta(spark, path, n_words, k, absorbed)
+    if delta_id not in log:
+        log = log + [delta_id]
+    _write_meta(spark, path, n_words, k, absorbed, log)
     return True
 
 
@@ -198,6 +231,84 @@ def read_counts(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def store_versions(spark: SparkSession, path: str) -> dict:
+    """Version-surface introspection: ``log`` (applied order),
+    ``absorbed`` (compaction tombstones), ``latest`` (= len(log)), and
+    ``min_readable`` — the smallest version whose log prefix covers
+    every absorbed delta (1 when nothing was compacted). Versions below
+    ``min_readable`` were vacuumed by compaction and cannot be read."""
+    meta = _meta(spark, path)
+    if meta is None:
+        raise CountingLayoutError(
+            f"{path}: no {COUNTING_META} sidecar — not a counting store"
+        )
+    log = list(meta.get("log", []))
+    absorbed = set(meta.get("absorbed", []))
+    min_readable = 1
+    for i, d in enumerate(log):
+        if d in absorbed:
+            min_readable = i + 1
+    return {
+        "log": log,
+        "absorbed": sorted(absorbed),
+        "latest": len(log),
+        "min_readable": min_readable,
+    }
+
+
+def read_counts_as_of(
+    spark: SparkSession, path: str, version: int
+) -> DataFrame:
+    """Historical position-count table as of ``version`` — the state
+    after the first ``version`` entries of the applied log (1-based;
+    ``version == len(log)`` is the current state). Reconstruction is a
+    partition-column filter over the store (``delta_id IN`` the prefix,
+    plus ``base`` when compaction absorbed part of it) + the same sum
+    as `read_counts`, so the scan prunes to exactly the needed delta
+    files. Raises for versions compaction has vacuumed (the absorbed
+    set is not covered by the requested prefix — the physical deltas
+    no longer exist) and for pre-version-log legacy stores."""
+    meta = _meta(spark, path)
+    if meta is None:
+        raise CountingLayoutError(
+            f"{path}: no {COUNTING_META} sidecar — not a counting store"
+        )
+    log = list(meta.get("log", []))
+    if not log:
+        raise CountingLayoutError(
+            f"{path}: store has no version log (written before time "
+            "travel existed, or the sidecar was restored without its "
+            "log) — only the current state is readable; use read_counts"
+        )
+    if not 1 <= int(version) <= len(log):
+        raise CountingLayoutError(
+            f"{path}: version {version} out of range — the log holds "
+            f"versions 1..{len(log)}"
+        )
+    prefix = log[: int(version)]
+    absorbed = set(meta.get("absorbed", []))
+    if not absorbed <= set(prefix):
+        raise CountingLayoutError(
+            f"{path}: version {version} predates the compaction "
+            f"horizon — compaction absorbed {sorted(absorbed)} into "
+            f"'{BASE_DELTA}' and vacuumed their per-delta partitions; "
+            f"the earliest readable version is "
+            f"{store_versions(spark, path)['min_readable']}"
+        )
+    wanted = [d for d in prefix if d not in absorbed]
+    if absorbed:
+        wanted.append(BASE_DELTA)
+    deltas = read_parquet_if_exists(spark, path)
+    if deltas is None:
+        return spark.createDataFrame([], "p long, cnt long")
+    return (
+        deltas.filter(F.col("delta_id").isin(wanted))
+        .groupBy("p")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )
+
+
 def probe_counting(
     keys: DataFrame,
     key: str,
@@ -209,7 +320,7 @@ def probe_counting(
     counts collapsed to a word table, broadcast into the standard
     probe join."""
     spark = keys.sparkSession
-    n_words, k, _ = store_geometry(spark, path, n_words, k)
+    n_words, k, _, _ = store_geometry(spark, path, n_words, k)
     words = counting_to_words(read_counts(spark, path))
     return bloom_probe_keys(keys, key, words, n_words, k)
 
@@ -234,7 +345,7 @@ def screen_keys_batch(
     takedown of one owner must not unset a key another owner still
     holds."""
     spark = keys.sparkSession
-    n_words, k, _ = store_geometry(spark, path, n_words, k)
+    n_words, k, _, _ = store_geometry(spark, path, n_words, k)
     flags = probe_counting(keys, key, path, n_words, k)
     totals = flags.agg(
         F.count(F.lit(1)).alias("n_keys"),
@@ -266,6 +377,11 @@ def compact_counting(
     (summation is associative); a replay of an absorbed batch is
     refused by the tombstone instead of the vanished directory.
 
+    Compaction is also the VACUUM (module docstring): absorbed deltas'
+    partitions are physically gone afterwards, so every version before
+    the absorption horizon becomes unreadable by `read_counts_as_of` —
+    run it on the retention cadence you can afford to lose history at.
+
     Crash window: the swap replaces the directory (sidecar included)
     before the sidecar rewrite below — a crash in between leaves a
     sidecar-less store that `store_geometry` LOUDLY refuses (restore
@@ -273,7 +389,7 @@ def compact_counting(
     pre-crash copy; refusing beats silently guessing a geometry that
     mis-routes every key). The other stores share this window; ACID
     table formats remove it."""
-    n_words, k, absorbed = store_geometry(spark, path, n_words, k)
+    n_words, k, absorbed, log = store_geometry(spark, path, n_words, k)
     deltas = read_parquet_if_exists(spark, path)
     if deltas is None:
         return
@@ -292,7 +408,10 @@ def compact_counting(
     # the swap replaced the whole directory, sidecar included — rewrite
     # it with the union of previously-absorbed and just-absorbed ids
     newly = [d for d in seen if d != BASE_DELTA]
-    _write_meta(spark, path, n_words, k, sorted(set(absorbed) | set(newly)))
+    _write_meta(
+        spark, path, n_words, k,
+        sorted(set(absorbed) | set(newly)), log,
+    )
 
 
 def run_counting_screen_stream(

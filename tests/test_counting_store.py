@@ -86,7 +86,7 @@ def test_compaction_invariant_and_tombstones_replays(spark, tmp_path):
     before = _counts(spark, p)
     compact_counting(spark, p, NW, K)
     assert _counts(spark, p) == before
-    _, _, absorbed = store_geometry(spark, p, NW, K)
+    _, _, absorbed, _ = store_geometry(spark, p, NW, K)
     assert set(absorbed) == {"batch-1", "batch-2", "takedown-t9"}
     assert not write_counting_delta(
         _keys(spark, ["a", "b"]), "k", p, "batch-1", NW, K
