@@ -14,6 +14,10 @@ from __future__ import annotations
 
 from .analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES
 from .bloom_queries import BLOOM_ORACLES, BLOOM_QUERIES
+from .containment_queries import (
+    CONTAINMENT_ORACLES,
+    CONTAINMENT_QUERIES,
+)
 from .counting_bloom_queries import (
     COUNTING_BLOOM_ORACLES,
     COUNTING_BLOOM_QUERIES,
@@ -71,6 +75,7 @@ _ALL_QUERIES = {
     **COUNTING_BLOOM_QUERIES,
     **WEIGHTED_MINHASH_QUERIES,
     **TIMETRAVEL_QUERIES,
+    **CONTAINMENT_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -97,6 +102,7 @@ _ALL_ORACLES = {
     **COUNTING_BLOOM_ORACLES,
     **WEIGHTED_MINHASH_ORACLES,
     **TIMETRAVEL_ORACLES,
+    **CONTAINMENT_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry
