@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from .analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES
 from .bloom_queries import BLOOM_ORACLES, BLOOM_QUERIES
+from .bucketed_queries import BUCKETED_ORACLES, BUCKETED_QUERIES
 from .containment_queries import (
     CONTAINMENT_ORACLES,
     CONTAINMENT_QUERIES,
@@ -76,6 +77,7 @@ _ALL_QUERIES = {
     **WEIGHTED_MINHASH_QUERIES,
     **TIMETRAVEL_QUERIES,
     **CONTAINMENT_QUERIES,
+    **BUCKETED_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -103,6 +105,7 @@ _ALL_ORACLES = {
     **WEIGHTED_MINHASH_ORACLES,
     **TIMETRAVEL_ORACLES,
     **CONTAINMENT_ORACLES,
+    **BUCKETED_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry
