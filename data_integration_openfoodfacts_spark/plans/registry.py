@@ -40,6 +40,10 @@ from .fingerprint_queries import FINGERPRINT_ORACLES, FINGERPRINT_QUERIES
 from .propagation_queries import PROPAGATION_ORACLES, PROPAGATION_QUERIES
 from .retraction_queries import RETRACTION_ORACLES, RETRACTION_QUERIES
 from .sampling_queries import SAMPLING_ORACLES, SAMPLING_QUERIES
+from .schema_drift_queries import (
+    SCHEMA_DRIFT_ORACLES,
+    SCHEMA_DRIFT_QUERIES,
+)
 from .span_queries import SPAN_ORACLES, SPAN_QUERIES
 from .streaming_queries import STREAMING_ORACLES, STREAMING_QUERIES
 from .temporal_queries import TEMPORAL_ORACLES, TEMPORAL_QUERIES
@@ -78,6 +82,7 @@ _ALL_QUERIES = {
     **TIMETRAVEL_QUERIES,
     **CONTAINMENT_QUERIES,
     **BUCKETED_QUERIES,
+    **SCHEMA_DRIFT_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -106,6 +111,7 @@ _ALL_ORACLES = {
     **TIMETRAVEL_ORACLES,
     **CONTAINMENT_ORACLES,
     **BUCKETED_ORACLES,
+    **SCHEMA_DRIFT_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry
