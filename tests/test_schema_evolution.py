@@ -94,6 +94,25 @@ def test_cross_family_is_lossy_not_widening(spark):
     assert rows == {"1": 42, "2": None}
 
 
+def test_merged_read_still_prunes_columns(spark, tmp_path):
+    """Schema merging must not break column pruning at the scan (the
+    pre-conformance pin this file has carried since the parquet-layer
+    tests: ReadSchema holds only the selected columns)."""
+    path = str(tmp_path / "lake2")
+    spark.range(100).selectExpr(
+        "id", "id*2 AS a", "id*3 AS b"
+    ).write.parquet(f"{path}/gen=1")
+    spark.range(100, 200).selectExpr(
+        "id", "id*2 AS a", "id*3 AS b", "id*4 AS c"
+    ).write.parquet(f"{path}/gen=2")
+    df = read_evolving_parquet(spark, path).select("id", "c")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "a:" not in read_schema and "b:" not in read_schema
+    assert "c:" in read_schema
+    assert df.count() == 200
+
+
 def test_conformed_read_still_prunes_and_pushes(spark, tmp_path):
     """Conformance is a projection: a filter over the conformed frame
     still reaches the parquet scan as a pushed filter."""
