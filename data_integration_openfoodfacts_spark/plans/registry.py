@@ -29,6 +29,7 @@ from .embedding_ingest_queries import (
     EMBEDDING_INGEST_QUERIES,
 )
 from .etl_queries import ETL_ORACLES, ETL_QUERIES
+from .fusion_queries import FUSION_ORACLES, FUSION_QUERIES
 from .gold_oracle_queries import GOLD_ORACLE_ORACLES, GOLD_ORACLE_QUERIES
 from .hygiene_queries import HYGIENE_ORACLES, HYGIENE_QUERIES
 from .insight_queries import INSIGHT_ORACLES, INSIGHT_QUERIES
@@ -83,6 +84,7 @@ _ALL_QUERIES = {
     **CONTAINMENT_QUERIES,
     **BUCKETED_QUERIES,
     **SCHEMA_DRIFT_QUERIES,
+    **FUSION_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -112,6 +114,7 @@ _ALL_ORACLES = {
     **CONTAINMENT_ORACLES,
     **BUCKETED_ORACLES,
     **SCHEMA_DRIFT_ORACLES,
+    **FUSION_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry
