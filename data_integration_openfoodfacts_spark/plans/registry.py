@@ -51,6 +51,7 @@ from .temporal_queries import TEMPORAL_ORACLES, TEMPORAL_QUERIES
 from .timetravel_queries import TIMETRAVEL_ORACLES, TIMETRAVEL_QUERIES
 from .tpch_queries import TPCH_ORACLES, TPCH_QUERIES
 from .training_queries import TRAINING_ORACLES, TRAINING_QUERIES
+from .windowed_queries import WINDOWED_ORACLES, WINDOWED_QUERIES
 from .weighted_minhash_queries import (
     WEIGHTED_MINHASH_ORACLES,
     WEIGHTED_MINHASH_QUERIES,
@@ -85,6 +86,7 @@ _ALL_QUERIES = {
     **BUCKETED_QUERIES,
     **SCHEMA_DRIFT_QUERIES,
     **FUSION_QUERIES,
+    **WINDOWED_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -115,6 +117,7 @@ _ALL_ORACLES = {
     **BUCKETED_ORACLES,
     **SCHEMA_DRIFT_ORACLES,
     **FUSION_ORACLES,
+    **WINDOWED_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry
