@@ -33,6 +33,7 @@ from .fusion_queries import FUSION_ORACLES, FUSION_QUERIES
 from .gold_oracle_queries import GOLD_ORACLE_ORACLES, GOLD_ORACLE_QUERIES
 from .hygiene_queries import HYGIENE_ORACLES, HYGIENE_QUERIES
 from .insight_queries import INSIGHT_ORACLES, INSIGHT_QUERIES
+from .kcore_queries import KCORE_ORACLES, KCORE_QUERIES
 from .ledger_queries import LEDGER_ORACLES, LEDGER_QUERIES
 from .llm_queries import LLM_ORACLES, LLM_QUERIES
 from .multimodal_queries import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
@@ -87,6 +88,7 @@ _ALL_QUERIES = {
     **SCHEMA_DRIFT_QUERIES,
     **FUSION_QUERIES,
     **WINDOWED_QUERIES,
+    **KCORE_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -118,6 +120,7 @@ _ALL_ORACLES = {
     **SCHEMA_DRIFT_ORACLES,
     **FUSION_ORACLES,
     **WINDOWED_ORACLES,
+    **KCORE_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry
