@@ -37,6 +37,10 @@ from .kcore_queries import KCORE_ORACLES, KCORE_QUERIES
 from .ledger_queries import LEDGER_ORACLES, LEDGER_QUERIES
 from .llm_queries import LLM_ORACLES, LLM_QUERIES
 from .multimodal_queries import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
+from .multiprobe_queries import (
+    MULTIPROBE_ORACLES,
+    MULTIPROBE_QUERIES,
+)
 from .olap_queries import OLAP_ORACLES, OLAP_QUERIES
 from .fingerprint_queries import FINGERPRINT_ORACLES, FINGERPRINT_QUERIES
 from .propagation_queries import PROPAGATION_ORACLES, PROPAGATION_QUERIES
@@ -89,6 +93,7 @@ _ALL_QUERIES = {
     **FUSION_QUERIES,
     **WINDOWED_QUERIES,
     **KCORE_QUERIES,
+    **MULTIPROBE_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -121,6 +126,7 @@ _ALL_ORACLES = {
     **FUSION_ORACLES,
     **WINDOWED_ORACLES,
     **KCORE_ORACLES,
+    **MULTIPROBE_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry
