@@ -43,6 +43,7 @@ from .multiprobe_queries import (
 )
 from .olap_queries import OLAP_ORACLES, OLAP_QUERIES
 from .fingerprint_queries import FINGERPRINT_ORACLES, FINGERPRINT_QUERIES
+from .phrase_queries import PHRASE_ORACLES, PHRASE_QUERIES
 from .propagation_queries import PROPAGATION_ORACLES, PROPAGATION_QUERIES
 from .retraction_queries import RETRACTION_ORACLES, RETRACTION_QUERIES
 from .sampling_queries import SAMPLING_ORACLES, SAMPLING_QUERIES
@@ -94,6 +95,7 @@ _ALL_QUERIES = {
     **WINDOWED_QUERIES,
     **KCORE_QUERIES,
     **MULTIPROBE_QUERIES,
+    **PHRASE_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -127,6 +129,7 @@ _ALL_ORACLES = {
     **WINDOWED_ORACLES,
     **KCORE_ORACLES,
     **MULTIPROBE_ORACLES,
+    **PHRASE_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry
