@@ -15,6 +15,10 @@ from __future__ import annotations
 from .analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES
 from .bloom_queries import BLOOM_ORACLES, BLOOM_QUERIES
 from .bucketed_queries import BUCKETED_ORACLES, BUCKETED_QUERIES
+from .canonical_queries import (
+    CANONICAL_ORACLES,
+    CANONICAL_QUERIES,
+)
 from .containment_queries import (
     CONTAINMENT_ORACLES,
     CONTAINMENT_QUERIES,
@@ -96,6 +100,7 @@ _ALL_QUERIES = {
     **KCORE_QUERIES,
     **MULTIPROBE_QUERIES,
     **PHRASE_QUERIES,
+    **CANONICAL_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -130,6 +135,7 @@ _ALL_ORACLES = {
     **KCORE_ORACLES,
     **MULTIPROBE_ORACLES,
     **PHRASE_ORACLES,
+    **CANONICAL_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry
