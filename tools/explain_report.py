@@ -148,6 +148,38 @@ HEADLINERS = {
         "per replica), 8 minima from ONE groupBy(id), bucket-capped "
         "LSH self-join, candidate-bounded exact J_W verify"
     ),
+    "q180_containment_pairs": (
+        "asymmetric containment join: contained-side rare-first prefix "
+        "into the posting join, length-filtered host postings, "
+        "pair-bounded verify — integer thresholds, no IEEE ceil"
+    ),
+    "q181_bucketed_colocated_join": (
+        "persisted bucketed tables: SortMergeJoin over two bucketed "
+        "scans, ZERO Exchange (asserted in the gated path)"
+    ),
+    "q184_windowed_novelty_expiry": (
+        "windowed ledger probe: broadcast-tranche semi over a scan "
+        "partition-pruned on BOTH epoch range and touched buckets; "
+        "expiry is a directory drop"
+    ),
+    "q185_kcore_template_rings": (
+        "k-core peel: two semi-joins + one degree agg per round, "
+        "lineage truncated per round, one driver long per round"
+    ),
+    "q186_multiprobe_retrieval": (
+        "multi-probe LSH: corpus tagged once, query side explodes "
+        "1+8 probe sigs per band, (band, sig) equi-join, exact-cosine "
+        "verify bounded by candidates"
+    ),
+    "q187_phrase_search": (
+        "phrase search: token-wise match rides the scan (no explode, "
+        "no join); only the per-phrase top-k window shuffles"
+    ),
+    "q188_quality_canonical_dedup": (
+        "quality-canonical dedup: CC clusters + per-cluster Borda "
+        "windows; ranked frame checkpointed before the canonical "
+        "self-join"
+    ),
 }
 
 
