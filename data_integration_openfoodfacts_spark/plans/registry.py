@@ -37,6 +37,7 @@ from .fusion_queries import FUSION_ORACLES, FUSION_QUERIES
 from .gold_oracle_queries import GOLD_ORACLE_ORACLES, GOLD_ORACLE_QUERIES
 from .hygiene_queries import HYGIENE_ORACLES, HYGIENE_QUERIES
 from .insight_queries import INSIGHT_ORACLES, INSIGHT_QUERIES
+from .ivf_queries import IVF_ORACLES, IVF_QUERIES
 from .kcore_queries import KCORE_ORACLES, KCORE_QUERIES
 from .ledger_queries import LEDGER_ORACLES, LEDGER_QUERIES
 from .llm_queries import LLM_ORACLES, LLM_QUERIES
@@ -101,6 +102,7 @@ _ALL_QUERIES = {
     **MULTIPROBE_QUERIES,
     **PHRASE_QUERIES,
     **CANONICAL_QUERIES,
+    **IVF_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -136,6 +138,7 @@ _ALL_ORACLES = {
     **MULTIPROBE_ORACLES,
     **PHRASE_ORACLES,
     **CANONICAL_ORACLES,
+    **IVF_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry
