@@ -161,14 +161,31 @@ def score_tranche_windowed(
     key_col: str,
     path: str,
     min_epoch: int | None = None,
+    max_epoch: int | None = None,
 ) -> DataFrame:
     """(key, seen_in_window) for each distinct tranche key against the
-    live window (optionally narrowed to ``epoch >= min_epoch`` — a
-    query-side window tighter than the physical retention). Broadcast-
-    TRANCHE semi probe over a doubly-pruned scan: epoch range and
-    touched buckets are BOTH partition filters."""
+    live window, optionally narrowed on either side: ``min_epoch``
+    queries a window tighter than the physical retention, ``max_epoch``
+    is the AS-OF read — "seen in the RETAINED window as of epoch E"
+    (q179's time-travel idea on the windowed layout, where retained
+    history is the epochs themselves). Unlike the counting store, a
+    partially-vacuumed as-of point does NOT raise: the window IS the
+    semantic, so excluding already-expired epochs is the correct
+    answer, not partial state. Only an as-of point wholly at/below the
+    expiry watermark — where NOTHING of that state remains — raises.
+    Broadcast-TRANCHE semi probe over a doubly-pruned scan: epoch range
+    and touched buckets are BOTH partition filters."""
     spark = tranche_keys.sparkSession
     meta = window_meta(spark, path)
+    if max_epoch is not None and meta["n_buckets"] is not None and (
+        int(max_epoch) <= meta["expired_through"]
+    ):
+        raise BucketLayoutError(
+            f"{path}: as-of epoch {max_epoch} is at or below the expiry "
+            f"watermark {meta['expired_through']} — every epoch of that "
+            "state was vacuumed; the earliest readable as-of point is "
+            f"{meta['expired_through'] + 1}"
+        )
     keys = tranche_keys.select(F.col(key_col)).distinct().localCheckpoint(
         eager=True
     )
@@ -181,9 +198,10 @@ def score_tranche_windowed(
     kbs = touched_buckets(
         keys, lambda n: kb_of(F.col(key_col), n), meta["n_buckets"]
     )
-    live = prune_to_buckets(
-        store.filter(F.col("epoch") > floor_epoch), KB_COL, kbs
-    )
+    scan = store.filter(F.col("epoch") > floor_epoch)
+    if max_epoch is not None:
+        scan = scan.filter(F.col("epoch") <= int(max_epoch))
+    live = prune_to_buckets(scan, KB_COL, kbs)
     seen = live.join(F.broadcast(keys), key_col, "left_semi").select(
         key_col
     ).distinct()

@@ -29,9 +29,10 @@ def _keys(spark, names):
     ).select(F.md5("k").alias("k"))
 
 
-def _seen(spark, path, names, min_epoch=None):
+def _seen(spark, path, names, min_epoch=None, max_epoch=None):
     flags = score_tranche_windowed(
-        _keys(spark, names), "k", path, min_epoch=min_epoch
+        _keys(spark, names), "k", path,
+        min_epoch=min_epoch, max_epoch=max_epoch,
     )
     got = {r["k"]: r["seen_in_window"] for r in flags.collect()}
     import hashlib
@@ -99,6 +100,25 @@ def test_query_side_window_narrowing(spark, tmp_path):
     assert _seen(spark, p, ["old", "new"]) == {
         "old": True, "new": True,
     }
+
+
+def test_as_of_epoch_reads(spark, tmp_path):
+    """max_epoch is the as-of read: the screen's state after that
+    epoch landed. An as-of point at/below the expiry watermark raises
+    (fully vacuumed) instead of answering from partial state."""
+    p = str(tmp_path / "win")
+    append_window_epoch(_keys(spark, ["a"]), "k", p, 0, NB)
+    append_window_epoch(_keys(spark, ["b"]), "k", p, 1, NB)
+    append_window_epoch(_keys(spark, ["c"]), "k", p, 2, NB)
+    assert _seen(spark, p, ["a", "b", "c"], max_epoch=1) == {
+        "a": True, "b": True, "c": False,
+    }
+    expire_through(spark, p, 0)
+    assert _seen(spark, p, ["a", "b", "c"], max_epoch=1) == {
+        "a": False, "b": True, "c": False,
+    }
+    with pytest.raises(BucketLayoutError, match="vacuumed"):
+        score_tranche_windowed(_keys(spark, ["a"]), "k", p, max_epoch=0)
 
 
 def test_probe_scan_is_doubly_pruned(spark, tmp_path):
