@@ -15,6 +15,10 @@ from __future__ import annotations
 from .analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES
 from .bloom_queries import BLOOM_ORACLES, BLOOM_QUERIES
 from .bucketed_queries import BUCKETED_ORACLES, BUCKETED_QUERIES
+from .calibration_queries import (
+    CALIBRATION_ORACLES,
+    CALIBRATION_QUERIES,
+)
 from .canonical_queries import (
     CANONICAL_ORACLES,
     CANONICAL_QUERIES,
@@ -103,6 +107,7 @@ _ALL_QUERIES = {
     **PHRASE_QUERIES,
     **CANONICAL_QUERIES,
     **IVF_QUERIES,
+    **CALIBRATION_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -139,6 +144,7 @@ _ALL_ORACLES = {
     **PHRASE_ORACLES,
     **CANONICAL_ORACLES,
     **IVF_ORACLES,
+    **CALIBRATION_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry
