@@ -62,6 +62,10 @@ from .schema_drift_queries import (
 )
 from .span_queries import SPAN_ORACLES, SPAN_QUERIES
 from .streaming_queries import STREAMING_ORACLES, STREAMING_QUERIES
+from .subsumption_queries import (
+    SUBSUMPTION_ORACLES,
+    SUBSUMPTION_QUERIES,
+)
 from .temporal_queries import TEMPORAL_ORACLES, TEMPORAL_QUERIES
 from .timetravel_queries import TIMETRAVEL_ORACLES, TIMETRAVEL_QUERIES
 from .tpch_queries import TPCH_ORACLES, TPCH_QUERIES
@@ -108,6 +112,7 @@ _ALL_QUERIES = {
     **CANONICAL_QUERIES,
     **IVF_QUERIES,
     **CALIBRATION_QUERIES,
+    **SUBSUMPTION_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -145,6 +150,7 @@ _ALL_ORACLES = {
     **CANONICAL_ORACLES,
     **IVF_ORACLES,
     **CALIBRATION_ORACLES,
+    **SUBSUMPTION_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry
