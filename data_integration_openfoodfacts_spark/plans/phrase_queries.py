@@ -35,6 +35,9 @@ def q187_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _phrase_block(phrase: str) -> str:
+    # DuckDB range(lo, hi) is stop-EXCLUSIVE: starts 1..len(t)-n+1
+    # need hi = len(t) - (n - 2); len(t)-(n-1) would drop hits that end
+    # at the last token (Spark's F.sequence is stop-inclusive).
     n = len(phrase.split(" "))
     gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n)).replace(
         "t[i+0]", "t[i]"
@@ -44,7 +47,7 @@ def _phrase_block(phrase: str) -> str:
 SELECT '{sq}' AS phrase, doc_id,
        CAST(COUNT(*) AS BIGINT) AS tf,
        CAST(MIN(i) AS BIGINT) AS first_pos
-FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - {n - 1})) AS i) u
+FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - {n - 2})) AS i) u
 WHERE len(t) >= {n} AND {gram} = '{sq}'
 GROUP BY doc_id
 """

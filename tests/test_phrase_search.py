@@ -79,6 +79,44 @@ def test_multi_phrase_single_scan(spark):
     assert keys and set(keys) == {"phrase"}, plan
 
 
+def test_oracle_block_matches_spark_at_text_end(spark):
+    """Regression (round 11): the q187 DuckDB oracle used a
+    stop-EXCLUSIVE range(1, len-(n-1)) and silently dropped any match
+    ending at the LAST token (doc == phrase, or trailing hit) — a
+    latent gate mismatch the testdata happened not to trigger. Pin the
+    generated oracle block against Spark on exactly those shapes."""
+    import duckdb
+
+    from data_integration_openfoodfacts_spark.plans.phrase_queries import (
+        _phrase_block,
+    )
+
+    rows = [
+        (1, "hash join"),            # doc IS the phrase
+        (2, "a hash join"),          # hit ends at the last token
+        (3, "hash join wins"),       # interior hit
+        (4, "hash join hash join"),  # tf 2, second hit at text end
+        (5, "join hash"),            # wrong order
+    ]
+    got = _hits(spark, rows, "hash join")
+    assert got == {1: (1, 1), 2: (1, 2), 3: (1, 1), 4: (2, 1)}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") v(doc_id, text)"
+    )
+    sql = (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t"
+        " FROM documents) " + _phrase_block("hash join")
+    )
+    oracle = {
+        r[1]: (r[2], r[3]) for r in con.execute(sql).fetchall()
+    }
+    assert oracle == got
+
+
 def test_argument_validation(spark):
     df = _docs(spark, [(1, "a")])
     with pytest.raises(ValueError, match="at least one token"):
