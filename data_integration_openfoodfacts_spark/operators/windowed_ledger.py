@@ -12,7 +12,12 @@ This layout makes age a PARTITION DIMENSION instead:
   inside, one file per touched bucket — the shared layout's file-count
   hygiene), idempotent by the completed-directory check
   (_SUCCESS present → replay writes nothing; torn → delete + rewrite),
-  the same crash contract as `streaming/counting_store`.
+  the same crash contract as `streaming/counting_store` — including
+  sidecar HEAL on replay: a crash between an epoch's parquet commit
+  and the sidecar stamp leaves an orphaned store that probes/expiry
+  LOUDLY refuse (never "all unseen"); replaying the append
+  sample-validates the caller's bucket count against the orphaned
+  data, then stamps it.
 - **Expiry** = DELETING whole epoch directories — O(1) filesystem
   metadata work, no rewrite of surviving data, no read of expired
   data. The sidecar records ``expired_through``; an append for an
@@ -46,6 +51,7 @@ from .bucketed_ledger import (
     prune_to_buckets,
     read_json_sidecar,
     touched_buckets,
+    validate_layout,
     write_json_sidecar,
 )
 from .novelty_ledger import kb_of
@@ -61,6 +67,13 @@ __all__ = [
 WINDOW_META = "_window_meta.json"
 KB_COL = "kb"
 DEFAULT_BUCKETS = 64
+
+_ORPHAN_MSG = (
+    "{path}: windowed ledger has epoch data but no " + WINDOW_META +
+    " sidecar (crash between an epoch's parquet commit and the sidecar"
+    " stamp) — replay the append to heal it; refusing to guess a"
+    " bucket count (a wrong guess silently reports every key unseen)"
+)
 
 
 def window_meta(spark: SparkSession, path: str) -> dict:
@@ -105,6 +118,20 @@ def append_window_epoch(
             f"{path}: windowed ledger was laid out with n_buckets="
             f"{meta['n_buckets']}, caller passed {n_buckets}"
         )
+    if meta["n_buckets"] is None and read_window(spark, path) is not None:
+        # Crash window repair (counting_store's write_counting_delta
+        # contract): an epoch's parquet committed but the sidecar stamp
+        # below never landed. Sample-validate the caller's n_buckets
+        # against the ORPHANED data before trusting it — a replay (or a
+        # later append) passing a different count would otherwise stamp
+        # a geometry the existing epoch was not written with and
+        # mis-prune every future probe — then heal the stamp.
+        validate_layout(
+            spark, path, read_window(spark, path), KB_COL,
+            lambda n: kb_of(F.col(key_col), n), n_buckets,
+        )
+        _write_window_meta(spark, path, n_buckets, -1)
+        meta = {"n_buckets": n_buckets, "expired_through": -1}
     if epoch <= meta["expired_through"]:
         return False
     edir = f"{path.rstrip('/')}/epoch={epoch}"
@@ -132,6 +159,8 @@ def expire_through(
     read or rewritten. Returns the dropped epoch ids."""
     meta = window_meta(spark, path)
     if meta["n_buckets"] is None:
+        if read_window(spark, path) is not None:
+            raise BucketLayoutError(_ORPHAN_MSG.format(path=path))
         raise BucketLayoutError(f"{path}: not a windowed ledger")
     fs, root, jvm = _fs_and_path(spark, path)
     dropped = []
@@ -186,11 +215,16 @@ def score_tranche_windowed(
             "state was vacuumed; the earliest readable as-of point is "
             f"{meta['expired_through'] + 1}"
         )
+    store = read_window(spark, path)
+    if store is not None and meta["n_buckets"] is None:
+        # A populated-but-sidecarless store is the append crash window,
+        # not an empty ledger — answering "all unseen" here would be a
+        # silently wrong dedup verdict (round-11 ADVICE).
+        raise BucketLayoutError(_ORPHAN_MSG.format(path=path))
     keys = tranche_keys.select(F.col(key_col)).distinct().localCheckpoint(
         eager=True
     )
-    store = read_window(spark, path)
-    if store is None or meta["n_buckets"] is None:
+    if store is None:
         return keys.withColumn("seen_in_window", F.lit(False))
     floor_epoch = meta["expired_through"]
     if min_epoch is not None:

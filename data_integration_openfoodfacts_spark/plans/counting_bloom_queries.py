@@ -180,16 +180,22 @@ def q178_counting_store_takedown(
                 "shingle", path, f"batch-{b}", _NW, _K,
             )
         # replay before compaction: completed directory, writes nothing
-        assert not write_counting_delta(
+        # (side effects outside assert — survives ``python -O``)
+        replay_pre = write_counting_delta(
             occ.filter(F.col("doc_id") % 3 == 1).select("shingle"),
             "shingle", path, "batch-1", _NW, _K,
         )
         compact_counting(spark, path, _NW, _K)
         # replay after compaction: directory absorbed, tombstone refuses
-        assert not write_counting_delta(
+        replay_post = write_counting_delta(
             occ.filter(F.col("doc_id") % 3 == 1).select("shingle"),
             "shingle", path, "batch-1", _NW, _K,
         )
+        if replay_pre or replay_post:
+            raise AssertionError(
+                f"replay guard broke: pre-compaction wrote={replay_pre},"
+                f" post-compaction wrote={replay_post}"
+            )
         retract_counting(
             occ.filter(F.col("doc_id") % _TAKEDOWN_MOD == 0).select(
                 "shingle"

@@ -67,23 +67,34 @@ def q184_windowed_novelty_expiry(
     tmp = tempfile.mkdtemp(prefix="q184_win_")
     path = f"{tmp}/ledger"
     try:
+        # Side effects OUTSIDE the asserts: under ``python -O`` a bare
+        # ``assert append_window_epoch(...)`` is stripped entirely and
+        # the ledger would never be built (round-11 ADVICE).
         for e in range(_EPOCHS):
-            assert append_window_epoch(
+            wrote = append_window_epoch(
                 occ.filter(F.col("epoch") == e).select("shingle_md5"),
                 "shingle_md5", path, e, _NB,
             )
+            if not wrote:
+                raise AssertionError(f"epoch {e} append was a no-op")
         # replay of a live epoch: completed directory, writes nothing
-        assert not append_window_epoch(
+        replayed = append_window_epoch(
             occ.filter(F.col("epoch") == 3).select("shingle_md5"),
             "shingle_md5", path, 3, _NB,
         )
-        assert expire_through(spark, path, 1) == [0, 1]
+        dropped = expire_through(spark, path, 1)
         # resurrection guard: an expired epoch's replay is refused
-        assert not append_window_epoch(
+        resurrected = append_window_epoch(
             occ.filter(F.col("epoch") == 1).select("shingle_md5"),
             "shingle_md5", path, 1, _NB,
         )
-        assert window_meta(spark, path)["expired_through"] == 1
+        mark = window_meta(spark, path)["expired_through"]
+        if replayed or dropped != [0, 1] or resurrected or mark != 1:
+            raise AssertionError(
+                f"ledger lifecycle contract broke: replay wrote="
+                f"{replayed}, dropped={dropped}, resurrection wrote="
+                f"{resurrected}, watermark={mark}"
+            )
         probe = occ.select("shingle_md5")
         flags = score_tranche_windowed(probe, "shingle_md5", path)
         in_expired = (

@@ -236,7 +236,13 @@ def store_versions(spark: SparkSession, path: str) -> dict:
     ``absorbed`` (compaction tombstones), ``latest`` (= len(log)), and
     ``min_readable`` — the smallest version whose log prefix covers
     every absorbed delta (1 when nothing was compacted). Versions below
-    ``min_readable`` were vacuumed by compaction and cannot be read."""
+    ``min_readable`` were vacuumed by compaction and cannot be read.
+    ``min_readable`` is ``None`` when the absorbed set is NOT covered
+    by the log (a legacy store compacted before the version log
+    existed, then appended to): no log prefix reconstructs any
+    historical state, so no version is readable — only the current
+    state via `read_counts` (round-11 ADVICE: reporting 1 here
+    advertised an 'earliest readable version' that itself raised)."""
     meta = _meta(spark, path)
     if meta is None:
         raise CountingLayoutError(
@@ -244,10 +250,13 @@ def store_versions(spark: SparkSession, path: str) -> dict:
         )
     log = list(meta.get("log", []))
     absorbed = set(meta.get("absorbed", []))
-    min_readable = 1
-    for i, d in enumerate(log):
-        if d in absorbed:
-            min_readable = i + 1
+    if not absorbed <= set(log):
+        min_readable = None
+    else:
+        min_readable = 1
+        for i, d in enumerate(log):
+            if d in absorbed:
+                min_readable = i + 1
     return {
         "log": log,
         "absorbed": sorted(absorbed),
@@ -288,12 +297,19 @@ def read_counts_as_of(
     prefix = log[: int(version)]
     absorbed = set(meta.get("absorbed", []))
     if not absorbed <= set(prefix):
+        mr = store_versions(spark, path)["min_readable"]
+        hint = (
+            f"the earliest readable version is {mr}"
+            if mr is not None
+            else "NO historical version is readable — compaction "
+            "predates the version log (legacy store); only the "
+            "current state is reconstructible, via read_counts"
+        )
         raise CountingLayoutError(
             f"{path}: version {version} predates the compaction "
             f"horizon — compaction absorbed {sorted(absorbed)} into "
             f"'{BASE_DELTA}' and vacuumed their per-delta partitions; "
-            f"the earliest readable version is "
-            f"{store_versions(spark, path)['min_readable']}"
+            + hint
         )
     wanted = [d for d in prefix if d not in absorbed]
     if absorbed:

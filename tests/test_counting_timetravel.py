@@ -136,6 +136,28 @@ def test_version_bounds_and_legacy_refusals(spark, tmp_path):
     assert _state(read_counts(spark, p)) == _rebuild(spark, BATCHES)
 
 
+def test_legacy_compaction_reports_no_readable_version(spark, tmp_path):
+    """Round-11 ADVICE: a store compacted BEFORE the version log
+    existed, then appended to — absorbed ids appear in no log prefix,
+    so NO historical version is reconstructible. min_readable must be
+    None (not 1, which itself raised), and the as-of refusal must name
+    the legacy case instead of advertising an unreadable version."""
+    p = str(tmp_path / "cnt")
+    for i, b in enumerate(BATCHES[:2]):
+        write_counting_delta(_keys(spark, b), "k", p, f"batch-{i}", NW, K)
+    compact_counting(spark, p, NW, K)
+    # simulate the pre-log store: compaction happened, log never existed
+    _edit_sidecar(p, lambda m: m.__setitem__("log", []))
+    write_counting_delta(_keys(spark, BATCHES[2]), "k", p, "batch-2",
+                         NW, K)
+    vs = store_versions(spark, p)
+    assert vs["latest"] == 1 and vs["min_readable"] is None
+    with pytest.raises(CountingLayoutError, match="legacy"):
+        read_counts_as_of(spark, p, 1)
+    # the current state is still served
+    assert _state(read_counts(spark, p)) == _rebuild(spark, BATCHES)
+
+
 def test_as_of_scan_prunes_partitions(spark, tmp_path):
     """The as-of read is a partition-column filter: the parquet scan
     must carry a delta_id PartitionFilter (pruned at planning time),

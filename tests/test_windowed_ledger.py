@@ -121,6 +121,45 @@ def test_as_of_epoch_reads(spark, tmp_path):
         score_tranche_windowed(_keys(spark, ["a"]), "k", p, max_epoch=0)
 
 
+def test_orphaned_store_refused_then_healed_on_replay(spark, tmp_path):
+    """Crash window between the first epoch's parquet commit and the
+    sidecar stamp (round-11 ADVICE): a populated-but-sidecarless store
+    must NOT read as empty — probes and expiry refuse loudly; replaying
+    the append sample-validates the caller's bucket count against the
+    orphaned data, heals the stamp, and everything works again."""
+    p = str(tmp_path / "win")
+    assert append_window_epoch(_keys(spark, ["a", "b"]), "k", p, 0, NB)
+    os.remove(os.path.join(p, "_window_meta.json"))  # simulate crash
+    with pytest.raises(BucketLayoutError, match="heal"):
+        score_tranche_windowed(_keys(spark, ["a"]), "k", p)
+    with pytest.raises(BucketLayoutError, match="heal"):
+        expire_through(spark, p, 0)
+    # replay with the WRONG bucket count: validated against the data
+    with pytest.raises(BucketLayoutError, match="bucket count"):
+        append_window_epoch(_keys(spark, ["a", "b"]), "k", p, 0, NB * 2)
+    # replay with the right count: completed-dir no-op + sidecar heal
+    assert not append_window_epoch(_keys(spark, ["a", "b"]), "k", p, 0, NB)
+    meta = window_meta(spark, p)
+    assert meta == {"n_buckets": NB, "expired_through": -1}
+    assert _seen(spark, p, ["a", "b", "z"]) == {
+        "a": True, "b": True, "z": False,
+    }
+
+
+def test_orphan_heal_on_next_epoch_append(spark, tmp_path):
+    """The heal also fires when the next batch appends a NEW epoch to
+    an orphaned store — the new epoch must not stamp a geometry the
+    orphaned epoch was not written with."""
+    p = str(tmp_path / "win")
+    assert append_window_epoch(_keys(spark, ["a"]), "k", p, 0, NB)
+    os.remove(os.path.join(p, "_window_meta.json"))
+    with pytest.raises(BucketLayoutError, match="bucket count"):
+        append_window_epoch(_keys(spark, ["b"]), "k", p, 1, NB * 2)
+    assert append_window_epoch(_keys(spark, ["b"]), "k", p, 1, NB)
+    assert window_meta(spark, p)["n_buckets"] == NB
+    assert _seen(spark, p, ["a", "b"]) == {"a": True, "b": True}
+
+
 def test_probe_scan_is_doubly_pruned(spark, tmp_path):
     """The probe's store scan carries PartitionFilters on BOTH the
     epoch range and the touched buckets."""
