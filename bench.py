@@ -281,6 +281,52 @@ def main() -> None:
         if q in prev_q and cur > 2 * prev_q[q] and cur - prev_q[q] > 0.5
     }
 
+    # Self-reconciling gate (round-11 VERDICT #1: the flag->manual
+    # quiet-host-probe->commit loop was task #1 three rounds running —
+    # automate it). An in-suite flag is often a virtualized-host stall
+    # or contended-window artifact (drift_probe_r10*.json: every probed
+    # flag reconciled to baseline), so before flagging, re-run the
+    # flagged query STANDALONE — post-suite, cache-cleared, freshly
+    # GC'd — with the same min-of-2 / median-of-3-if-heavy methodology.
+    # Only a flag the standalone re-run REPRODUCES survives; both
+    # numbers land in the record either way ([prev, suite, standalone])
+    # so a dismissed flag is auditable, not discarded. The committed
+    # per-query map takes min(suite, standalone): next round's gate
+    # should compare against the query's own cost, not the noise.
+    reconciled: dict[str, list[float]] = {}
+    by_prefix = {n.split("_", 1)[0]: fn for n, fn in QUERIES.items()}
+    if regressions:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        spark.catalog.clearCache()
+    for q in list(regressions):
+        try:
+            fn = by_prefix[q]
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                run_query(fn(spark, sf_dir))
+                runs.append(time.time() - t0)
+            heavy = min(runs) >= 2.0
+            if heavy or max(runs) > 1.5 * min(runs) + 0.2:
+                t0 = time.time()
+                run_query(fn(spark, sf_dir))
+                runs.append(time.time() - t0)
+            standalone = round(sorted(runs)[1] if heavy else min(runs), 2)
+            spark.catalog.clearCache()
+            gc.collect()
+        except Exception:  # noqa: BLE001 — keep the original flag
+            continue
+        prev, suite = prev_q[q], timings[q]
+        settled = min(suite, standalone)
+        total += settled - suite
+        timings[q] = settled
+        if standalone > 2 * prev and standalone - prev > 0.5:
+            regressions[q] = [prev, suite, standalone]
+        else:
+            reconciled[q] = [prev, suite, standalone]
+            del regressions[q]
+
     # Full record -> committed report file; stdout stays a COMPACT
     # digest (round-7 VERDICT #2): the driver's output-tail capture is
     # 2,000 chars, and the full 161-query map overflowed it in r06/r07
@@ -300,6 +346,7 @@ def main() -> None:
         "baseline_pipeline_e2e_418k_sec": 393,
         "prev_round": prev_round,
         "regressions": regressions,
+        "reconciled": reconciled,
         "errors": errors,
     }
     report_path = os.path.join(
@@ -328,6 +375,7 @@ def main() -> None:
             "baseline_pipeline_e2e_418k_sec": 393,
             "prev_round": prev_round,
             "regressions": regressions,
+            "reconciled": reconciled,
             "errors": errors,
             "full_report": "plans/bench_report.json",
         },
@@ -341,6 +389,7 @@ def main() -> None:
         digest = json.loads(line)
         digest["slowest"] = {}
         digest["regressions"] = {"n": len(regressions)}
+        digest["reconciled"] = {"n": len(reconciled)}
         digest["errors"] = {"n": len(errors)}
         line = json.dumps(digest, separators=(",", ":"))
     sys.stdout.flush()

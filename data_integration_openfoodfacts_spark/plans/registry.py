@@ -31,6 +31,10 @@ from .counting_bloom_queries import (
     COUNTING_BLOOM_ORACLES,
     COUNTING_BLOOM_QUERIES,
 )
+from .counting_stream_queries import (
+    COUNTING_STREAM_ORACLES,
+    COUNTING_STREAM_QUERIES,
+)
 from .curation_queries import CURATION_ORACLES, CURATION_QUERIES
 from .embedding_ingest_queries import (
     EMBEDDING_INGEST_ORACLES,
@@ -113,6 +117,7 @@ _ALL_QUERIES = {
     **IVF_QUERIES,
     **CALIBRATION_QUERIES,
     **SUBSUMPTION_QUERIES,
+    **COUNTING_STREAM_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -151,6 +156,7 @@ _ALL_ORACLES = {
     **IVF_ORACLES,
     **CALIBRATION_ORACLES,
     **SUBSUMPTION_ORACLES,
+    **COUNTING_STREAM_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry

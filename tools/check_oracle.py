@@ -146,6 +146,34 @@ def main() -> int:
     spark.range(64).select(
         _warm_arrow(F.col("id").cast("double"))
     ).write.format("noop").mode("overwrite").save()
+    # Store/stream warmup (round-11 VERDICT #4): the session's FIRST
+    # parquet write job, Hadoop local-FS JVM calls, sidecar IO and
+    # Structured-Streaming start together cost ~5-8s and landed on
+    # whichever store-lifecycle query sorted first in the gate order
+    # (q178/q179 in r10, q192 in r11) — the same attribution wart the
+    # table/Arrow warmups above fix for scans and pandas UDFs. A
+    # 2-row counting-screen drain in a temp dir touches all of those
+    # paths once, charged to warmup instead of the first such query.
+    import shutil as _sh
+    import tempfile as _tf
+
+    _wtmp = _tf.mkdtemp(prefix="gate_warm_")
+    try:
+        from data_integration_openfoodfacts_spark.streaming.counting_store import (  # noqa: E501
+            run_counting_screen_stream,
+        )
+
+        spark.range(2).selectExpr(
+            "id AS doc_id", "CAST(id AS STRING) AS text",
+            "'en' AS lang", "'warm' AS source",
+            "CAST(1 AS BIGINT) AS n_chars",
+        ).coalesce(1).write.parquet(f"{_wtmp}/src")
+        run_counting_screen_stream(
+            spark, f"{_wtmp}/src", f"{_wtmp}/store", f"{_wtmp}/res",
+            f"{_wtmp}/ckpt", n_words=64, k=2,
+        )
+    finally:
+        _sh.rmtree(_wtmp, ignore_errors=True)
     con = duck_con(sf_dir)
 
     qs = entrymod.queries()
