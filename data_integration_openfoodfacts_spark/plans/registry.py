@@ -59,6 +59,10 @@ from .fingerprint_queries import FINGERPRINT_ORACLES, FINGERPRINT_QUERIES
 from .phrase_queries import PHRASE_ORACLES, PHRASE_QUERIES
 from .propagation_queries import PROPAGATION_ORACLES, PROPAGATION_QUERIES
 from .retraction_queries import RETRACTION_ORACLES, RETRACTION_QUERIES
+from .retrieval_profile_queries import (
+    RETRIEVAL_PROFILE_ORACLES,
+    RETRIEVAL_PROFILE_QUERIES,
+)
 from .sampling_queries import SAMPLING_ORACLES, SAMPLING_QUERIES
 from .schema_drift_queries import (
     SCHEMA_DRIFT_ORACLES,
@@ -118,6 +122,7 @@ _ALL_QUERIES = {
     **CALIBRATION_QUERIES,
     **SUBSUMPTION_QUERIES,
     **COUNTING_STREAM_QUERIES,
+    **RETRIEVAL_PROFILE_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -157,6 +162,7 @@ _ALL_ORACLES = {
     **CALIBRATION_ORACLES,
     **SUBSUMPTION_ORACLES,
     **COUNTING_STREAM_ORACLES,
+    **RETRIEVAL_PROFILE_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry
