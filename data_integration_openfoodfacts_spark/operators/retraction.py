@@ -75,12 +75,23 @@ def retract_keys_bucketed(
     if not buckets:
         return 0
     touched = prune_to_buckets(existing, bucket_col, buckets)
+    # one pass over the pruned buckets for the removal count (a left
+    # join against the broadcast DISTINCT key set hits each row at
+    # most once), instead of the two full counts the subtraction form
+    # cost — the streaming takedown runner pays this per micro-batch
+    removed = int(
+        touched.join(
+            F.broadcast(key_rows.withColumn("__hit", F.lit(1))),
+            key_col, "left",
+        )
+        .agg(F.coalesce(F.sum("__hit"), F.lit(0)).alias("removed"))
+        .collect()[0]["removed"]
+    )
+    if removed == 0:
+        return 0
     survivors = touched.join(
         F.broadcast(key_rows), key_col, "left_anti"
     )
-    removed = touched.count() - survivors.count()
-    if removed == 0:
-        return 0
     cols = [c for c in existing.columns if c != bucket_col]
     staged = f"{path.rstrip('/')}__retract_stage"
     (

@@ -70,6 +70,10 @@ from .schema_drift_queries import (
 )
 from .span_queries import SPAN_ORACLES, SPAN_QUERIES
 from .streaming_queries import STREAMING_ORACLES, STREAMING_QUERIES
+from .takedown_stream_queries import (
+    TAKEDOWN_STREAM_ORACLES,
+    TAKEDOWN_STREAM_QUERIES,
+)
 from .subsumption_queries import (
     SUBSUMPTION_ORACLES,
     SUBSUMPTION_QUERIES,
@@ -123,6 +127,7 @@ _ALL_QUERIES = {
     **SUBSUMPTION_QUERIES,
     **COUNTING_STREAM_QUERIES,
     **RETRIEVAL_PROFILE_QUERIES,
+    **TAKEDOWN_STREAM_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -163,6 +168,7 @@ _ALL_ORACLES = {
     **SUBSUMPTION_ORACLES,
     **COUNTING_STREAM_ORACLES,
     **RETRIEVAL_PROFILE_ORACLES,
+    **TAKEDOWN_STREAM_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry

@@ -1,0 +1,152 @@
+"""Takedown-request stream — right-to-be-forgotten as a queue DRAIN.
+
+Every store in this engine has a batch takedown path (negative
+counting deltas — `streaming/counting_store.retract_counting`;
+touched-buckets-only rewrites — `operators/retraction.py`), and every
+INGEST direction has a stream runner; production takedown requests,
+though, arrive as a queue (compliance tickets, licence withdrawals,
+contaminated-source recalls), not as one batch. This runner completes
+the symmetry: an availableNow drain over a directory of
+takedown-request files, each micro-batch applied to BOTH takedown
+surfaces:
+
+- the COUNTING screen at ``counting_path``: a negative delta with
+  ``delta_id = takedown-batch-<bid>`` — replay-idempotent by the
+  store's own completed-directory check and compaction tombstone, so
+  a crash/restart never double-subtracts;
+- optionally the EXACT bucketed ledger at ``ledger_path``
+  (`operators/retraction.retract_from_novelty_ledger`): the
+  touched-buckets-only rewrite. A crash replay re-runs the anti-join,
+  which is a no-op once the keys are gone — sound because a
+  takedown-only drain never interleaves re-inserts of the same keys
+  (the ingest runners own inserts; run them against the same ledger
+  SEQUENTIALLY, not concurrently — the stores are single-writer).
+
+Semantics contrast the audit row makes visible (and q194's oracle
+pins): the counting screen subtracts per OWNER OCCURRENCE — a key
+shared with a surviving document keeps every position count >= 1 and
+stays member — while the exact ledger retracts per KEY — a requested
+key vanishes even when another owner survives. Right-to-be-forgotten
+over shared content needs the counting store (or an owner-aware
+ledger); the per-key ledger is the right surface for revoking the KEY
+itself (contaminated string, leaked secret).
+
+Audit rows land FIRST per batch (``mode("ignore")``
+first-writer-wins — the same totals-first crash argument as the
+ingest runners: a replayed batch must not re-stamp totals computed
+against post-application state).
+
+Request schema: the corpus docs stream schema
+(`corpus_ingest.DOCS_STREAM_SCHEMA`) — a request IS the document to
+forget; keys are exact-text md5, the keep-latest family's key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .counting_store import DEFAULT_K, DEFAULT_WORDS, retract_counting
+
+__all__ = ["takedown_batch", "run_takedown_stream"]
+
+
+def takedown_batch(
+    requests: DataFrame,
+    counting_path: str,
+    results_path: str,
+    batch_id: int,
+    n_words: int = DEFAULT_WORDS,
+    k: int = DEFAULT_K,
+    ledger_path: str | None = None,
+) -> None:
+    """Apply one micro-batch of takedown requests. Occurrence keys
+    (one md5 per request ROW — multiplicity is the counting store's
+    whole point) feed the negative delta; the DISTINCT key set feeds
+    the exact-ledger rewrite. The audit row (batch_id, n_requests,
+    n_keys, delta_id) lands first, first-writer-wins.
+
+    The counting delta is keyed by a CONTENT digest of the batch's key
+    multiset (order-invariant sum of truncated md5 longs + the row
+    count), not by batch position: a fresh-checkpoint re-drain of a
+    GROWN or re-listed queue then refuses exactly the already-applied
+    files and applies only the new ones — positional ids would pair
+    old ids with different request sets and under-retract. One bounded
+    1-row aggregate collect per batch (the k x d envelope convention)."""
+    spark = requests.sparkSession
+    keys = requests.select(F.md5("text").alias("text_md5"))
+    stats = keys.agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.countDistinct("text_md5").alias("n_keys"),
+        # order-invariant, overflow-safe (h % 2^32 summed stays below
+        # long range for any batch under 2^31 rows)
+        F.coalesce(
+            F.sum(
+                F.conv(F.substring("text_md5", 1, 15), 16, 10)
+                .cast("long") % F.lit(2**32)
+            ),
+            F.lit(0),
+        ).alias("digest"),
+    ).collect()[0]
+    delta_id = f"batch-{stats['n_requests']}-{stats['digest']}"
+    audit = spark.createDataFrame(
+        [(int(batch_id), int(stats["n_requests"]),
+          int(stats["n_keys"]), delta_id)],
+        "batch_id long, n_requests long, n_keys long, delta_id string",
+    )
+    audit.coalesce(1).write.mode("ignore").parquet(
+        f"{results_path}/batch_id={batch_id}"
+    )
+    retract_counting(
+        keys, "text_md5", counting_path, delta_id, n_words, k,
+    )
+    if ledger_path is not None:
+        from ..operators.retraction import retract_from_novelty_ledger
+
+        retract_from_novelty_ledger(
+            requests.sparkSession,
+            ledger_path,
+            keys.select(F.col("text_md5").alias("shingle_md5")).distinct(),
+        )
+
+
+def run_takedown_stream(
+    spark: SparkSession,
+    requests_dir: str,
+    counting_path: str,
+    results_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+    n_words: int = DEFAULT_WORDS,
+    k: int = DEFAULT_K,
+    ledger_path: str | None = None,
+) -> None:
+    """availableNow drain of the takedown queue. Whole-stream replay
+    (same checkpoint, no new request files) is an end-to-end no-op;
+    a replay FROM A FRESH checkpoint is also safe — delta ids are
+    CONTENT digests (see `takedown_batch`), so re-draining a grown or
+    re-listed queue refuses exactly the already-applied files and
+    applies only new ones, and the ledger anti-joins already-gone
+    keys. That's what makes the queue at-least-once deliverable.
+    Granularity caveat: content keying identifies a BATCH, so replay
+    safety needs stable batching granularity — keep
+    ``max_files_per_trigger=1`` (the default; batch == file) so a
+    re-drain sees the same batch contents. Truly unstable queues need
+    per-REQUEST ids deduped against an applied-requests ledger — out
+    of scope here, the swap-in point is `takedown_batch`."""
+    from .corpus_ingest import read_docs_stream
+
+    def _batch(b: DataFrame, bid: int) -> None:
+        takedown_batch(
+            b, counting_path, results_path, bid,
+            n_words=n_words, k=k, ledger_path=ledger_path,
+        )
+
+    stream = read_docs_stream(spark, requests_dir, max_files_per_trigger)
+    (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
