@@ -180,6 +180,11 @@ HEADLINERS = {
         "windows; ranked frame checkpointed before the canonical "
         "self-join"
     ),
+    "q193_retrieval_operating_points": (
+        "recall-vs-cost curve: corpus tagged/assigned ONCE per family, "
+        "only the small query side explodes per knob; broadcast NLJ "
+        "exact baselines, no CartesianProduct"
+    ),
 }
 
 
