@@ -440,11 +440,17 @@ def run_counting_screen_stream(
     n_words: int = DEFAULT_WORDS,
     k: int = DEFAULT_K,
     compact_every: int | None = None,
+    compact_max_deltas: int | None = None,
 ) -> None:
     """availableNow backlog drain through the counting screen, keyed
     by exact-text md5 (the keep-latest family's key). ``compact_every``
     folds deltas into the base partition every N batches — the
-    in-stream counterpart of the ledger stores' cadence compaction."""
+    in-stream counterpart of the ledger stores' cadence compaction;
+    ``compact_max_deltas`` is the STATE-BASED alternative (compact
+    only when live delta partitions exceed the bound — one metadata
+    listing per batch, see `operators/compaction_policy`). Both also
+    vacuum time-travel history up to the new horizon."""
+    from ..operators.compaction_policy import maybe_compact_counting
     from .corpus_ingest import read_docs_stream
 
     def _batch(b: DataFrame, bid: int) -> None:
@@ -455,6 +461,10 @@ def run_counting_screen_stream(
         )
         if compact_every and (bid + 1) % compact_every == 0:
             compact_counting(spark, path, n_words, k)
+        if compact_max_deltas is not None:
+            maybe_compact_counting(
+                spark, path, n_words, k, compact_max_deltas
+            )
 
     stream = read_docs_stream(spark, source_dir, max_files_per_trigger)
     (

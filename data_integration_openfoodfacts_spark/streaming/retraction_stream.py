@@ -120,6 +120,7 @@ def run_takedown_stream(
     n_words: int = DEFAULT_WORDS,
     k: int = DEFAULT_K,
     ledger_path: str | None = None,
+    compact_max_deltas: int | None = None,
 ) -> None:
     """availableNow drain of the takedown queue. Whole-stream replay
     (same checkpoint, no new request files) is an end-to-end no-op;
@@ -141,6 +142,17 @@ def run_takedown_stream(
             b, counting_path, results_path, bid,
             n_words=n_words, k=k, ledger_path=ledger_path,
         )
+        if compact_max_deltas is not None:
+            from ..operators.compaction_policy import (
+                maybe_compact_counting,
+            )
+
+            # takedown deltas accumulate like ingest deltas; the
+            # state-based trigger bounds read amplification (and, per
+            # the policy module's vacuum warning, history retention)
+            maybe_compact_counting(
+                spark, counting_path, n_words, k, compact_max_deltas
+            )
 
     stream = read_docs_stream(spark, requests_dir, max_files_per_trigger)
     (
