@@ -43,12 +43,62 @@ forget; keys are exact-text md5, the keep-latest family's key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .counting_store import DEFAULT_K, DEFAULT_WORDS, retract_counting
 
-__all__ = ["takedown_batch", "run_takedown_stream"]
+__all__ = ["takedown_batch", "run_takedown_stream", "fresh_requests"]
+
+#: applied-requests ledger layout (the shared bucketed recipe):
+#: request ids persist as md5 under ``rb = md5_long(id) % B`` so the
+#: per-batch dedupe probe prunes the ledger read to touched buckets
+RB_COL = "rb"
+REQUEST_BUCKETS = 64
+
+
+def _rb_of(n_buckets: int) -> Column:
+    from ..operators.novelty_ledger import kb_of
+
+    return kb_of(F.col("request_md5"), n_buckets)
+
+
+def fresh_requests(
+    requests: DataFrame,
+    applied_path: str,
+    request_id_col: str = "doc_id",
+    n_buckets: int = REQUEST_BUCKETS,
+) -> DataFrame:
+    """The batch rows whose request id was NEVER applied before —
+    per-REQUEST idempotence for unstable queues (duplicate deliveries,
+    re-batched replays). One row per distinct id (a doubled id within
+    one batch is one request), carrying ``request_md5``. Probe keeps
+    the broadcast-TRANCHE direction over a bucket-pruned ledger scan:
+    the applied ledger is never shuffled or broadcast."""
+    from ..operators.bucketed_ledger import (
+        prune_to_buckets,
+        store_n_buckets,
+        touched_buckets,
+    )
+    from ..streaming.events_stream import read_parquet_if_exists
+
+    spark = requests.sparkSession
+    ids = requests.dropDuplicates([request_id_col]).withColumn(
+        "request_md5", F.md5(F.col(request_id_col).cast("string"))
+    )
+    store = read_parquet_if_exists(spark, applied_path)
+    if store is None:
+        return ids
+    nb = store_n_buckets(spark, applied_path, RB_COL, n_buckets)
+    kbs = touched_buckets(ids.select("request_md5"), _rb_of, nb)
+    seen = prune_to_buckets(store, RB_COL, kbs).join(
+        F.broadcast(ids.select("request_md5")), "request_md5",
+        "left_semi",
+    )
+    return ids.join(
+        F.broadcast(seen.select("request_md5")), "request_md5",
+        "left_anti",
+    )
 
 
 def takedown_batch(
@@ -59,6 +109,8 @@ def takedown_batch(
     n_words: int = DEFAULT_WORDS,
     k: int = DEFAULT_K,
     ledger_path: str | None = None,
+    applied_path: str | None = None,
+    request_id_col: str = "doc_id",
 ) -> None:
     """Apply one micro-batch of takedown requests. Occurrence keys
     (one md5 per request ROW — multiplicity is the counting store's
@@ -72,8 +124,21 @@ def takedown_batch(
     GROWN or re-listed queue then refuses exactly the already-applied
     files and applies only the new ones — positional ids would pair
     old ids with different request sets and under-retract. One bounded
-    1-row aggregate collect per batch (the k x d envelope convention)."""
+    1-row aggregate collect per batch (the k x d envelope convention).
+
+    ``applied_path`` turns on per-REQUEST idempotence for unstable
+    queues: the batch is first anti-joined against the applied-requests
+    ledger (`fresh_requests`), only never-applied requests retract, and
+    their ids append to the ledger LAST — so a crash anywhere replays
+    into refused deltas / no-op rewrites and re-appends, converging.
+    With it on, a request id retracts at most once EVER, regardless of
+    duplicate deliveries or re-batched replays; the audit's n_requests
+    counts the FRESH subset."""
     spark = requests.sparkSession
+    if applied_path is not None:
+        requests = fresh_requests(
+            requests, applied_path, request_id_col
+        ).localCheckpoint(eager=True)
     keys = requests.select(F.md5("text").alias("text_md5"))
     stats = keys.agg(
         F.count(F.lit(1)).alias("n_requests"),
@@ -108,6 +173,20 @@ def takedown_batch(
             ledger_path,
             keys.select(F.col("text_md5").alias("shingle_md5")).distinct(),
         )
+    if applied_path is not None and int(stats["n_requests"]) > 0:
+        from ..operators.bucketed_ledger import (
+            append_bucketed,
+            store_n_buckets,
+        )
+
+        # LAST, so a crash before this line replays into refused
+        # deltas / no-op rewrites and then re-appends (docstring).
+        # The ledger's OWN bucket count wins over the module default.
+        nb = store_n_buckets(spark, applied_path, RB_COL, REQUEST_BUCKETS)
+        append_bucketed(
+            requests.select("request_md5"), applied_path, RB_COL,
+            _rb_of, nb, columns=["request_md5"],
+        )
 
 
 def run_takedown_stream(
@@ -121,6 +200,8 @@ def run_takedown_stream(
     k: int = DEFAULT_K,
     ledger_path: str | None = None,
     compact_max_deltas: int | None = None,
+    applied_path: str | None = None,
+    request_id_col: str = "doc_id",
 ) -> None:
     """availableNow drain of the takedown queue. Whole-stream replay
     (same checkpoint, no new request files) is an end-to-end no-op;
@@ -141,6 +222,7 @@ def run_takedown_stream(
         takedown_batch(
             b, counting_path, results_path, bid,
             n_words=n_words, k=k, ledger_path=ledger_path,
+            applied_path=applied_path, request_id_col=request_id_col,
         )
         if compact_max_deltas is not None:
             from ..operators.compaction_policy import (

@@ -78,7 +78,8 @@ def _write_queue(spark, tmp_path, batches):
     return reqs
 
 
-def _verdicts(spark, docs, store, ledger):
+def _verdicts(spark, docs, store, ledger, texts=None):
+    texts = texts if texts is not None else {r[1] for r in ROWS}
     keys = docs.select(F.md5("text").alias("text_md5")).distinct()
     flags = {
         r["text_md5"]: r["maybe_member"]
@@ -100,8 +101,8 @@ def _verdicts(spark, docs, store, ledger):
         return hashlib.md5(t.encode()).hexdigest()
 
     return (
-        {t: flags[h(t)] for t in {r[1] for r in ROWS}},
-        {t: h(t) in exact for t in {r[1] for r in ROWS}},
+        {t: flags[h(t)] for t in texts},
+        {t: h(t) in exact for t in texts},
     )
 
 
@@ -169,6 +170,72 @@ def test_fresh_checkpoint_replay_is_safe(spark, tmp_path):
     assert exact == {"shared": False, "solo": False, "kept": True}
     # no negative position rows: nothing was subtracted twice
     assert read_counts(spark, store).filter("cnt < 0").count() == 0
+
+
+def test_per_request_idempotence_with_applied_ledger(spark, tmp_path):
+    """applied_path on: a request id retracts at most once EVER —
+    across duplicate files, within-batch duplicates, and re-batched
+    fresh-checkpoint replays — because the batch anti-joins the
+    applied-requests ledger before touching either store."""
+    rows = ROWS + [(5, "extra")]
+    docs = _docs(spark, rows)
+    store = str(tmp_path / "store")
+    ledger = str(tmp_path / "ledger")
+    applied = str(tmp_path / "applied")
+    write_counting_delta(
+        docs.select(F.md5("text").alias("text_md5")),
+        "text_md5", store, "seed", NW, K,
+    )
+    append_ledger_delta(
+        docs.groupBy(F.md5("text").alias("shingle_md5")).agg(
+            F.min("doc_id").alias("first_doc")
+        ),
+        ledger, n_buckets=NB,
+    )
+    # queue: doc 1 delivered TWICE (own file + repeated in file 1,
+    # where it also appears doubled within the batch), doc 3 once
+    reqs = _write_queue(
+        spark, tmp_path,
+        [[ROWS[0]], [ROWS[0], ROWS[0], ROWS[2]]],
+    )
+    res = str(tmp_path / "res")
+    run_takedown_stream(
+        spark, reqs, store, res, str(tmp_path / "ckptA"),
+        max_files_per_trigger=1, n_words=NW, k=K,
+        ledger_path=ledger, applied_path=applied,
+    )
+    counting, exact = _verdicts(spark, docs, store, ledger)
+    assert counting["shared"] and not counting["solo"]
+    assert not exact["shared"] and not exact["solo"] and exact["kept"]
+    # doc 1's occurrence subtracted exactly ONCE: no negative rows
+    assert read_counts(spark, store).filter("cnt < 0").count() == 0
+    # audit: batch 1's fresh subset is just doc 3
+    audits = {
+        r["batch_id"]: r["n_requests"]
+        for r in spark.read.parquet(res).collect()
+    }
+    assert audits == {0: 1, 1: 1}
+    # re-batched redelivery + one genuinely new request (doc 5)
+    part = str(tmp_path / "late")
+    _docs(spark, [ROWS[2], (5, "extra")]).coalesce(1).write.parquet(part)
+    src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+    os.link(os.path.join(part, src), os.path.join(reqs, "part-9.parquet"))
+    run_takedown_stream(
+        spark, reqs, store, res, str(tmp_path / "ckptB"),
+        max_files_per_trigger=1, n_words=NW, k=K,
+        ledger_path=ledger, applied_path=applied,
+    )
+    counting, _exact = _verdicts(
+        spark, docs, store, ledger,
+        texts={r[1] for r in ROWS} | {"extra"},
+    )
+    assert not counting["extra"]  # doc 5 applied
+    assert read_counts(spark, store).filter("cnt < 0").count() == 0
+    # applied ledger holds exactly the three distinct request ids
+    assert spark.read.parquet(applied).select(
+        "request_md5"
+    ).distinct().count() == 3
+    assert spark.read.parquet(applied).count() == 3
 
 
 def test_grown_queue_fresh_checkpoint_applies_only_new(spark, tmp_path):
