@@ -59,6 +59,10 @@ from .fingerprint_queries import FINGERPRINT_ORACLES, FINGERPRINT_QUERIES
 from .phrase_queries import PHRASE_ORACLES, PHRASE_QUERIES
 from .propagation_queries import PROPAGATION_ORACLES, PROPAGATION_QUERIES
 from .retraction_queries import RETRACTION_ORACLES, RETRACTION_QUERIES
+from .repetition_queries import (
+    REPETITION_ORACLES,
+    REPETITION_QUERIES,
+)
 from .retrieval_profile_queries import (
     RETRIEVAL_PROFILE_ORACLES,
     RETRIEVAL_PROFILE_QUERIES,
@@ -128,6 +132,7 @@ _ALL_QUERIES = {
     **COUNTING_STREAM_QUERIES,
     **RETRIEVAL_PROFILE_QUERIES,
     **TAKEDOWN_STREAM_QUERIES,
+    **REPETITION_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -169,6 +174,7 @@ _ALL_ORACLES = {
     **COUNTING_STREAM_ORACLES,
     **RETRIEVAL_PROFILE_ORACLES,
     **TAKEDOWN_STREAM_ORACLES,
+    **REPETITION_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry
