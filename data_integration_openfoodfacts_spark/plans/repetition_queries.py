@@ -3,8 +3,17 @@
 static rule battery (q158) cannot see because its signals are
 per-token, not per-recurrence.
 
+Relation to q61 (sampling_queries.py): q61 emits RAW per-document
+unigram/bigram fractions via per-row higher-order counters — the
+inspection surface, O(distinct x n) per row, fine at bigram scale.
+This module is the SCREENING surface: integer-threshold flags over a
+cross-tab, plus the duplicate-5-GRAM family q61 doesn't compute —
+where per-row HOF counting would blow up (5-gram distinct counts
+approach n), so the plan switches to the explode + doc-keyed
+aggregation shape that survives 100 TB.
+
 New module on purpose (CLAUDE.md): keeps the repetition closure out of
-the rule-battery module's fingerprint.
+the rule-battery and sampling modules' fingerprints.
 """
 
 from __future__ import annotations
