@@ -23,18 +23,27 @@ def run_query(df) -> None:
 
 
 def load_prev_timings(repo_dir: str, sf: float):
-    """Latest committed round record's per-query timings, for the
-    regression gate (VERDICT r03 item 5): each bench run self-compares
-    so a 2x drift (like q26's 1.33->2.79s between r01 and r03) surfaces
-    in-round instead of at judge time. Only same-sf records compare.
-    Returns (round_number, {qN: sec}) or (None, {}).
+    """Baseline per-query timings for the regression gate (VERDICT r03
+    item 5): each bench run self-compares so a 2x drift (like q26's
+    1.33->2.79s between r01 and r03) surfaces in-round instead of at
+    judge time. Only same-sf records compare. Returns
+    (latest_round_number, {qN: sec}) or (None, {}).
 
-    Sources, newest round wins across both: the committed
-    ``plans/bench_history/rNN.json`` full records (round-7 VERDICT #2 —
-    the driver's BENCH_r*.json tail capture truncates at 2,000 chars,
-    which silently dropped r06/r07's per-query maps and made r07
-    compare against r05), plus legacy driver ``BENCH_r*.json`` records
-    that still carry a parsed queries map.
+    The baseline per query is the MEDIAN over the newest (up to) three
+    committed records carrying that query (round 11: r12 recorded
+    q116 at 0.84s — a lucky low against its 1.1-1.5s band across
+    r07-r11 — and the next run's normal 1.74s tripped the 2x gate;
+    a single-newest baseline turns one lucky record into next round's
+    false flag, and the standalone re-run can't dismiss it because the
+    'drift' is consistent within the window. The median of three is
+    immune to one lucky/unlucky record in either direction.)
+
+    Sources: the committed ``plans/bench_history/rNN.json`` full
+    records (round-7 VERDICT #2 — the driver's BENCH_r*.json tail
+    capture truncates at 2,000 chars, which silently dropped r06/r07's
+    per-query maps and made r07 compare against r05), plus legacy
+    driver ``BENCH_r*.json`` records that still carry a parsed
+    queries map.
     """
     import glob
     import re
@@ -71,7 +80,24 @@ def load_prev_timings(repo_dir: str, sf: float):
             continue
     if not candidates:
         return None, {}
-    return max(candidates, key=lambda c: c[0])
+    import statistics
+
+    candidates.sort(key=lambda c: -c[0])
+    latest_round = candidates[0][0]
+    newest: list[tuple[int, dict]] = []
+    for rnd, queries in candidates:  # one record per round (a round
+        if any(rnd == r for r, _ in newest):  # can appear in both
+            continue  # history and legacy BENCH_r sources)
+        newest.append((rnd, queries))
+        if len(newest) == 3:
+            break
+    merged: dict[str, list[float]] = {}
+    for _rnd, queries in newest:
+        for q, sec in queries.items():
+            merged.setdefault(q, []).append(sec)
+    return latest_round, {
+        q: round(statistics.median(v), 2) for q, v in merged.items()
+    }
 
 
 def main() -> None:
