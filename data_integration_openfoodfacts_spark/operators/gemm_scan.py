@@ -1,0 +1,119 @@
+"""Batched-BLAS brute-force scoring — the exact-scan shape a 100 TB
+ANN BASELINE actually ships.
+
+The engine's exact paths score candidate PAIRS with
+`functions/vectors.pair_dot_fold` (one Arrow batch of pairs, cumsum
+fold for oracle bit-parity). That is the right shape when an index
+bounds the candidates (LSH bands, IVF lists, band postings). The
+brute-force baseline — EVERY query against EVERY corpus vector — has a
+better shape: broadcast the small query matrix once as numpy, stream
+the corpus through ``mapInPandas`` in Arrow batches, and score each
+batch as ONE C-contiguous GEMM (``B x d @ d x q``) with a
+batch-local top-k, so the only shuffled rows are ``k x queries x
+n_batches`` partial winners, never the ``n x queries`` score matrix.
+Same multiply-add count as the fold, a fraction of the dispatch
+overhead (committed probe: tools/bench_scaling_gemm.py).
+
+Determinism note — why this is NOT a gate-oracle path: BLAS
+accumulates each dot in an implementation-defined order (blocking,
+SIMD, FMA), so scores can differ from the engine's left-to-right fold
+— and hence from the DuckDB twin — in final ulps, which can flip
+adjacent ranks at near-ties. Gate queries keep the fold; this
+operator is the measured-throughput exact baseline, pinned by tests
+against `similarity.cosine_topk` on margin-separated data.
+
+Zero-norm vectors follow the engine convention: cosine is undefined →
+scored -2.0 (below any real cosine), never NaN/or a divide error.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["gemm_topk"]
+
+
+def gemm_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "q_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbours of EVERY query: (q_id, vec_id,
+    cosine), k rows per query, ranked cosine DESC with the id
+    tiebreak. ``queries`` is the small side by the brute-force premise
+    — it is collected once to a numpy matrix and broadcast with the
+    closure (bounded driver envelope, the k x d convention). A query
+    never matches itself (same id) on the corpus side."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        raise ValueError("queries frame is empty")
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1)
+    qn_safe = np.where(qn == 0.0, 1.0, qn)
+    Qt = np.ascontiguousarray(Q.T)
+
+    out_schema = f"{query_id} long, {id_col} long, cosine double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            mn = np.linalg.norm(M, axis=1)
+            mn_safe = np.where(mn == 0.0, 1.0, mn)
+            S = (M @ Qt) / (mn_safe[:, None] * qn_safe[None, :])
+            # engine convention: undefined cosine scores -2.0
+            S[mn == 0.0, :] = -2.0
+            S[:, qn == 0.0] = -2.0
+            # self-match mask (same id on both sides)
+            S[ids[:, None] == q_ids[None, :]] = -np.inf
+            kk = min(k, len(pdf))
+            # batch-local top-k per query: argpartition then exact
+            # (cosine DESC, id ASC) ordering of the kk winners
+            part = np.argpartition(-S, kth=kk - 1, axis=0)[:kk, :]
+            rows_q, rows_c, rows_s = [], [], []
+            for j in range(S.shape[1]):
+                sel = part[:, j]
+                order = np.lexsort((ids[sel], -S[sel, j]))
+                sel = sel[order]
+                keep = S[sel, j] > -np.inf
+                sel = sel[keep]
+                rows_q.append(np.full(len(sel), q_ids[j]))
+                rows_c.append(ids[sel])
+                rows_s.append(S[sel, j])
+            yield pd.DataFrame(
+                {
+                    query_id: np.concatenate(rows_q),
+                    id_col: np.concatenate(rows_c),
+                    "cosine": np.concatenate(rows_s),
+                }
+            )
+
+    partial = embeddings.select(id_col, vec_col).mapInPandas(
+        score, out_schema
+    )
+    ranked = partial.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy(query_id).orderBy(
+                F.desc("cosine"), F.asc(id_col)
+            )
+        ),
+    )
+    return ranked.filter(F.col("rk") <= k).drop("rk")

@@ -161,8 +161,12 @@ def main() -> None:
     big_ivf = probe_ivf(spark, big_dir)
     base_st = probe_stream(spark, SF_DIR, scratch)
     big_st = probe_stream(spark, big_dir, scratch)
+    # k-suffixed keys for non-default scales so a 30x run extends the
+    # committed evidence instead of overwriting the 10x entries (the
+    # r10_k30 convention)
+    sfx = "" if k == 10 else f"_k{k}"
     out = {
-        "q193_ivf_nprobe_fixed_queries": {
+        f"q193_ivf_nprobe_fixed_queries{sfx}": {
             "nprobe": NPROBE,
             "base_sec": base_ivf["sec"],
             f"x{k}_sec": big_ivf["sec"],
@@ -176,7 +180,7 @@ def main() -> None:
                 / max(base_ivf["candidates"], 1), 2
             ),
         },
-        "q192_counting_stream_fixed_triggers": {
+        f"q192_counting_stream_fixed_triggers{sfx}": {
             "triggers": 3,
             "base_sec": base_st["sec"],
             f"x{k}_sec": big_st["sec"],
