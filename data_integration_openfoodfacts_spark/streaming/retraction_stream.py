@@ -48,7 +48,27 @@ from pyspark.sql import functions as F
 
 from .counting_store import DEFAULT_K, DEFAULT_WORDS, retract_counting
 
-__all__ = ["takedown_batch", "run_takedown_stream", "fresh_requests"]
+__all__ = [
+    "takedown_batch",
+    "run_takedown_stream",
+    "fresh_requests",
+    "content_digest_col",
+]
+
+
+def content_digest_col(key_col: str):
+    """Order-invariant content digest of a key multiset: the sum of
+    each key's truncated-md5 long reduced mod 2^32 (sums of values
+    < 2^32 stay below long range for any batch under 2^31 rows).
+    Shared by `takedown_batch` and its property test so the delta-id
+    arithmetic has one definition."""
+    return F.coalesce(
+        F.sum(
+            F.conv(F.substring(key_col, 1, 15), 16, 10).cast("long")
+            % F.lit(2**32)
+        ),
+        F.lit(0),
+    )
 
 #: applied-requests ledger layout (the shared bucketed recipe):
 #: request ids persist as md5 under ``rb = md5_long(id) % B`` so the
@@ -143,15 +163,7 @@ def takedown_batch(
     stats = keys.agg(
         F.count(F.lit(1)).alias("n_requests"),
         F.countDistinct("text_md5").alias("n_keys"),
-        # order-invariant, overflow-safe (h % 2^32 summed stays below
-        # long range for any batch under 2^31 rows)
-        F.coalesce(
-            F.sum(
-                F.conv(F.substring("text_md5", 1, 15), 16, 10)
-                .cast("long") % F.lit(2**32)
-            ),
-            F.lit(0),
-        ).alias("digest"),
+        content_digest_col("text_md5").alias("digest"),
     ).collect()[0]
     delta_id = f"batch-{stats['n_requests']}-{stats['digest']}"
     audit = spark.createDataFrame(
