@@ -59,6 +59,10 @@ from .fingerprint_queries import FINGERPRINT_ORACLES, FINGERPRINT_QUERIES
 from .phrase_queries import PHRASE_ORACLES, PHRASE_QUERIES
 from .propagation_queries import PROPAGATION_ORACLES, PROPAGATION_QUERIES
 from .retraction_queries import RETRACTION_ORACLES, RETRACTION_QUERIES
+from .quality_calibration_queries import (
+    QUALITY_CALIBRATION_ORACLES,
+    QUALITY_CALIBRATION_QUERIES,
+)
 from .repetition_queries import (
     REPETITION_ORACLES,
     REPETITION_QUERIES,
@@ -133,6 +137,7 @@ _ALL_QUERIES = {
     **RETRIEVAL_PROFILE_QUERIES,
     **TAKEDOWN_STREAM_QUERIES,
     **REPETITION_QUERIES,
+    **QUALITY_CALIBRATION_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -175,6 +180,7 @@ _ALL_ORACLES = {
     **RETRIEVAL_PROFILE_ORACLES,
     **TAKEDOWN_STREAM_ORACLES,
     **REPETITION_ORACLES,
+    **QUALITY_CALIBRATION_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry
