@@ -36,6 +36,7 @@ from .counting_stream_queries import (
     COUNTING_STREAM_QUERIES,
 )
 from .curation_queries import CURATION_ORACLES, CURATION_QUERIES
+from .drift_queries import DRIFT_ORACLES, DRIFT_QUERIES
 from .embedding_ingest_queries import (
     EMBEDDING_INGEST_ORACLES,
     EMBEDDING_INGEST_QUERIES,
@@ -138,6 +139,7 @@ _ALL_QUERIES = {
     **TAKEDOWN_STREAM_QUERIES,
     **REPETITION_QUERIES,
     **QUALITY_CALIBRATION_QUERIES,
+    **DRIFT_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -181,6 +183,7 @@ _ALL_ORACLES = {
     **TAKEDOWN_STREAM_ORACLES,
     **REPETITION_ORACLES,
     **QUALITY_CALIBRATION_ORACLES,
+    **DRIFT_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry
