@@ -1,9 +1,13 @@
-"""Bench-harness regression gate: prev-round timing lookup.
+"""Bench-harness regression gate: baseline timing lookup.
 
-VERDICT r03 item 5 — the bench self-compares each query against the
-latest committed same-sf round record so a 2x drift surfaces in-round.
-These tests pin the lookup rules: newest round wins, other-sf and
-unparsed records are ignored, absence degrades to (None, {}).
+VERDICT r03 item 5 — the bench self-compares each query so a 2x drift
+surfaces in-round. Since round 11 the baseline is the per-query MEDIAN
+over the newest (up to) three committed same-sf records (r12 recorded
+a lucky-low q116 and the next normal run false-flagged against it).
+These tests pin the lookup rules: median-of-newest-3 per query, the
+latest round number reported, one record per round across both
+sources, other-sf and unparsed records ignored, absence degrades to
+(None, {}).
 """
 
 from __future__ import annotations
@@ -17,12 +21,22 @@ def _write(tmp_path, n, payload):
     (tmp_path / f"BENCH_r{n:02d}.json").write_text(json.dumps(payload))
 
 
-def test_newest_same_sf_record_wins(tmp_path):
+def test_median_of_newest_records_per_query(tmp_path):
     _write(tmp_path, 2, {"parsed": {"sf": 0.1, "queries": {"q1": 1.0, "q2": 0.1}}})
     _write(tmp_path, 3, {"parsed": {"sf": 0.1, "queries": {"q1": 2.0}}})
     n, q = bench.load_prev_timings(str(tmp_path), 0.1)
-    assert n == 3
-    assert q == {"q1": 2.0}
+    assert n == 3  # the latest round still names the comparison
+    # q1: median(2.0, 1.0) = 1.5; q2 appears only in r2
+    assert q == {"q1": 1.5, "q2": 0.1}
+
+
+def test_median_window_is_three_newest(tmp_path):
+    for i, v in enumerate([9.0, 1.0, 2.0, 30.0], start=1):
+        _write(tmp_path, i, {"parsed": {"sf": 0.1, "queries": {"q1": v}}})
+    n, q = bench.load_prev_timings(str(tmp_path), 0.1)
+    # r1's 9.0 falls outside the window; median(1.0, 2.0, 30.0) = 2.0
+    # — one lucky OR unlucky record cannot move the baseline
+    assert (n, q) == (4, {"q1": 2.0})
 
 
 def test_other_sf_and_unparsed_records_ignored(tmp_path):
@@ -75,10 +89,14 @@ def test_bench_history_record_wins_over_older_legacy(tmp_path):
     _write(tmp_path, 5, {"parsed": {"sf": 0.1, "queries": {"q1": 1.0}}})
     _write_hist(tmp_path, 7, {"sf": 0.1, "queries": {"q1": 3.0}})
     n, q = bench.load_prev_timings(str(tmp_path), 0.1)
-    assert (n, q) == (7, {"q1": 3.0})
+    assert (n, q) == (7, {"q1": 2.0})  # median(3.0, 1.0)
     _write(tmp_path, 8, {"parsed": {"sf": 0.1, "queries": {"q1": 4.0}}})
     n, q = bench.load_prev_timings(str(tmp_path), 0.1)
-    assert (n, q) == (8, {"q1": 4.0})
+    assert (n, q) == (8, {"q1": 3.0})  # median(4.0, 3.0, 1.0)
+    # a round present in BOTH sources counts once (no double weight)
+    _write_hist(tmp_path, 8, {"sf": 0.1, "queries": {"q1": 4.0}})
+    n, q = bench.load_prev_timings(str(tmp_path), 0.1)
+    assert (n, q) == (8, {"q1": 3.0})
 
 
 def test_bench_history_other_sf_ignored(tmp_path):
