@@ -22,21 +22,10 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def load_prev_timings(repo_dir: str, sf: float):
-    """Baseline per-query timings for the regression gate (VERDICT r03
-    item 5): each bench run self-compares so a 2x drift (like q26's
-    1.33->2.79s between r01 and r03) surfaces in-round instead of at
-    judge time. Only same-sf records compare. Returns
-    (latest_round_number, {qN: sec}) or (None, {}).
-
-    The baseline per query is the MEDIAN over the newest (up to) three
-    committed records carrying that query (round 11: r12 recorded
-    q116 at 0.84s — a lucky low against its 1.1-1.5s band across
-    r07-r11 — and the next run's normal 1.74s tripped the 2x gate;
-    a single-newest baseline turns one lucky record into next round's
-    false flag, and the standalone re-run can't dismiss it because the
-    'drift' is consistent within the window. The median of three is
-    immune to one lucky/unlucky record in either direction.)
+def _collect_records(repo_dir: str, sf: float) -> list[tuple[int, dict]]:
+    """All committed same-sf bench records, newest round first, one
+    per round (a round can appear in both history and legacy BENCH_r
+    sources). Each entry is (round_number, {qN: sec}).
 
     Sources: the committed ``plans/bench_history/rNN.json`` full
     records (round-7 VERDICT #2 — the driver's BENCH_r*.json tail
@@ -78,26 +67,73 @@ def load_prev_timings(repo_dir: str, sf: float):
                 candidates.append((int(m.group(1)), queries))
         except (OSError, ValueError):
             continue
-    if not candidates:
+    candidates.sort(key=lambda c: -c[0])
+    deduped: list[tuple[int, dict]] = []
+    for rnd, queries in candidates:
+        if any(rnd == r for r, _ in deduped):
+            continue
+        deduped.append((rnd, queries))
+    return deduped
+
+
+def load_prev_timings(repo_dir: str, sf: float):
+    """Baseline per-query timings for the regression gate (VERDICT r03
+    item 5): each bench run self-compares so a 2x drift (like q26's
+    1.33->2.79s between r01 and r03) surfaces in-round instead of at
+    judge time. Only same-sf records compare. Returns
+    (latest_round_number, {qN: sec}) or (None, {}).
+
+    The baseline per query is the MEDIAN over the newest (up to) three
+    committed records carrying that query (round 11: r12 recorded
+    q116 at 0.84s — a lucky low against its 1.1-1.5s band across
+    r07-r11 — and the next run's normal 1.74s tripped the 2x gate;
+    a single-newest baseline turns one lucky record into next round's
+    false flag, and the standalone re-run can't dismiss it because the
+    'drift' is consistent within the window. The median of three is
+    immune to one lucky/unlucky record in either direction.)
+    """
+    records = _collect_records(repo_dir, sf)
+    if not records:
         return None, {}
     import statistics
 
-    candidates.sort(key=lambda c: -c[0])
-    latest_round = candidates[0][0]
-    newest: list[tuple[int, dict]] = []
-    for rnd, queries in candidates:  # one record per round (a round
-        if any(rnd == r for r, _ in newest):  # can appear in both
-            continue  # history and legacy BENCH_r sources)
-        newest.append((rnd, queries))
-        if len(newest) == 3:
-            break
     merged: dict[str, list[float]] = {}
-    for _rnd, queries in newest:
+    for _rnd, queries in records[:3]:
         for q, sec in queries.items():
             merged.setdefault(q, []).append(sec)
-    return latest_round, {
+    return records[0][0], {
         q: round(statistics.median(v), 2) for q, v in merged.items()
     }
+
+
+#: long-window anchor depth: deep enough that a 1.3x/record creep is
+#: >2x the window MIN by the time the window fills, shallow enough
+#: that an intentional (committed, explained) cost change ages out in
+#: ~5 rounds rather than flagging forever.
+ANCHOR_WINDOW = 5
+
+
+def load_anchor_timings(repo_dir: str, sf: float, window: int = ANCHOR_WINDOW):
+    """Per-query MIN over the newest ``window`` committed same-sf
+    records — the CREEPING-DRIFT anchor (round-11 VERDICT #1: q151
+    climbed 3.60 -> 7.76s across five records, each step < 2x, and the
+    adjacent median-of-3 baseline followed the drift; no record ever
+    flagged it). The adjacent gate compares against where the query
+    was LAST ROUND; this anchor compares against the best the query
+    has recently BEEN, which a monotone climb can't drag along.
+
+    MIN (not median) is deliberate: the anchor asks "did we lose
+    ground the query provably held?", and a single lucky record is
+    handled by the same standalone reconciliation as adjacent flags —
+    a reproduced anchor flag with a quiet standalone number is exactly
+    the drift signal the gate exists to surface. Returns {qN: sec}.
+    """
+    merged: dict[str, float] = {}
+    for _rnd, queries in _collect_records(repo_dir, sf)[:window]:
+        for q, sec in queries.items():
+            if q not in merged or sec < merged[q]:
+                merged[q] = sec
+    return merged
 
 
 def main() -> None:
@@ -307,6 +343,27 @@ def main() -> None:
         if q in prev_q and cur > 2 * prev_q[q] and cur - prev_q[q] > 0.5
     }
 
+    # Long-window anchor gate (round-12, VERDICT r11 #1): the adjacent
+    # gate above is blind to a monotone creep — q151 climbed 3.60 ->
+    # 7.76s across r11-r15 with every step < 2x while the median-of-3
+    # baseline chased the drift. Anchor each query to the MIN of the
+    # last ANCHOR_WINDOW committed records: a creep that never
+    # triggers the adjacent gate still crosses 2x the recent best.
+    # Same 0.5s absolute floor (sub-second jitter is not drift), same
+    # standalone reconciliation below. Adjacent flags take precedence
+    # (a query tripping both is one investigation, not two lines).
+    anchor_q = load_anchor_timings(
+        os.path.dirname(os.path.abspath(__file__)), sf
+    )
+    anchor_regressions = {
+        q: [anchor_q[q], cur]
+        for q, cur in timings.items()
+        if q not in regressions
+        and q in anchor_q
+        and cur > 2 * anchor_q[q]
+        and cur - anchor_q[q] > 0.5
+    }
+
     # Self-reconciling gate (round-11 VERDICT #1: the flag->manual
     # quiet-host-probe->commit loop was task #1 three rounds running —
     # automate it). An in-suite flag is often a virtualized-host stall
@@ -321,37 +378,41 @@ def main() -> None:
     # should compare against the query's own cost, not the noise.
     reconciled: dict[str, list[float]] = {}
     by_prefix = {n.split("_", 1)[0]: fn for n, fn in QUERIES.items()}
-    if regressions:
+    if regressions or anchor_regressions:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         spark.catalog.clearCache()
-    for q in list(regressions):
-        try:
-            fn = by_prefix[q]
-            runs = []
-            for _ in range(2):
-                t0 = time.time()
-                run_query(fn(spark, sf_dir))
-                runs.append(time.time() - t0)
-            heavy = min(runs) >= 2.0
-            if heavy or max(runs) > 1.5 * min(runs) + 0.2:
-                t0 = time.time()
-                run_query(fn(spark, sf_dir))
-                runs.append(time.time() - t0)
-            standalone = round(sorted(runs)[1] if heavy else min(runs), 2)
-            spark.catalog.clearCache()
-            gc.collect()
-        except Exception:  # noqa: BLE001 — keep the original flag
-            continue
-        prev, suite = prev_q[q], timings[q]
-        settled = min(suite, standalone)
-        total += settled - suite
-        timings[q] = settled
-        if standalone > 2 * prev and standalone - prev > 0.5:
-            regressions[q] = [prev, suite, standalone]
-        else:
-            reconciled[q] = [prev, suite, standalone]
-            del regressions[q]
+    for gate in (regressions, anchor_regressions):
+        baselines = prev_q if gate is regressions else anchor_q
+        for q in list(gate):
+            try:
+                fn = by_prefix[q]
+                runs = []
+                for _ in range(2):
+                    t0 = time.time()
+                    run_query(fn(spark, sf_dir))
+                    runs.append(time.time() - t0)
+                heavy = min(runs) >= 2.0
+                if heavy or max(runs) > 1.5 * min(runs) + 0.2:
+                    t0 = time.time()
+                    run_query(fn(spark, sf_dir))
+                    runs.append(time.time() - t0)
+                standalone = round(
+                    sorted(runs)[1] if heavy else min(runs), 2
+                )
+                spark.catalog.clearCache()
+                gc.collect()
+            except Exception:  # noqa: BLE001 — keep the original flag
+                continue
+            prev, suite = baselines[q], timings[q]
+            settled = min(suite, standalone)
+            total += settled - suite
+            timings[q] = settled
+            if standalone > 2 * prev and standalone - prev > 0.5:
+                gate[q] = [prev, suite, standalone]
+            else:
+                reconciled[q] = [prev, suite, standalone]
+                del gate[q]
 
     # Full record -> committed report file; stdout stays a COMPACT
     # digest (round-7 VERDICT #2): the driver's output-tail capture is
@@ -372,6 +433,7 @@ def main() -> None:
         "baseline_pipeline_e2e_418k_sec": 393,
         "prev_round": prev_round,
         "regressions": regressions,
+        "anchor_regressions": anchor_regressions,
         "reconciled": reconciled,
         "errors": errors,
     }
@@ -401,6 +463,7 @@ def main() -> None:
             "baseline_pipeline_e2e_418k_sec": 393,
             "prev_round": prev_round,
             "regressions": regressions,
+            "anchor_regressions": anchor_regressions,
             "reconciled": reconciled,
             "errors": errors,
             "full_report": "plans/bench_report.json",
@@ -415,6 +478,7 @@ def main() -> None:
         digest = json.loads(line)
         digest["slowest"] = {}
         digest["regressions"] = {"n": len(regressions)}
+        digest["anchor_regressions"] = {"n": len(anchor_regressions)}
         digest["reconciled"] = {"n": len(reconciled)}
         digest["errors"] = {"n": len(errors)}
         line = json.dumps(digest, separators=(",", ":"))

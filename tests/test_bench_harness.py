@@ -104,6 +104,58 @@ def test_bench_history_other_sf_ignored(tmp_path):
     assert bench.load_prev_timings(str(tmp_path), 0.1) == (None, {})
 
 
+def test_anchor_is_min_over_window(tmp_path):
+    """Round-12 (VERDICT r11 #1): the anchor is the per-query MIN over
+    the newest ANCHOR_WINDOW committed same-sf records — the baseline
+    a monotone creep cannot drag along the way it drags the adjacent
+    median-of-3."""
+    for i, v in enumerate([9.0, 3.0, 5.0, 4.0, 6.0, 7.0], start=1):
+        _write(tmp_path, i, {"parsed": {"sf": 0.1, "queries": {"q1": v}}})
+    # window of 5 newest = r2..r6 -> min 3.0; r1's 9.0 aged out
+    assert bench.load_anchor_timings(str(tmp_path), 0.1) == {"q1": 3.0}
+    # other-sf records never feed the anchor
+    assert bench.load_anchor_timings(str(tmp_path), 0.01) == {}
+
+
+def test_anchor_flags_creeping_drift(tmp_path):
+    """The q151 failure mode, synthesized: a 1.3x/record monotone
+    climb. Every adjacent step is < 2x (the adjacent gate never
+    fires), but by the 5th record the current run is > 2x the window
+    MIN — the anchor gate flags exactly this."""
+    vals = [3.0 * 1.3**i for i in range(5)]  # 3.0 .. 8.57
+    for i, v in enumerate(vals, start=1):
+        _write(
+            tmp_path, i,
+            {"parsed": {"sf": 0.1, "queries": {"q151": round(v, 2)}}},
+        )
+    cur = round(vals[-1] * 1.3, 2)  # 11.14 — the next run of the creep
+    _, prev_q = bench.load_prev_timings(str(tmp_path), 0.1)
+    anchor_q = bench.load_anchor_timings(str(tmp_path), 0.1)
+    # the adjacent gate stays silent: vs the median-of-3 baseline the
+    # step is < 2x (this is the blind spot)
+    adjacent = (
+        cur > 2 * prev_q["q151"] and cur - prev_q["q151"] > 0.5
+    )
+    assert not adjacent
+    # the anchor gate fires: 11.14 > 2 * 3.0 and +8.1s absolute
+    anchored = (
+        cur > 2 * anchor_q["q151"] and cur - anchor_q["q151"] > 0.5
+    )
+    assert anchored
+
+
+def test_anchor_absolute_floor_suppresses_jitter(tmp_path):
+    """Sub-second jitter class (q79/q114 in r15): >2x the anchor but
+    under the 0.5s absolute floor must NOT flag."""
+    for i in range(1, 4):
+        _write(tmp_path, i, {"parsed": {"sf": 0.1, "queries": {"q9": 0.2}}})
+    anchor_q = bench.load_anchor_timings(str(tmp_path), 0.1)
+    cur = 0.55  # 2.75x but only +0.35s
+    assert not (
+        cur > 2 * anchor_q["q9"] and cur - anchor_q["q9"] > 0.5
+    )
+
+
 def test_committed_r07_backfill_is_readable():
     """The recovered r07 record must actually feed the gate: same-sf
     lookup at the real repo returns round >= 7 with a populated map."""
