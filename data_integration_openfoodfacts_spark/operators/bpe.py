@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_rows_df
+
 #: opens a symbol ("\x1dh\x1f\x1de\x1f..." for word "he")
 OPEN = "\x1d"
 #: closes a symbol
@@ -213,6 +215,7 @@ def learn_bpe_merges(
         if rank % 16 == 0:
             gc.collect()
             spark.sparkContext._jvm.System.gc()
-    return spark.createDataFrame(
-        merges, "rank long, left string, right string, pair_count long"
+    return local_rows_df(
+        spark, merges,
+        "rank long, left string, right string, pair_count long",
     )

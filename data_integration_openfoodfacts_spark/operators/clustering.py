@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_rows_df
+
 
 def fit_centroids(
     embeddings: DataFrame,
@@ -51,8 +53,8 @@ def fit_centroids(
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
     spark = embeddings.sparkSession
-    return spark.createDataFrame(
-        centers, "centroid_id long, centroid_vec array<float>"
+    return local_rows_df(
+        spark, centers, "centroid_id long, centroid_vec array<float>"
     )
 
 
@@ -171,8 +173,8 @@ def fit_centroids_lloyd(
             StructField("centroid_micros", ArrayType(LongType())),
         ]
     )
-    out = spark.createDataFrame(
-        [(cid, vec) for cid, vec in centers], schema
+    out = local_rows_df(
+        spark, [(cid, vec) for cid, vec in centers], schema
     )
     return out.select(
         "centroid_id",
@@ -224,6 +226,7 @@ def fit_centroids_cached(
                 id_col=id_col, vec_col=vec_col,
             ).collect()
         ]
-    return spark.createDataFrame(
-        _CENTERS_MEMO[key], "centroid_id long, centroid_vec array<float>"
+    return local_rows_df(
+        spark, _CENTERS_MEMO[key],
+        "centroid_id long, centroid_vec array<float>",
     )

@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_rows_df
+
 from ..streaming.events_stream import read_parquet_if_exists
 from .bucketed_ledger import (
     append_bucketed,
@@ -150,8 +152,8 @@ def incremental_embedding_dedup(
     ).localCheckpoint(eager=True)
     ledger = read_parquet_if_exists(spark, ledger_path)
     if ledger is None:
-        probe = spark.createDataFrame(
-            [], f"{id_col} long, band long, sig string"
+        probe = local_rows_df(
+            spark, [], f"{id_col} long, band long, sig string"
         )
     else:
         probe = ledger

@@ -84,14 +84,21 @@ def gemm_topk(
             # self-match mask (same id on both sides)
             S[ids[:, None] == q_ids[None, :]] = -np.inf
             kk = min(k, len(pdf))
-            # batch-local top-k per query: argpartition then exact
-            # (cosine DESC, id ASC) ordering of the kk winners
+            # batch-local top-k per query: argpartition, then widen the
+            # selection to EVERY row scoring >= the kk-th value before
+            # the exact (cosine DESC, id ASC) ordering — argpartition
+            # alone keeps an arbitrary subset of EXACT ties straddling
+            # the cut (duplicate corpus vectors), which could diverge
+            # from similarity.cosine_topk's id-ASC convention (round-11
+            # ADVICE). The widened set is kk + ties, so the lexsort
+            # stays O(kk log kk) except under mass duplication.
             part = np.argpartition(-S, kth=kk - 1, axis=0)[:kk, :]
             rows_q, rows_c, rows_s = [], [], []
             for j in range(S.shape[1]):
-                sel = part[:, j]
+                thresh = S[part[:, j], j].min()
+                sel = np.nonzero(S[:, j] >= thresh)[0]
                 order = np.lexsort((ids[sel], -S[sel, j]))
-                sel = sel[order]
+                sel = sel[order][:kk]
                 keep = S[sel, j] > -np.inf
                 sel = sel[keep]
                 rows_q.append(np.full(len(sel), q_ids[j]))

@@ -42,13 +42,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_rows_df
+
 from .similarity_dedup import word_shingles
 
 LEDGER_SCHEMA = "shingle_md5 string, first_doc long"
 
 
 def empty_ledger(spark) -> DataFrame:
-    return spark.createDataFrame([], LEDGER_SCHEMA)
+    return local_rows_df(spark, [], LEDGER_SCHEMA)
 
 
 def tranche_novelty_update(

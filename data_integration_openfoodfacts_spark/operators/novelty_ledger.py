@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_rows_df
+
 from ..streaming.events_stream import read_parquet_if_exists
 from .bucketed_ledger import (
     append_bucketed,
@@ -162,7 +164,7 @@ def score_shingled_tranche_against_ledger(
         firsts_t = firsts_t.localCheckpoint(eager=True)
     ledger = read_ledger(spark, ledger_path)
     if ledger is None:
-        seen = spark.createDataFrame([], "shingle_md5 string")
+        seen = local_rows_df(spark, [], "shingle_md5 string")
     else:
         if KB_COL in ledger.columns:
             b_eff = store_n_buckets(spark, ledger_path, KB_COL, n_buckets)

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_rows_df
+
 from .similarity_dedup import md5_long
 
 # Sampling decisions quantize the hash into this many buckets; rates
@@ -170,7 +172,8 @@ def mixture_sample(
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
     spark = df.sparkSession
-    tgt = spark.createDataFrame(
+    tgt = local_rows_df(
+        spark,
         [(g, float(t)) for g, t in sorted(targets.items())],
         f"{group_col} string, __target double",
     )

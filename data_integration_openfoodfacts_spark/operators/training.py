@@ -41,6 +41,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_rows_df
+
 from .similarity_dedup import md5_long
 
 WEIGHT_CLAMP = 1_000_000
@@ -134,12 +136,12 @@ def train_hashed_logistic(
     n_docs = feats.select(id_col).distinct().count()
     w = dict(init_weights_rows(num_buckets, init_tag))
     if n_docs == 0:
-        return spark.createDataFrame(
-            sorted(w.items()), "bucket long, w_micro long"
+        return local_rows_df(
+            spark, sorted(w.items()), "bucket long, w_micro long"
         )
     for _ in range(n_iters):
-        wdf = spark.createDataFrame(
-            sorted(w.items()), "bucket long, w_micro long"
+        wdf = local_rows_df(
+            spark, sorted(w.items()), "bucket long, w_micro long"
         )
         margins = (
             feats.join(F.broadcast(wdf), "bucket")
@@ -174,8 +176,8 @@ def train_hashed_logistic(
             )
             for b, wv in w.items()
         }
-    return spark.createDataFrame(
-        sorted(w.items()), "bucket long, w_micro long"
+    return local_rows_df(
+        spark, sorted(w.items()), "bucket long, w_micro long"
     )
 
 

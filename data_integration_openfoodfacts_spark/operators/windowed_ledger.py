@@ -98,6 +98,23 @@ def _write_window_meta(
     )
 
 
+def _min_epoch_present(spark: SparkSession, path: str) -> int:
+    """Smallest ``epoch=`` directory id under ``path`` — pure
+    filesystem metadata (the heal's conservative-watermark input)."""
+    fs, root, _jvm = _fs_and_path(spark, path)
+    ids = [
+        int(s.getPath().getName().split("=", 1)[1])
+        for s in fs.listStatus(root)
+        if s.getPath().getName().startswith("epoch=")
+    ]
+    if not ids:
+        raise BucketLayoutError(
+            f"{path}: populated windowed ledger has no epoch= "
+            "directories — not a windowed-ledger layout"
+        )
+    return min(ids)
+
+
 def append_window_epoch(
     keys: DataFrame,
     key_col: str,
@@ -130,8 +147,23 @@ def append_window_epoch(
             spark, path, read_window(spark, path), KB_COL,
             lambda n: kb_of(F.col(key_col), n), n_buckets,
         )
-        _write_window_meta(spark, path, n_buckets, -1)
-        meta = {"n_buckets": n_buckets, "expired_through": -1}
+        # The sidecar can also vanish in a LATER stamp's
+        # delete-then-rename gap (expire_through, or this function's
+        # own re-stamp after an expiry) — round-12 fix of the round-11
+        # ADVICE: healing with -1 would then accept a replayed append
+        # of an already-EXPIRED epoch and resurrect forgotten keys,
+        # the inverse of the takedown semantics. Derive a conservative
+        # watermark from the layout instead: expiry deletes ALL epochs
+        # <= the watermark, so every survivor is above it and
+        # (min surviving epoch - 1) >= the true value. For 0-based
+        # epoch stores this is exactly -1 when no expiry ever happened
+        # (epoch 0 still present). The one casualty is a first-time
+        # append into a GAP below the min survivor on stores whose
+        # epochs don't start at 0 — refused as possibly-expired; an
+        # operator who knows better edits the sidecar.
+        healed_mark = _min_epoch_present(spark, path) - 1
+        _write_window_meta(spark, path, n_buckets, healed_mark)
+        meta = {"n_buckets": n_buckets, "expired_through": healed_mark}
     if epoch <= meta["expired_through"]:
         return False
     edir = f"{path.rstrip('/')}/epoch={epoch}"

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_rows_df
+
 from ..operators.mixture import domain_cap_and_mix
 from ..operators.quality_classifier import (
     hashed_linear_score,
@@ -190,8 +192,8 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (no, name, int(obs[name].get["n"]))
         for no, name in enumerate(STAGES)
     ]
-    return spark.createDataFrame(
-        rows, "stage_no int, stage string, n_docs long"
+    return local_rows_df(
+        spark, rows, "stage_no int, stage string, n_docs long"
     ).orderBy("stage_no")
 
 

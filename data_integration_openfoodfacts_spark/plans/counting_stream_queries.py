@@ -36,7 +36,7 @@ def q192_counting_screen_stream_lifecycle(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The persistent counting screen driven by Structured Streaming,
-    gated end-to-end: the corpus lands as 3 source files, an
+    gated end-to-end: the corpus lands as ``_N_FILES`` source files, an
     availableNow drain screens each as its own trigger (per-batch
     totals row + delta append), deltas COMPACT into the base partition
     mid-stream (compact_every=2 — the absorbed tombstones must be

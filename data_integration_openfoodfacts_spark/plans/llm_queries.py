@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_rows_df
+
 from ..functions.text_analysis import (
     bpe_ish_token_count,
     language_id,
@@ -1193,7 +1195,8 @@ def q88_kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.when(F.col("rn") == 1, F.sqrt("d2"))).alias("within"),
         F.avg(F.when(F.col("rn") > 1, F.sqrt("d2"))).alias("cross"),
     ).first()
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [
             (
                 n_vectors,
@@ -1733,8 +1736,9 @@ def q137_bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe_merges_cached(docs, dataset_key=sf_dir, n_merges=3)
-    return spark.createDataFrame(
-        merges, "rank long, left string, right string, pair_count long"
+    return local_rows_df(
+        spark, merges,
+        "rank long, left string, right string, pair_count long",
     )
 
 

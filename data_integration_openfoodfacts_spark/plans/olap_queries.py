@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_rows_df
+
 from ..sources.parquet_source import load_table
 
 
@@ -403,7 +405,8 @@ def q81_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .unionByName(
-            spark.createDataFrame(
+            local_rows_df(
+                spark,
                 [(999999999, 1, "O", 0.0, None, "1-URGENT")],
                 orders.schema,
             )

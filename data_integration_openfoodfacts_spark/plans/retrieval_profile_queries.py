@@ -23,6 +23,8 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.localframe import local_rows_df
 from pyspark.sql.window import Window
 
 from ..sources.parquet_source import load_table
@@ -119,8 +121,8 @@ def q193_retrieval_operating_points(
         .filter(F.col("cosine") >= _T)
         .agg(F.count(F.lit(1)).alias("n_truth"))
     )
-    h_knobs = spark.createDataFrame(
-        [(int(nf),) for nf in _FLIP_KNOBS], "knob long"
+    h_knobs = local_rows_df(
+        spark, [(int(nf),) for nf in _FLIP_KNOBS], "knob long"
     )
     h_rows = (
         h_knobs.join(
@@ -185,8 +187,8 @@ def q193_retrieval_operating_points(
             ).alias("cosine"),
         )
     )
-    i_knobs = spark.createDataFrame(
-        [(int(np_),) for np_ in _NPROBES], "knob long"
+    i_knobs = local_rows_df(
+        spark, [(int(np_),) for np_ in _NPROBES], "knob long"
     )
     cand_k = icand.crossJoin(F.broadcast(i_knobs)).filter(
         F.col("r") <= F.col("knob")

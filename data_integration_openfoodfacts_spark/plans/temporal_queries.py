@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_rows_df
+
 from ..operators.dedup import dedup_keep_latest
 from ..operators.temporal import asof_join, range_join_bucketed
 from ..sources.parquet_source import load_events, load_table
@@ -73,7 +75,8 @@ def q37_price_band_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-uniform price-band range join (bucket-accelerated scale
     path) + per-band rollup."""
     li = load_table(spark, sf_dir, "lineitem")
-    bands = li.sparkSession.createDataFrame(
+    bands = local_rows_df(
+        li.sparkSession,
         [
             ("budget", 900.0, 5000.0),
             ("mid", 5000.0, 20000.0),

@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_rows_df
+
 from ..operators.bloom import bloom_build, bloom_probe_keys, bloom_union
 from ..operators.bucketed_ledger import (
     read_json_sidecar,
@@ -146,7 +148,7 @@ def screen_keys_batch(
     bloom = (
         existing
         if existing is not None
-        else spark.createDataFrame([], "w long, bits long")
+        else local_rows_df(spark, [], "w long, bits long")
     )
     # no checkpoint: the probe is pure md5 arithmetic (recomputations
     # are bit-identical), and both consumers — the totals row and the

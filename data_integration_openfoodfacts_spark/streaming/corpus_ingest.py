@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.localframe import local_rows_df
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -372,8 +374,8 @@ def ingest_corpus_batch_neardup(
     bands_full = read_parquet_if_exists(spark, bands_path)
     ledger_partitioned = bands_full is None or SB_COL in bands_full.columns
     if bands_full is None:
-        bands_full = spark.createDataFrame(
-            [], "doc_id long, band long, sig string"
+        bands_full = local_rows_df(
+            spark, [], "doc_id long, band long, sig string"
         )
     bands = bands_full.select("doc_id", "band", "sig")
     if ledger_partitioned and SB_COL in bands_full.columns:
@@ -511,7 +513,8 @@ def _write_run_ledger(spark, obs, run_ledger_path, batch_id) -> None:
     # crash DURING the first ledger write can leave an empty
     # partition a replay then skips — a bounded observable gap,
     # never a double count.)
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [
             (
                 _obs_n(obs, "in"),

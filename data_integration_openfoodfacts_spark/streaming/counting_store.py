@@ -59,6 +59,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_rows_df
+
 from ..operators.bloom import (
     bloom_probe_keys,
     counting_build,
@@ -223,7 +225,7 @@ def read_counts(spark: SparkSession, path: str) -> DataFrame:
     evidence contract of `operators/bloom.py::counting_merge`)."""
     deltas = read_parquet_if_exists(spark, path)
     if deltas is None:
-        return spark.createDataFrame([], "p long, cnt long")
+        return local_rows_df(spark, [], "p long, cnt long")
     return (
         deltas.groupBy("p")
         .agg(F.sum("cnt").alias("cnt"))
@@ -316,7 +318,7 @@ def read_counts_as_of(
         wanted.append(BASE_DELTA)
     deltas = read_parquet_if_exists(spark, path)
     if deltas is None:
-        return spark.createDataFrame([], "p long, cnt long")
+        return local_rows_df(spark, [], "p long, cnt long")
     return (
         deltas.filter(F.col("delta_id").isin(wanted))
         .groupBy("p")

@@ -117,3 +117,21 @@ def test_argument_validation(spark):
         gemm_topk(emb, q, k=0)
     with pytest.raises(ValueError, match="empty"):
         gemm_topk(emb, q.filter(F.lit(False)), k=3)
+
+
+def test_exact_ties_keep_lowest_ids(spark):
+    """Round-12 fix of the round-11 ADVICE: EXACTLY tied cosines
+    (duplicate corpus vectors) straddling the batch-local top-k cut
+    must resolve by the (cosine DESC, id ASC) convention — the
+    argpartition selection alone kept an arbitrary tied subset. Eight
+    identical corpus vectors, k=3: the winners are ids 1,2,3 (0 is the
+    self-matching query), regardless of partition layout."""
+    dup = [1.0, 2.0, 3.0, 4.0]
+    emb = _emb(spark, [(i, dup) for i in range(8)]).repartition(4)
+    q = _emb(spark, [(0, dup)]).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = sorted(
+        (r["q_id"], r["vec_id"]) for r in gemm_topk(emb, q, k=3).collect()
+    )
+    assert got == [(0, 1), (0, 2), (0, 3)]

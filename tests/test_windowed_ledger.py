@@ -160,6 +160,31 @@ def test_orphan_heal_on_next_epoch_append(spark, tmp_path):
     assert _seen(spark, p, ["a", "b"]) == {"a": True, "b": True}
 
 
+def test_orphan_heal_cannot_resurrect_expired_epochs(spark, tmp_path):
+    """Round-12 fix of the round-11 ADVICE (medium): the sidecar can
+    also vanish in a post-expiry stamp's delete-then-rename gap. The
+    heal must NOT reset the watermark to -1 — a replayed append of an
+    already-expired epoch would be accepted and resurrect forgotten
+    keys. The healed watermark derives from the layout (min surviving
+    epoch - 1), which is exact for 0-based stores with no expiry and
+    conservative otherwise."""
+    p = str(tmp_path / "win")
+    append_window_epoch(_keys(spark, ["gone"]), "k", p, 0, NB)
+    append_window_epoch(_keys(spark, ["live"]), "k", p, 1, NB)
+    expire_through(spark, p, 0)
+    os.remove(os.path.join(p, "_window_meta.json"))  # stamp swap crash
+    # replayed append of the EXPIRED epoch: heal fires, then refuses
+    assert not append_window_epoch(_keys(spark, ["gone"]), "k", p, 0, NB)
+    meta = window_meta(spark, p)
+    assert meta == {"n_buckets": NB, "expired_through": 0}
+    assert _seen(spark, p, ["gone", "live"]) == {
+        "gone": False, "live": True,
+    }
+    # the store keeps working: new epochs append fine
+    assert append_window_epoch(_keys(spark, ["new"]), "k", p, 2, NB)
+    assert _seen(spark, p, ["new"]) == {"new": True}
+
+
 def test_probe_scan_is_doubly_pruned(spark, tmp_path):
     """The probe's store scan carries PartitionFilters on BOTH the
     epoch range and the touched buckets."""
