@@ -703,12 +703,39 @@ def cross_corpus_align(
     )
 
 
+#: k∝n centroid policy: expected vectors per cluster. 45 keeps the
+#: base-corpus k equal to the sqrt policy's (sqrt(2000) ~ 2000/45) so
+#: the two policies coincide exactly where q75/q77's oracles live and
+#: diverge only as the corpus grows past it.
+SEMDEDUP_TARGET_CLUSTER = 45
+
+
+def semdedup_k(
+    n_vectors: int, target_cluster_size: int = SEMDEDUP_TARGET_CLUSTER
+) -> int:
+    """Fixed-CLUSTER-SIZE centroid count for `semantic_dedup` — round
+    12, VERDICT r11 #5. The documented k ~ sqrt(n) policy bounds
+    within-cluster pairs at ~n^1.5 (measured 3.61x wall at 10x,
+    SCALING_LLM.json); k = n / c keeps the expected cluster size
+    CONSTANT, so within-cluster pairs stay ~n * (c-1)/2 — linear —
+    and the dedup stage's growth follows the corpus, not its power.
+    The cost moves to centroid FITTING (per-iteration assignment is
+    n*k ~ n^2/c with plain Lloyd): at 100 TB, fit k∝n centers with
+    minibatch/hierarchical KMeans or reuse the previous snapshot's
+    centers as the seed — the DEDUP stage, which runs per ingest, is
+    what this policy keeps linear."""
+    if n_vectors < 1:
+        raise ValueError(f"n_vectors must be >= 1, got {n_vectors}")
+    return max(2, n_vectors // target_cluster_size)
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     centroids: DataFrame,
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    gemm_assignment: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
     every vector to its nearest centroid, then mark as duplicate any
@@ -725,10 +752,24 @@ def semantic_dedup(
     vector before the pair join; per-pair dots use the Arrow-batched
     fold (bit-identical to the HOF fold and the oracle's list_reduce,
     see functions/vectors.py).
+
+    ``gemm_assignment=True`` swaps the fold-based n x k crossJoin
+    assignment for `gemm_scan.gemm_assign` — the k∝n policy's scale
+    path (assignment cost stops shuffling n x k scored rows). Same
+    argmax up to BLAS ulps at near-ties, so gate-oracle entries keep
+    the default; the within-cluster prune below is fold-based and
+    hash-exact either way.
     """
     from ..functions.vectors import l2_norm_expr, pair_dot_fold
 
-    assigned = assign_to_centroids(embeddings, centroids, id_col, vec_col)
+    if gemm_assignment:
+        from .gemm_scan import gemm_assign
+
+        assigned = gemm_assign(embeddings, centroids, id_col, vec_col)
+    else:
+        assigned = assign_to_centroids(
+            embeddings, centroids, id_col, vec_col
+        )
     # Materialize the assignment+norm pass ONCE: e feeds the final left
     # join plus BOTH sides of the pair join — without the checkpoint the
     # full-corpus centroid scan and argmax execute three times (the same

@@ -1002,12 +1002,14 @@ def q77_kmeans_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, centroids, threshold=0.35)
 
 
-def _lloyd_cents_sql(k: int = 8, n_iters: int = 4) -> str:
+def _lloyd_cents_sql(k: int | str = 8, n_iters: int = 4) -> str:
     """DuckDB CTE chain reproducing ``fit_centroids_lloyd`` exactly:
     same micros quantization, same (md5, id) seed order, same integer
     argmin assignment and floor-division means, iterations unrolled
     like q104's PageRank oracle. Emits a final ``cents(centroid_id,
-    cv)`` CTE with cv already scaled back to DOUBLE."""
+    cv)`` CTE with cv already scaled back to DOUBLE. ``k`` may be a
+    SQL scalar expression (e.g. a subquery deriving k from the corpus
+    size — q198's k∝n policy) instead of an int literal."""
     d2 = (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
         "list_transform(range(1, len(z.qv) + 1), "
@@ -1024,7 +1026,7 @@ def _lloyd_cents_sql(k: int = 8, n_iters: int = 4) -> str:
 seeds AS (
   SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h
   FROM qz
-  QUALIFY ROW_NUMBER() OVER (ORDER BY h ASC, vec_id ASC) <= %d
+  QUALIFY ROW_NUMBER() OVER (ORDER BY h ASC, vec_id ASC) <= %s
 ),
 c0 AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY h ASC, vec_id ASC) - 1

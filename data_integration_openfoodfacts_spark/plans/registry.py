@@ -58,6 +58,7 @@ from .multiprobe_queries import (
 from .olap_queries import OLAP_ORACLES, OLAP_QUERIES
 from .fingerprint_queries import FINGERPRINT_ORACLES, FINGERPRINT_QUERIES
 from .phrase_queries import PHRASE_ORACLES, PHRASE_QUERIES
+from .policy_queries import POLICY_ORACLES, POLICY_QUERIES
 from .propagation_queries import PROPAGATION_ORACLES, PROPAGATION_QUERIES
 from .retraction_queries import RETRACTION_ORACLES, RETRACTION_QUERIES
 from .quality_calibration_queries import (
@@ -140,6 +141,7 @@ _ALL_QUERIES = {
     **REPETITION_QUERIES,
     **QUALITY_CALIBRATION_QUERIES,
     **DRIFT_QUERIES,
+    **POLICY_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -184,6 +186,7 @@ _ALL_ORACLES = {
     **REPETITION_ORACLES,
     **QUALITY_CALIBRATION_ORACLES,
     **DRIFT_ORACLES,
+    **POLICY_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry

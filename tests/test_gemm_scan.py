@@ -135,3 +135,39 @@ def test_exact_ties_keep_lowest_ids(spark):
         (r["q_id"], r["vec_id"]) for r in gemm_topk(emb, q, k=3).collect()
     )
     assert got == [(0, 1), (0, 2), (0, 3)]
+
+
+def test_gemm_assign_matches_fold_assignment(spark):
+    """`gemm_assign` must reproduce `assign_to_centroids` exactly on
+    margin-separated data (no near-ties, so BLAS ulp order cannot
+    flip an argmax), including the zero-norm -> lowest-centroid-id
+    convention and exact-tie -> lowest-centroid-id."""
+    from data_integration_openfoodfacts_spark.operators.gemm_scan import (
+        gemm_assign,
+    )
+    from data_integration_openfoodfacts_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+
+    rows = _vecs(40, 8, seed=2) + [(100, [0.0] * 8)]  # + zero-norm row
+    emb = _emb(spark, rows).repartition(4)
+    cents = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([r[1] for r in rows[:5]])],
+        "centroid_id long, centroid_vec array<float>",
+    )
+    got = {
+        (r["vec_id"], r["centroid_id"])
+        for r in gemm_assign(emb, cents).collect()
+    }
+    ref = {
+        (r["vec_id"], r["centroid_id"])
+        for r in assign_to_centroids(emb, cents).collect()
+    }
+    assert got == ref
+    # duplicate centroids: exact tie resolves to the LOWEST id
+    dup_cents = spark.createDataFrame(
+        [(7, rows[0][1]), (3, rows[0][1])],
+        "centroid_id long, centroid_vec array<float>",
+    )
+    one = gemm_assign(_emb(spark, rows[:1]), dup_cents).collect()[0]
+    assert one["centroid_id"] == 3

@@ -85,7 +85,7 @@ def minhash_probe(spark, docs, layout_name, num_hashes, band_size, truth):
     }
 
 
-def semdedup_probe(spark, emb, k, threshold=0.35):
+def semdedup_probe(spark, emb, k, threshold=0.35, gemm=False):
     from data_integration_openfoodfacts_spark.operators.clustering import (
         fit_centroids_lloyd,
     )
@@ -98,7 +98,9 @@ def semdedup_probe(spark, emb, k, threshold=0.35):
     )
 
     def run():
-        return semantic_dedup(emb, cents, threshold=threshold)
+        return semantic_dedup(
+            emb, cents, threshold=threshold, gemm_assignment=gemm
+        )
 
     out, dedup_sec = wall(lambda: run().localCheckpoint(eager=True))
     dups = out.filter(~F.col("kept")).select("vec_id")
@@ -192,6 +194,14 @@ def main() -> None:
     sd["sqrtk_x10"], d_sqK = semdedup_probe(spark, embK, sqK)
     sd["kpropn_base"], d_ln1 = semdedup_probe(spark, emb1, ln1)
     sd["kpropn_x10"], d_lnK = semdedup_probe(spark, embK, lnK)
+    # the k∝n SCALE path: GEMM assignment (the fold crossJoin shuffles
+    # n x k scored rows — the measured bottleneck once k grows with n)
+    sd["kpropn_gemm_base"], d_g1 = semdedup_probe(
+        spark, emb1, ln1, gemm=True
+    )
+    sd["kpropn_gemm_x10"], d_gK = semdedup_probe(
+        spark, embK, lnK, gemm=True
+    )
     # dup-coverage agreement: fraction of sqrt-k dups the k∝n run
     # also finds (smaller clusters can only LOSE cross-cluster pairs)
     for tag, a, b in [("base", d_sq1, d_ln1), ("x10", d_sqK, d_lnK)]:
@@ -200,6 +210,53 @@ def main() -> None:
         sd[f"dup_agreement_{tag}"] = (
             round(both / n_sq, 4) if n_sq else None
         )
+    # ABSOLUTE recall against brute-force truth (a doc is a true dup
+    # iff some LOWER-id vector has cosine >= threshold): numpy GEMM
+    # over the collected embedding matrix — probe-side only, the
+    # operator never collects. Run per scale for every policy.
+    import numpy as np
+
+    def truth_dups(emb_df):
+        rows = emb_df.select("vec_id", "embedding").collect()
+        rows.sort(key=lambda r: r["vec_id"])
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        M = np.stack(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+        )
+        n = np.linalg.norm(M, axis=1)
+        Mn = M / np.where(n == 0.0, 1.0, n)[:, None]
+        dup = np.zeros(len(ids), dtype=bool)
+        step = 2048
+        for s in range(0, len(ids), step):
+            S = Mn[s : s + step] @ Mn.T
+            for i in range(S.shape[0]):
+                gi = s + i
+                if gi == 0:
+                    continue
+                if n[gi] == 0.0:
+                    # zero-norm rows score -2.0 everywhere: never dups
+                    continue
+                row = S[i, :gi]
+                mask = n[:gi] > 0.0
+                if np.any(row[mask] >= 0.35):
+                    dup[gi] = True
+        return {int(v) for v in ids[dup]}
+
+    t1, tK = truth_dups(emb1), truth_dups(embK)
+    for tag, truth, pols in [
+        ("base", t1, [("sqrtk", d_sq1), ("kpropn", d_ln1),
+                      ("kpropn_gemm", d_g1)]),
+        ("x10", tK, [("sqrtk", d_sqK), ("kpropn", d_lnK),
+                     ("kpropn_gemm", d_gK)]),
+    ]:
+        sd[f"truth_dups_{tag}"] = len(truth)
+        for pol, dvals in pols:
+            found = {int(r["vec_id"]) for r in dvals.collect()}
+            sd[f"recall_{pol}_{tag}"] = (
+                round(len(found & truth) / len(truth), 4)
+                if truth
+                else None
+            )
     results["semdedup"] = sd
 
     out_path = os.path.join(
