@@ -1,0 +1,102 @@
+"""Incremental connected components — merge NEW edges into persisted
+labels without re-clustering the corpus (round 12).
+
+`graph.connected_components` is the batch clusterer: O(log n)
+large-star/small-star rounds over ALL edges. A production near-dup
+pipeline doesn't have "all edges" — it has yesterday's (node,
+component) labels and today's tranche of new candidate pairs (q128's
+incremental matcher produces exactly that). Re-running batch CC over
+the union costs the full corpus every day; the incremental merge
+costs only the NEW edges plus one broadcast join over the label
+ledger:
+
+1. translate each new edge endpoint to its CURRENT component (nodes
+   the ledger has never seen enter as their own component — the same
+   singleton convention as batch CC);
+2. run batch CC over the COMPONENT-level edge list — its size is
+   bounded by the new-edge count, never the corpus;
+3. broadcast the (old component -> merged component) mapping over the
+   label ledger (components untouched by new edges map to
+   themselves via the left-join coalesce) and append labels for the
+   brand-new nodes.
+
+Correctness invariant (pinned by tests and q200's full-recompute
+oracle): because every label is the MIN node id of its component,
+the merged label — the min over the merged components' ids — is the
+min node id of the union component, i.e. EXACTLY what batch CC over
+(old edges ∪ new edges) produces. Step 3's mapping is new-edge
+bounded, so the broadcast is safe at any corpus size; the ledger
+itself is never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .graph import connected_components
+
+__all__ = ["merge_components"]
+
+
+def merge_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    node_col: str = "node",
+    comp_col: str = "component",
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """(node, component) labels + new undirected edges -> updated
+    labels, equal to batch CC over the union edge set. Nodes known
+    only to ``new_edges`` get labels; existing nodes keep theirs
+    unless a new edge merges their component."""
+    lab_u = labels.select(
+        F.col(node_col).alias(src), F.col(comp_col).alias("__cu")
+    )
+    lab_v = labels.select(
+        F.col(node_col).alias(dst), F.col(comp_col).alias("__cv")
+    )
+    comp_edges = (
+        new_edges.select(src, dst)
+        .join(lab_u, src, "left")
+        .join(lab_v, dst, "left")
+        .select(
+            F.coalesce("__cu", F.col(src)).alias("cu"),
+            F.coalesce("__cv", F.col(dst)).alias("cv"),
+        )
+    )
+    # CC over component ids: bounded by the new-edge count. Returns
+    # (node=old component id or new node id, component=merged id).
+    mapping = connected_components(comp_edges, "cu", "cv").select(
+        F.col("node").alias("__old"), F.col("component").alias("__m")
+    )
+    updated = (
+        labels.join(
+            F.broadcast(mapping),
+            labels[comp_col] == F.col("__old"),
+            "left",
+        )
+        .select(
+            F.col(node_col),
+            F.coalesce("__m", F.col(comp_col)).alias(comp_col),
+        )
+    )
+    new_nodes = (
+        new_edges.select(F.col(src).alias(node_col))
+        .union(new_edges.select(F.col(dst).alias(node_col)))
+        .distinct()
+        .join(labels.select(node_col), node_col, "left_anti")
+    )
+    fresh = new_nodes.join(
+        F.broadcast(mapping),
+        new_nodes[node_col] == F.col("__old"),
+        "left",
+    ).select(
+        F.col(node_col),
+        # a new node always appears in the mapping (its own id entered
+        # the component graph); the coalesce is belt-and-braces for an
+        # empty new_edges frame
+        F.coalesce("__m", F.col(node_col)).alias(comp_col),
+    )
+    return updated.union(fresh)

@@ -59,6 +59,10 @@ from .olap_queries import OLAP_ORACLES, OLAP_QUERIES
 from .fingerprint_queries import FINGERPRINT_ORACLES, FINGERPRINT_QUERIES
 from .phrase_queries import PHRASE_ORACLES, PHRASE_QUERIES
 from .policy_queries import POLICY_ORACLES, POLICY_QUERIES
+from .incremental_cc_queries import (
+    INCREMENTAL_CC_ORACLES,
+    INCREMENTAL_CC_QUERIES,
+)
 from .propagation_queries import PROPAGATION_ORACLES, PROPAGATION_QUERIES
 from .retraction_queries import RETRACTION_ORACLES, RETRACTION_QUERIES
 from .quality_calibration_queries import (
@@ -142,6 +146,7 @@ _ALL_QUERIES = {
     **QUALITY_CALIBRATION_QUERIES,
     **DRIFT_QUERIES,
     **POLICY_QUERIES,
+    **INCREMENTAL_CC_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -187,6 +192,7 @@ _ALL_ORACLES = {
     **QUALITY_CALIBRATION_ORACLES,
     **DRIFT_ORACLES,
     **POLICY_ORACLES,
+    **INCREMENTAL_CC_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry
