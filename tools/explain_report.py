@@ -185,6 +185,21 @@ HEADLINERS = {
         "only the small query side explodes per knob; broadcast NLJ "
         "exact baselines, no CartesianProduct"
     ),
+    "q151_leakage_guarded_split": (
+        "round 12: CC input is LSH bucket STARS (one window over the "
+        "band table, member -> bucket min) — no band self-join, no "
+        "pair groupBy; a hot bucket can't emit m^2/2 edges"
+    ),
+    "q198_semdedup_fixed_cluster": (
+        "k∝n SemDeDup: corpus-derived centroid count, broadcast "
+        "centroid scoring, within-cluster pair join hash-partitioned "
+        "on centroid_id, no single-partition exchange"
+    ),
+    "q200_incremental_components": (
+        "incremental CC: new edges map to current components, "
+        "component-graph CC bounded by the delta, broadcast mapping "
+        "over the label ledger (ledger never shuffled)"
+    ),
 }
 
 
