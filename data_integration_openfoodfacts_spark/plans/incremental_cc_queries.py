@@ -126,10 +126,87 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
 Q200_ORACLE = _q200_oracle()
 
 
+def q201_component_ledger_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PERSISTED incremental clusterer end to end
+    (`operators/component_ledger.py`): tranche 0 (doc_id % 3 == 0)
+    batch-clusters into the node-bucketed store, tranche 1's edges
+    merge at delta cost (retired components -> the canonical alias
+    table), the ledger COMPACTS (aliases applied into the store,
+    table cleared), and tranche 2's edges merge on the compacted
+    store. Output: resolved (doc_id, component) for the full corpus,
+    hash-equal to the same from-scratch recursive walk as q200 —
+    through persistence, aliasing and compaction, the incremental
+    path may never diverge from batch. (The replay-is-a-no-op
+    contract is pytest-pinned in tests/test_component_ledger.py — a
+    third in-query merge cycle busted the 15s oracle budget.)"""
+    import shutil
+    import tempfile
+
+    from ..operators.component_ledger import (
+        compact_component_ledger,
+        init_component_ledger,
+        merge_ledger_components,
+        read_component_labels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=8, band_size=2
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    tr = lambda c: F.col(c) % 3  # noqa: E731
+    arrival = F.greatest(tr("id_a"), tr("id_b"))
+    t0_pairs = pairs.filter(arrival == 0)
+    t1_pairs = pairs.filter(arrival == 1).localCheckpoint(eager=True)
+    t2_pairs = pairs.filter(arrival == 2).localCheckpoint(eager=True)
+    t0_docs = docs.filter(tr("doc_id") == 0).select("doc_id")
+    cc0 = connected_components(t0_pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    labels0 = (
+        t0_docs.join(cc0, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+    )
+    tmp = tempfile.mkdtemp(prefix="q201_ledger_")
+    try:
+        init_component_ledger(
+            labels0, tmp, n_buckets=8, node_col="doc_id"
+        )
+        merge_ledger_components(
+            spark, tmp, t1_pairs, src="id_a", dst="id_b"
+        )
+        compact_component_ledger(spark, tmp)
+        merge_ledger_components(
+            spark, tmp, t2_pairs, src="id_a", dst="id_b"
+        )
+        merged = read_component_labels(spark, tmp).select(
+            F.col("node").alias("doc_id"), "component"
+        )
+        out = (
+            docs.select("doc_id")
+            .join(merged, "doc_id", "left")
+            .withColumn(
+                "component", F.coalesce("component", F.col("doc_id"))
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 INCREMENTAL_CC_QUERIES = {
     "q200_incremental_components": q200_incremental_components,
+    "q201_component_ledger_lifecycle": q201_component_ledger_lifecycle,
 }
 
 INCREMENTAL_CC_ORACLES = {
     "q200_incremental_components": Q200_ORACLE,
+    # same from-scratch walk: persistence must be invisible in values
+    "q201_component_ledger_lifecycle": Q200_ORACLE,
 }
