@@ -86,20 +86,36 @@ def refine_centroids(
     n_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe_blocks: int | None = None,
 ) -> DataFrame:
     """``n_iters`` Lloyd sweeps from the given centers: GEMM-batched
     max-cosine assignment, then each center moves to its members'
     per-dimension float mean (empty clusters keep their center). One
     localCheckpoint per sweep cuts the iterative lineage; the driver
     never sees data rows — the k x dim mean table stays distributed
-    until the final (bounded, k-row) result."""
+    until the final (bounded, k-row) result.
+
+    ``n_probe_blocks`` (round 13): when set, each sweep's assignment
+    is the two-level coarse-quantizer probe
+    (`coarse_quantizer.blocked_assign` with this many probed blocks)
+    instead of the flat n×k GEMM — per-sweep work drops from n·k to
+    n·√k-ish, the k∝n fit's scale path (VERDICT r12 #1)."""
     if n_iters < 1:
         raise ValueError("n_iters must be >= 1")
     from .gemm_scan import gemm_assign
 
+    if n_probe_blocks is not None:
+        from .coarse_quantizer import blocked_assign
+
     cents = centroids.select("centroid_id", "centroid_vec")
     for _ in range(n_iters):
-        assigned = gemm_assign(embeddings, cents, id_col, vec_col)
+        if n_probe_blocks is not None:
+            assigned = blocked_assign(
+                embeddings, cents, n_probe_blocks,
+                id_col=id_col, vec_col=vec_col,
+            )
+        else:
+            assigned = gemm_assign(embeddings, cents, id_col, vec_col)
         means = (
             embeddings.join(assigned, id_col)
             .select(

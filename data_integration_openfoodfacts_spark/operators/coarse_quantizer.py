@@ -1,0 +1,236 @@
+"""Two-level (coarse-quantizer) centroid assignment — breaking the
+k∝n SemDeDup fit's n×k barrier (round 13, VERDICT r12 #1).
+
+Under the k∝n policy (`similarity.semdedup_k`) every plain Lloyd
+sweep scores n vectors against k ≈ n/c centers: n²/c distance work,
+measured super-linear in SCALING_LLM round12 (fit 4.0s → 42.7s at
+10× corpus). The IVF trick applies to the FIT itself: group the k
+centers into B ≈ √(m·k) blocks (a tiny driver-side k-means over the
+k×d center matrix — k points, not n), assign each corpus vector to
+its top-m blocks by block-center cosine, and run the exact argmax
+only within those blocks' centers. Per-point work drops from k to
+B + m·k/B ≈ 2√(m·k) — the per-sweep total is n·√k-ish instead of
+n·k, and the n×B block scores plus the per-block GEMMs never exist
+as Spark rows (same Arrow-only `mapInPandas` shape as
+`gemm_scan.gemm_assign`).
+
+Approximation contract: a vector whose true nearest center's block
+is not among its top-m block choices gets its best IN-PROBED center
+instead — the standard IVF recall trade. `n_probe` tunes it;
+the committed round-13 probe measures dedup quality vs the
+full-assignment path at ≥95%. Like `gemm_scan`, this is a
+scale-path operator, deliberately NOT oracle-gated (BLAS ulp
+disclaimer applies on top of the probe approximation); gate queries
+keep the integer Lloyd fit.
+
+Conventions match `gemm_assign` exactly where defined: ties break to
+the lowest centroid id AMONG PROBED BLOCKS; zero-norm vectors score
+-2.0 everywhere and assign the globally lowest centroid id; zero-norm
+centroids score -2.0 and are never preferred over a real match.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+__all__ = ["block_partition", "blocked_assign", "fit_centroids_blocked"]
+
+
+def block_partition(
+    C: np.ndarray, n_blocks: int, n_iters: int = 8
+) -> np.ndarray:
+    """Group k center vectors (k×d, any scale) into ``n_blocks``
+    coarse blocks: a deterministic driver-side Lloyd over the k
+    NORMALIZED centers (k points — microscopic next to the corpus
+    sweep it prunes). Seeds are evenly spaced in index order (the
+    centers arrive id-sorted, and ids are md5-seeded already, so the
+    spread is data-derived without extra RNG); empty blocks keep
+    their seed. Returns an int64 block id per center."""
+    k = C.shape[0]
+    n_blocks = max(1, min(n_blocks, k))
+    norms = np.linalg.norm(C, axis=1)
+    Cn = C / np.where(norms == 0.0, 1.0, norms)[:, None]
+    seed_idx = np.linspace(0, k - 1, n_blocks).astype(np.int64)
+    B = Cn[seed_idx].copy()
+    assign = np.zeros(k, dtype=np.int64)
+    for _ in range(n_iters):
+        S = Cn @ B.T
+        assign = S.argmax(axis=1)
+        for b in range(n_blocks):
+            members = Cn[assign == b]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                B[b] = m / nm if nm > 0.0 else m
+    return assign
+
+
+def blocked_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 4,
+    n_blocks: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """Max-cosine centroid assignment probing only the top-``n_probe``
+    coarse blocks per vector. Output schema and conventions match
+    `gemm_scan.gemm_assign`; work per vector is ~2√(n_probe·k)
+    instead of k. ``n_blocks`` defaults to ⌈√(n_probe·k)⌉ — the
+    balance point of the block scan vs the within-block scans."""
+    if n_probe < 1:
+        raise ValueError("n_probe must be >= 1")
+    crows = centroids.select(centroid_id_col, centroid_vec_col).collect()
+    if not crows:
+        raise ValueError("centroids frame is empty")
+    c_ids = np.array([r[0] for r in crows], dtype=np.int64)
+    order = np.argsort(c_ids, kind="stable")
+    c_ids = c_ids[order]
+    C = np.stack(
+        [np.asarray(crows[i][1], dtype=np.float64) for i in order]
+    )
+    k = len(c_ids)
+    if n_blocks is None:
+        n_blocks = int(np.ceil(np.sqrt(n_probe * k)))
+    blocks = block_partition(C, n_blocks)
+    n_blocks = int(blocks.max()) + 1
+    # re-order centers block-major, id-minor: within a block, argmax's
+    # first-max rule then lands on the lowest centroid id — the
+    # gemm_assign tie convention, per block
+    reorder = np.lexsort((c_ids, blocks))
+    c_ids = c_ids[reorder]
+    C = C[reorder]
+    blocks = blocks[reorder]
+    starts = np.searchsorted(blocks, np.arange(n_blocks + 1))
+    cn = np.linalg.norm(C, axis=1)
+    cn_safe = np.where(cn == 0.0, 1.0, cn)
+    Cn = C / cn_safe[:, None]
+    zero_cents = cn == 0.0
+    # block centers for the coarse scan: mean of member normalized
+    # centers (recomputed from the final partition so the broadcast
+    # payload is one (B×d) matrix plus the flat center matrix)
+    Bm = np.zeros((n_blocks, C.shape[1]))
+    for b in range(n_blocks):
+        sl = slice(starts[b], starts[b + 1])
+        if sl.stop > sl.start:
+            m = Cn[sl][~zero_cents[sl]]
+            if len(m):
+                Bm[b] = m.mean(axis=0)
+    bn = np.linalg.norm(Bm, axis=1)
+    Bt = np.ascontiguousarray(
+        (Bm / np.where(bn == 0.0, 1.0, bn)[:, None]).T
+    )
+    Ct = np.ascontiguousarray(Cn.T)
+    lowest_cid = int(c_ids.min())
+    m_probe = min(n_probe, n_blocks)
+
+    out_schema = f"{id_col} long, {centroid_id_col} long"
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            mn = np.linalg.norm(M, axis=1)
+            zero_rows = mn == 0.0
+            Mn = M / np.where(zero_rows, 1.0, mn)[:, None]
+            SB = Mn @ Bt  # n × B coarse scores
+            if m_probe < n_blocks:
+                top = np.argpartition(-SB, m_probe - 1, axis=1)[
+                    :, :m_probe
+                ]
+            else:
+                top = np.broadcast_to(
+                    np.arange(n_blocks), (len(ids), n_blocks)
+                )
+            probe = np.zeros((len(ids), n_blocks), dtype=bool)
+            probe[np.arange(len(ids))[:, None], top] = True
+            best_s = np.full(len(ids), -np.inf)
+            best_id = np.full(len(ids), np.iinfo(np.int64).max)
+            for b in range(n_blocks):
+                rows = np.nonzero(probe[:, b])[0]
+                sl = slice(starts[b], starts[b + 1])
+                if len(rows) == 0 or sl.stop == sl.start:
+                    continue
+                S = Mn[rows] @ Ct[:, sl]
+                S[:, zero_cents[sl]] = -2.0
+                j = S.argmax(axis=1)  # first max = lowest id in block
+                sc = S[np.arange(len(rows)), j]
+                cid = c_ids[starts[b] + j]
+                better = (sc > best_s[rows]) | (
+                    (sc == best_s[rows]) & (cid < best_id[rows])
+                )
+                upd = rows[better]
+                best_s[upd] = sc[better]
+                best_id[upd] = cid[better]
+            # engine convention: a zero-norm vector scores -2.0 against
+            # every center, so it ties everywhere -> globally lowest id
+            best_id[zero_rows] = lowest_cid
+            yield pd.DataFrame({id_col: ids, centroid_id_col: best_id})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        assign, out_schema
+    )
+
+
+def fit_centroids_blocked(
+    embeddings: DataFrame,
+    k: int,
+    n_iters: int = 2,
+    n_probe: int | None = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cold k∝n fit at scale: md5-ordered seeds (the same data-derived
+    rule as `clustering.fit_centroids_lloyd` step 2 and
+    `clustering_scale.grow_centroids`) + Lloyd sweeps whose
+    assignment is the two-level probe above — per sweep n·√k-ish work
+    instead of n·k. Means/empty-cluster handling are
+    `clustering_scale.refine_centroids`'s (distributed k×dim
+    aggregation, empty clusters keep their center). Scale-path, not
+    oracle-gated — the committed round-13 probe carries the
+    wall-vs-quality evidence. ``n_probe=None`` runs the FLAT GEMM
+    assignment through the same seeding/sweeps — the probe's
+    full-assignment twin."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .clustering_scale import refine_centroids
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    seeds = (
+        embeddings.select(
+            F.col(id_col),
+            F.col(vec_col).alias("centroid_vec"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    cents = seeds.select(
+        (
+            F.row_number().over(
+                Window.orderBy(F.col("__h").asc(), F.col(id_col).asc())
+            )
+            - F.lit(1)
+        ).cast("long").alias("centroid_id"),
+        "centroid_vec",
+    )
+    return refine_centroids(
+        embeddings,
+        cents,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_probe_blocks=n_probe,
+    )
