@@ -44,6 +44,9 @@ __all__ = [
     "read_component_labels",
     "probe_components",
     "compact_component_ledger",
+    "component_alias_count",
+    "maybe_compact_component_ledger",
+    "retract_component_nodes",
 ]
 
 NB_COL = "nb"
@@ -147,13 +150,21 @@ def merge_ledger_components(
     new_edges: DataFrame,
     src: str = "u",
     dst: str = "v",
+    max_aliases: int | None = None,
 ) -> dict:
     """Fold a delta of undirected edges into the ledger at DELTA cost:
     endpoint labels come from a bucket-pruned probe, batch CC runs
     over the component-level edge list (bounded by the delta), brand-
     new nodes append under their merged component, and retired
     components land in the alias table (kept canonical). Returns
-    {new_nodes, new_aliases} for the caller's run ledger."""
+    {new_nodes, new_aliases, compacted} for the caller's run ledger.
+
+    ``max_aliases`` (round 13): state-based auto-compaction — after
+    the merge, if the alias table exceeds this many rows, fire
+    `compact_component_ledger` (the `compaction_policy` trigger
+    recipe applied to the ledger's own debt metric: every merge with
+    retirements rewrites AND broadcasts the whole alias table, so an
+    unbounded merge streak grows both; the trigger bounds them)."""
     from .bucketed_ledger import append_bucketed, store_n_buckets
     from ..streaming.events_stream import overwrite_parquet_atomically
 
@@ -244,33 +255,133 @@ def merge_ledger_components(
         overwrite_parquet_atomically(
             merged_alias.coalesce(1), _alias(path)
         )
-    return {"new_nodes": n_fresh, "new_aliases": n_new_aliases}
+    compacted = False
+    if max_aliases is not None:
+        compacted = maybe_compact_component_ledger(
+            spark, path, max_aliases
+        )
+    return {
+        "new_nodes": n_fresh,
+        "new_aliases": n_new_aliases,
+        "compacted": compacted,
+    }
 
 
 def compact_component_ledger(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, relabel_dangling: bool = False
 ) -> None:
     """Apply the alias table into the store (atomic staged rewrite,
     one file per bucket) and clear it. A crash between the two steps
     leaves aliases whose sources no longer occur in the store —
-    harmless no-ops the next compaction clears."""
+    harmless no-ops the next compaction clears.
+
+    ``relabel_dangling`` (round 13, the takedown interaction): after
+    `retract_component_nodes` removed a component's min-id member,
+    its label keeps naming the component as a TOMBSTONE identifier —
+    correct for merging (labels are opaque min-over-ids) but it no
+    longer points at a live row. With this flag the compaction
+    restores the label-is-min-LIVE-member invariant: components whose
+    label is absent from the node set relabel to their min surviving
+    member. The dangling set is bounded by retractions since the last
+    such compaction (a label can only dangle if its node was
+    retracted), so the relabel map broadcasts; detecting it is one
+    aggregate over the rows the compaction is rewriting anyway."""
     from .bucketed_ledger import compact_bucketed, store_n_buckets
     from ..functions.localframe import local_rows_df
     from ..streaming.events_stream import overwrite_parquet_atomically
 
     alias = _read_alias(spark, path).localCheckpoint(eager=True)
-    if alias.count() == 0:
+    if alias.count() == 0 and not relabel_dangling:
         return
+
+    def _transform(rows: DataFrame) -> DataFrame:
+        out = _resolve(rows, alias).localCheckpoint(eager=True)
+        if not relabel_dangling:
+            return out
+        dangling = (
+            out.select("component")
+            .distinct()
+            .join(
+                out.select(F.col("node").alias("component")),
+                "component",
+                "left_anti",
+            )
+        )
+        relabel = (
+            out.join(F.broadcast(dangling), "component", "left_semi")
+            .groupBy("component")
+            .agg(F.min("node").alias("__new"))
+        )
+        out = (
+            out.join(F.broadcast(relabel), "component", "left")
+            .select(
+                "node",
+                F.coalesce("__new", "component").alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+
     nb = store_n_buckets(spark, _store(path), NB_COL, DEFAULT_BUCKETS)
     compact_bucketed(
         spark, _store(path), NB_COL,
         lambda n: _nb_of_col(F.col("node"), n), nb,
         columns=["node", "component"],
-        transform=lambda rows: _resolve(rows, alias).localCheckpoint(
-            eager=True
-        ),
+        transform=_transform,
     )
     overwrite_parquet_atomically(
         local_rows_df(spark, [], _ALIAS_SCHEMA).coalesce(1),
         _alias(path),
+    )
+
+
+def component_alias_count(spark: SparkSession, path: str) -> int:
+    """Rows in the alias table — the ledger's accumulated merge debt
+    (every merge with retirements rewrites AND broadcasts this table,
+    so its size is the cost that compaction amortizes). One read of a
+    single coalesced parquet file; 0 for a fresh ledger."""
+    return _read_alias(spark, path).count()
+
+
+def maybe_compact_component_ledger(
+    spark: SparkSession, path: str, max_aliases: int
+) -> bool:
+    """Compact iff the alias table exceeds ``max_aliases`` rows — the
+    `compaction_policy` state-based-trigger recipe with the ledger's
+    own debt metric. Returns whether a compaction ran."""
+    if max_aliases < 1:
+        raise ValueError("max_aliases must be >= 1")
+    if component_alias_count(spark, path) <= max_aliases:
+        return False
+    compact_component_ledger(spark, path)
+    return True
+
+
+def retract_component_nodes(
+    spark: SparkSession, path: str, nodes: DataFrame,
+    node_col: str = "node",
+) -> int:
+    """Takedown for the component ledger: remove the nodes' membership
+    rows at delta cost (`retraction.retract_keys_bucketed` — only the
+    buckets the node ids hash into are rewritten). Returns rows
+    removed.
+
+    Label semantics (round 13, VERDICT r12 #8): component labels are
+    IDENTIFIERS, not live-doc pointers. Retracting a component's
+    min-id member leaves its label as a tombstone — membership reads
+    and future merges stay correct (the min-over-ids convention never
+    required the min to be live, and a retracted id can never
+    resurface: its store rows are gone and fresh nodes get their own
+    ids) — until the next `compact_component_ledger(...,
+    relabel_dangling=True)` relabels such components to their min
+    SURVIVING member. Tombstone-until-compaction, relabel-at-
+    compaction: retraction stays bucket-pruned, the store-wide
+    relabel rides the rewrite compaction does anyway."""
+    from .retraction import retract_keys_bucketed
+
+    keys = nodes.select(F.col(node_col).alias("node"))
+    return retract_keys_bucketed(
+        spark, _store(path), NB_COL,
+        lambda n: _nb_of_col(F.col("node"), n),
+        keys, "node", DEFAULT_BUCKETS,
     )

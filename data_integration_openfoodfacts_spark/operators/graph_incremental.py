@@ -73,7 +73,14 @@ def delta_component_mapping(comp_edges: DataFrame) -> DataFrame:
     2M-edge ceiling that is several GB of Python heap vs ~32 MB of
     numpy)."""
     spark = comp_edges.sparkSession
-    edges = comp_edges.filter(F.col("cu") != F.col("cv")).distinct()
+    # checkpointed: the count below and the driver collect (or the
+    # distributed CC) would otherwise each re-run the caller's
+    # translation-join chain (round 13 — one visible job per merge)
+    edges = (
+        comp_edges.filter(F.col("cu") != F.col("cv"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n = edges.count()
     if n > DRIVER_CC_MAX_EDGES:
         # checkpointed: callers reference the mapping several times

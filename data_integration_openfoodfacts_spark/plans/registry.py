@@ -63,6 +63,10 @@ from .incremental_cc_queries import (
     INCREMENTAL_CC_ORACLES,
     INCREMENTAL_CC_QUERIES,
 )
+from .neardup_ledger_queries import (
+    NEARDUP_LEDGER_ORACLES,
+    NEARDUP_LEDGER_QUERIES,
+)
 from .propagation_queries import PROPAGATION_ORACLES, PROPAGATION_QUERIES
 from .retraction_queries import RETRACTION_ORACLES, RETRACTION_QUERIES
 from .quality_calibration_queries import (
@@ -147,6 +151,7 @@ _ALL_QUERIES = {
     **DRIFT_QUERIES,
     **POLICY_QUERIES,
     **INCREMENTAL_CC_QUERIES,
+    **NEARDUP_LEDGER_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -193,6 +198,7 @@ _ALL_ORACLES = {
     **DRIFT_ORACLES,
     **POLICY_ORACLES,
     **INCREMENTAL_CC_ORACLES,
+    **NEARDUP_LEDGER_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry

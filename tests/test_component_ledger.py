@@ -52,9 +52,9 @@ def test_merge_lifecycle_matches_batch(spark, tmp_path):
     another row's target, so reads resolve in one join)."""
     p = _seed(spark, tmp_path)
     r1 = merge_ledger_components(spark, p, _edges(spark, [(6, 8), (9, 20)]))
-    assert r1 == {"new_nodes": 1, "new_aliases": 1}  # 8's comp -> 5
+    assert r1 == {"new_nodes": 1, "new_aliases": 1, "compacted": False}  # 8's comp -> 5
     r2 = merge_ledger_components(spark, p, _edges(spark, [(2, 5)]))
-    assert r2 == {"new_nodes": 0, "new_aliases": 1}  # 5 -> 1, chained
+    assert r2 == {"new_nodes": 0, "new_aliases": 1, "compacted": False}  # 5 -> 1, chained
     got = _as_map(read_component_labels(spark, p))
     want = _as_map(
         _batch_labels(
@@ -89,7 +89,7 @@ def test_replay_of_same_delta_is_noop(spark, tmp_path):
     before = _as_map(read_component_labels(spark, p))
     n_rows = spark.read.parquet(f"{p}/store").count()
     r = merge_ledger_components(spark, p, delta)
-    assert r == {"new_nodes": 0, "new_aliases": 0}
+    assert r == {"new_nodes": 0, "new_aliases": 0, "compacted": False}
     assert _as_map(read_component_labels(spark, p)) == before
     assert spark.read.parquet(f"{p}/store").count() == n_rows
 
