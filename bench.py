@@ -376,7 +376,16 @@ def main() -> None:
     # so a dismissed flag is auditable, not discarded. The committed
     # per-query map takes min(suite, standalone): next round's gate
     # should compare against the query's own cost, not the noise.
+    # Dismissals are recorded PER GATE (round-12 ADVICE: one shared
+    # map mixed median-of-3-prev baselines with window-MIN anchor
+    # baselines, and readers following the documented
+    # check-the-reconciled-map protocol could misread an anchor
+    # window-min as last round's timing): `reconciled` holds
+    # adjacent-gate entries ([prev-round timing, suite, standalone]),
+    # `anchor_reconciled` holds anchor-gate entries
+    # ([long-window MIN, suite, standalone]).
     reconciled: dict[str, list[float]] = {}
+    anchor_reconciled: dict[str, list[float]] = {}
     by_prefix = {n.split("_", 1)[0]: fn for n, fn in QUERIES.items()}
     if regressions or anchor_regressions:
         gc.collect()
@@ -384,6 +393,9 @@ def main() -> None:
         spark.catalog.clearCache()
     for gate in (regressions, anchor_regressions):
         baselines = prev_q if gate is regressions else anchor_q
+        dismissed = (
+            reconciled if gate is regressions else anchor_reconciled
+        )
         for q in list(gate):
             try:
                 fn = by_prefix[q]
@@ -411,7 +423,7 @@ def main() -> None:
             if standalone > 2 * prev and standalone - prev > 0.5:
                 gate[q] = [prev, suite, standalone]
             else:
-                reconciled[q] = [prev, suite, standalone]
+                dismissed[q] = [prev, suite, standalone]
                 del gate[q]
 
     # Full record -> committed report file; stdout stays a COMPACT
@@ -435,6 +447,7 @@ def main() -> None:
         "regressions": regressions,
         "anchor_regressions": anchor_regressions,
         "reconciled": reconciled,
+        "anchor_reconciled": anchor_reconciled,
         "errors": errors,
     }
     report_path = os.path.join(
@@ -465,6 +478,7 @@ def main() -> None:
             "regressions": regressions,
             "anchor_regressions": anchor_regressions,
             "reconciled": reconciled,
+            "anchor_reconciled": anchor_reconciled,
             "errors": errors,
             "full_report": "plans/bench_report.json",
         },
@@ -480,6 +494,7 @@ def main() -> None:
         digest["regressions"] = {"n": len(regressions)}
         digest["anchor_regressions"] = {"n": len(anchor_regressions)}
         digest["reconciled"] = {"n": len(reconciled)}
+        digest["anchor_reconciled"] = {"n": len(anchor_reconciled)}
         digest["errors"] = {"n": len(errors)}
         line = json.dumps(digest, separators=(",", ":"))
     sys.stdout.flush()
