@@ -198,7 +198,14 @@ HEADLINERS = {
     "q200_incremental_components": (
         "incremental CC: new edges map to current components, "
         "component-graph CC bounded by the delta, broadcast mapping "
-        "over the label ledger (ledger never shuffled)"
+        "over the label ledger (ledger never shuffled; round 13 "
+        "semi-prunes the endpoint translation to broadcast joins too)"
+    ),
+    "q202_neardup_ingest_component_lifecycle": (
+        "round 13: the ingest loop composed — per-tranche signatures, "
+        "bucket-pruned band probe, collision STAR edges (O(batch), "
+        "never m^2/2), delta-cost persisted component merge, "
+        "canonical survivors"
     ),
 }
 
