@@ -189,7 +189,10 @@ def main() -> None:
         "SCALING_LLM.json",
     )
     merged_json = json.load(open(out_path))
-    merged_json.setdefault("round12", {})["incremental_cc"] = res
+    # default round12 (the original probe home); re-runs after a code
+    # change land under their own round key for before/after audit
+    round_key = os.environ.get("SPARK_GRAFT_PROBE_ROUND", "round12")
+    merged_json.setdefault(round_key, {})["incremental_cc"] = res
     with open(out_path, "w") as f:
         json.dump(merged_json, f, indent=1)
         f.write("\n")
