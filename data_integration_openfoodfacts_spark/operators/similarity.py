@@ -736,6 +736,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     gemm_assignment: bool = False,
+    blocked_probe: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
     every vector to its nearest centroid, then mark as duplicate any
@@ -759,10 +760,26 @@ def semantic_dedup(
     argmax up to BLAS ulps at near-ties, so gate-oracle entries keep
     the default; the within-cluster prune below is fold-based and
     hash-exact either way.
+
+    ``blocked_probe=m`` (round 13, implies the GEMM path) goes one
+    further: the two-level coarse-quantizer assignment
+    (`coarse_quantizer.blocked_assign`) probes only the top-m center
+    BLOCKS per vector — the per-ingest dedup assignment drops from
+    n·k to n·~2√(m·k) distance work (measured 9.02s → 1.01s at 50×
+    corpus, k=2222), at the probe's documented approximation (96-97%
+    of full-assignment dedup duty at m=8). Scale path only, never a
+    gate-oracle entry.
     """
     from ..functions.vectors import l2_norm_expr, pair_dot_fold
 
-    if gemm_assignment:
+    if blocked_probe is not None:
+        from .coarse_quantizer import blocked_assign
+
+        assigned = blocked_assign(
+            embeddings, centroids, blocked_probe,
+            id_col=id_col, vec_col=vec_col,
+        )
+    elif gemm_assignment:
         from .gemm_scan import gemm_assign
 
         assigned = gemm_assign(embeddings, centroids, id_col, vec_col)

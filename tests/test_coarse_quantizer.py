@@ -243,3 +243,32 @@ def test_blocked_assign_validates(spark):
                 spark, [], "centroid_id long, centroid_vec array<float>"
             ),
         )
+
+
+def test_semantic_dedup_blocked_probe_path(spark):
+    """semantic_dedup(blocked_probe=m): same schema/verdicts as the
+    GEMM path when every block is probed (the within-cluster prune is
+    fold-based either way), and the Arrow-only assignment rides the
+    same operator the probes measured."""
+    from data_integration_openfoodfacts_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    cents = emb.limit(8).select(
+        emb.vec_id.alias("centroid_id"),
+        emb.embedding.alias("centroid_vec"),
+    )
+    gemm = {
+        (r["vec_id"], r["kept"])
+        for r in semantic_dedup(
+            emb, cents, gemm_assignment=True
+        ).collect()
+    }
+    blocked = {
+        (r["vec_id"], r["kept"])
+        for r in semantic_dedup(emb, cents, blocked_probe=99).collect()
+    }
+    assert blocked == gemm
