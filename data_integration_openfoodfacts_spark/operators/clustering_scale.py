@@ -97,43 +97,52 @@ def refine_centroids(
 
     ``n_probe_blocks`` (round 13): when set, each sweep's assignment
     is the two-level coarse-quantizer probe
-    (`coarse_quantizer.blocked_assign` with this many probed blocks)
-    instead of the flat n×k GEMM — per-sweep work drops from n·k to
-    n·√k-ish, the k∝n fit's scale path (VERDICT r12 #1)."""
+    (`coarse_quantizer.blocked_assign`'s kernel with this many probed
+    blocks) instead of the flat n×k GEMM — per-sweep work drops from
+    n·k to n·√k-ish, the k∝n fit's scale path (VERDICT r12 #1).
+
+    Sweep shape (round 13, second pass): assignment and the mean
+    update's partial sums are FUSED into one Arrow pass
+    (`coarse_quantizer.assign_mean_partials`) — the old sweep joined
+    the n-row assignment back to the corpus (a corpus-sized shuffle
+    on both sides) and posexploded n·d mean rows; now each sweep is
+    one corpus SCAN emitting ≤ batches×k partial rows, and every
+    downstream aggregate is corpus-independent."""
     if n_iters < 1:
         raise ValueError("n_iters must be >= 1")
-    from .gemm_scan import gemm_assign
-
-    if n_probe_blocks is not None:
-        from .coarse_quantizer import blocked_assign
+    from .coarse_quantizer import assign_mean_partials
 
     cents = centroids.select("centroid_id", "centroid_vec")
     for _ in range(n_iters):
-        if n_probe_blocks is not None:
-            assigned = blocked_assign(
-                embeddings, cents, n_probe_blocks,
-                id_col=id_col, vec_col=vec_col,
-            )
-        else:
-            assigned = gemm_assign(embeddings, cents, id_col, vec_col)
+        partials = assign_mean_partials(
+            embeddings, cents, n_probe=n_probe_blocks,
+            id_col=id_col, vec_col=vec_col,
+        )
+        # the member count rides the same aggregation: each partial
+        # row's n repeats across its pos rows, so per (cid, pos) the
+        # summed n IS the centroid's total member count — one
+        # consumption of the corpus pass, no second scan, no join
         means = (
-            embeddings.join(assigned, id_col)
-            .select(
+            partials.select(
                 "centroid_id",
-                F.posexplode(F.col(vec_col)).alias("pos", "x"),
+                "n",
+                F.posexplode(F.col("sums")).alias("pos", "x"),
             )
             .groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.sum("x").alias("s"),
+                F.sum("n").alias("__N"),
+            )
             .groupBy("centroid_id")
             .agg(
                 F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))
-                ).alias("__pm")
+                    F.collect_list(F.struct("pos", "s", "__N"))
+                ).alias("__ps")
             )
             .select(
                 "centroid_id",
                 F.transform(
-                    "__pm", lambda s: s["m"].cast("float")
+                    "__ps", lambda t: (t["s"] / t["__N"]).cast("float")
                 ).alias("__new_vec"),
             )
         )

@@ -37,7 +37,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["block_partition", "blocked_assign", "fit_centroids_blocked"]
+__all__ = [
+    "block_partition",
+    "blocked_assign",
+    "assign_mean_partials",
+    "fit_centroids_blocked",
+]
 
 
 def block_partition(
@@ -69,26 +74,13 @@ def block_partition(
     return assign
 
 
-def blocked_assign(
-    embeddings: DataFrame,
-    centroids: DataFrame,
-    n_probe: int = 4,
-    n_blocks: int | None = None,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    centroid_id_col: str = "centroid_id",
-    centroid_vec_col: str = "centroid_vec",
-) -> DataFrame:
-    """Max-cosine centroid assignment probing only the top-``n_probe``
-    coarse blocks per vector. Output schema and conventions match
-    `gemm_scan.gemm_assign`; work per vector is ~2√(n_probe·k)
-    instead of k. ``n_blocks`` defaults to ⌈√(n_probe·k)⌉ — the
-    balance point of the block scan vs the within-block scans."""
-    if n_probe < 1:
-        raise ValueError("n_probe must be >= 1")
-    crows = centroids.select(centroid_id_col, centroid_vec_col).collect()
-    if not crows:
-        raise ValueError("centroids frame is empty")
+def _build_kernel(crows, n_probe: int | None, n_blocks: int | None):
+    """The per-batch assignment kernel shared by `blocked_assign` and
+    `assign_mean_partials`: returns (sorted centroid ids, kernel)
+    where kernel(Mn, zero_rows) -> actual centroid id per row.
+    ``n_probe=None`` scores every center in one flat GEMM (the
+    gemm_assign argmax, same conventions); an int probes only the
+    top-``n_probe`` coarse blocks."""
     c_ids = np.array([r[0] for r in crows], dtype=np.int64)
     order = np.argsort(c_ids, kind="stable")
     c_ids = c_ids[order]
@@ -96,6 +88,23 @@ def blocked_assign(
         [np.asarray(crows[i][1], dtype=np.float64) for i in order]
     )
     k = len(c_ids)
+    lowest_cid = int(c_ids.min())
+    cn = np.linalg.norm(C, axis=1)
+    cn_safe = np.where(cn == 0.0, 1.0, cn)
+
+    if n_probe is None:
+        Ct = np.ascontiguousarray((C / cn_safe[:, None]).T)
+        zero_cols = cn == 0.0
+
+        def flat_kernel(Mn, zero_rows):
+            S = Mn @ Ct
+            S[zero_rows, :] = -2.0
+            S[:, zero_cols] = -2.0
+            j = S.argmax(axis=1)  # first max = lowest centroid id
+            return c_ids[j]
+
+        return c_ids, flat_kernel
+
     if n_blocks is None:
         n_blocks = int(np.ceil(np.sqrt(n_probe * k)))
     blocks = block_partition(C, n_blocks)
@@ -104,7 +113,7 @@ def blocked_assign(
     # first-max rule then lands on the lowest centroid id — the
     # gemm_assign tie convention, per block
     reorder = np.lexsort((c_ids, blocks))
-    c_ids = c_ids[reorder]
+    c_ids_b = c_ids[reorder]
     C = C[reorder]
     blocks = blocks[reorder]
     starts = np.searchsorted(blocks, np.arange(n_blocks + 1))
@@ -127,8 +136,64 @@ def blocked_assign(
         (Bm / np.where(bn == 0.0, 1.0, bn)[:, None]).T
     )
     Ct = np.ascontiguousarray(Cn.T)
-    lowest_cid = int(c_ids.min())
     m_probe = min(n_probe, n_blocks)
+
+    def blocked_kernel(Mn, zero_rows):
+        n = Mn.shape[0]
+        SB = Mn @ Bt  # n × B coarse scores
+        if m_probe < n_blocks:
+            top = np.argpartition(-SB, m_probe - 1, axis=1)[:, :m_probe]
+        else:
+            top = np.broadcast_to(np.arange(n_blocks), (n, n_blocks))
+        probe = np.zeros((n, n_blocks), dtype=bool)
+        probe[np.arange(n)[:, None], top] = True
+        best_s = np.full(n, -np.inf)
+        best_id = np.full(n, np.iinfo(np.int64).max)
+        for b in range(n_blocks):
+            rows = np.nonzero(probe[:, b])[0]
+            sl = slice(starts[b], starts[b + 1])
+            if len(rows) == 0 or sl.stop == sl.start:
+                continue
+            S = Mn[rows] @ Ct[:, sl]
+            S[:, zero_cents[sl]] = -2.0
+            j = S.argmax(axis=1)  # first max = lowest id in block
+            sc = S[np.arange(len(rows)), j]
+            cid = c_ids_b[starts[b] + j]
+            better = (sc > best_s[rows]) | (
+                (sc == best_s[rows]) & (cid < best_id[rows])
+            )
+            upd = rows[better]
+            best_s[upd] = sc[better]
+            best_id[upd] = cid[better]
+        # engine convention: a zero-norm vector scores -2.0 against
+        # every center, so it ties everywhere -> globally lowest id
+        best_id[zero_rows] = lowest_cid
+        return best_id
+
+    return c_ids, blocked_kernel
+
+
+def blocked_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 4,
+    n_blocks: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """Max-cosine centroid assignment probing only the top-``n_probe``
+    coarse blocks per vector. Output schema and conventions match
+    `gemm_scan.gemm_assign`; work per vector is ~2√(n_probe·k)
+    instead of k. ``n_blocks`` defaults to ⌈√(n_probe·k)⌉ — the
+    balance point of the block scan vs the within-block scans."""
+    if n_probe < 1:
+        raise ValueError("n_probe must be >= 1")
+    crows = centroids.select(centroid_id_col, centroid_vec_col).collect()
+    if not crows:
+        raise ValueError("centroids frame is empty")
+    _c_ids, kernel = _build_kernel(crows, n_probe, n_blocks)
 
     out_schema = f"{id_col} long, {centroid_id_col} long"
 
@@ -143,42 +208,73 @@ def blocked_assign(
             mn = np.linalg.norm(M, axis=1)
             zero_rows = mn == 0.0
             Mn = M / np.where(zero_rows, 1.0, mn)[:, None]
-            SB = Mn @ Bt  # n × B coarse scores
-            if m_probe < n_blocks:
-                top = np.argpartition(-SB, m_probe - 1, axis=1)[
-                    :, :m_probe
-                ]
-            else:
-                top = np.broadcast_to(
-                    np.arange(n_blocks), (len(ids), n_blocks)
-                )
-            probe = np.zeros((len(ids), n_blocks), dtype=bool)
-            probe[np.arange(len(ids))[:, None], top] = True
-            best_s = np.full(len(ids), -np.inf)
-            best_id = np.full(len(ids), np.iinfo(np.int64).max)
-            for b in range(n_blocks):
-                rows = np.nonzero(probe[:, b])[0]
-                sl = slice(starts[b], starts[b + 1])
-                if len(rows) == 0 or sl.stop == sl.start:
-                    continue
-                S = Mn[rows] @ Ct[:, sl]
-                S[:, zero_cents[sl]] = -2.0
-                j = S.argmax(axis=1)  # first max = lowest id in block
-                sc = S[np.arange(len(rows)), j]
-                cid = c_ids[starts[b] + j]
-                better = (sc > best_s[rows]) | (
-                    (sc == best_s[rows]) & (cid < best_id[rows])
-                )
-                upd = rows[better]
-                best_s[upd] = sc[better]
-                best_id[upd] = cid[better]
-            # engine convention: a zero-norm vector scores -2.0 against
-            # every center, so it ties everywhere -> globally lowest id
-            best_id[zero_rows] = lowest_cid
-            yield pd.DataFrame({id_col: ids, centroid_id_col: best_id})
+            yield pd.DataFrame(
+                {id_col: ids, centroid_id_col: kernel(Mn, zero_rows)}
+            )
 
     return embeddings.select(id_col, vec_col).mapInPandas(
         assign, out_schema
+    )
+
+
+def assign_mean_partials(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    n_probe: int | None = None,
+    n_blocks: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One corpus pass fusing ASSIGNMENT and the mean UPDATE's partial
+    sums — the Lloyd-sweep shape that never shuffles the corpus
+    (round 13): per Arrow batch, assign every vector (flat GEMM when
+    ``n_probe`` is None, blocked probe otherwise) and emit one
+    (centroid_id, n, sums array<double>) row per centroid the batch
+    touched. Downstream aggregation handles ≤ batches×k rows — never
+    n — so a refine sweep is a single corpus SCAN plus a
+    corpus-independent shuffle (the old sweep joined the n-row
+    assignment back to the corpus and posexploded n·d rows).
+    Unnormalized ORIGINAL vectors are summed (the mean is over raw
+    member vectors, matching the previous sweep semantics)."""
+    crows = centroids.select("centroid_id", "centroid_vec").collect()
+    if not crows:
+        raise ValueError("centroids frame is empty")
+    c_ids, kernel = _build_kernel(crows, n_probe, n_blocks)
+    id_to_dense = {int(c): i for i, c in enumerate(c_ids)}
+    k = len(c_ids)
+
+    out_schema = "centroid_id long, n long, sums array<double>"
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            mn = np.linalg.norm(M, axis=1)
+            zero_rows = mn == 0.0
+            Mn = M / np.where(zero_rows, 1.0, mn)[:, None]
+            bid = kernel(Mn, zero_rows)
+            dense = np.fromiter(
+                (id_to_dense[int(b)] for b in bid),
+                dtype=np.int64,
+                count=len(bid),
+            )
+            counts = np.bincount(dense, minlength=k)
+            sums = np.zeros((k, M.shape[1]))
+            np.add.at(sums, dense, M)
+            hit = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "centroid_id": c_ids[hit],
+                    "n": counts[hit].astype(np.int64),
+                    "sums": [sums[i].tolist() for i in hit],
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        partials, out_schema
     )
 
 

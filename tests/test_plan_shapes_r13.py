@@ -87,3 +87,27 @@ def test_merge_components_never_shuffles_labels(spark, tmp_path):
     assert got[0] == 0 and got[10] == 0 and got[5] == 0 and got[15] == 0
     assert got[20] == 20 and got[25] == 20
     assert got[1_000_000_007] == 20 and got[1_000_000_009] == 20
+
+
+def test_assign_mean_partials_is_single_corpus_scan(spark):
+    """The fused Lloyd sweep input (round 13): scan -> MapInPandas
+    emitting per-batch (centroid_id, n, sums) partials — no join of
+    the assignment back to the corpus, no corpus shuffle; every
+    downstream aggregate handles <= batches x k rows."""
+    from data_integration_openfoodfacts_spark.operators.coarse_quantizer import (  # noqa: E501
+        assign_mean_partials,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = emb.limit(6).select(
+        emb.vec_id.alias("centroid_id"),
+        emb.embedding.alias("centroid_vec"),
+    )
+    for probe in (None, 2):
+        plan = _plan(assign_mean_partials(emb, cents, n_probe=probe))
+        assert "MapInPandas" in plan
+        assert "Join" not in plan
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan

@@ -203,7 +203,9 @@ def main() -> None:
         "SCALING_LLM.json",
     )
     merged = json.load(open(out_path))
-    merged["round13"] = res
+    # merge, never replace: other round-13 probes (warmfit_blocked,
+    # the incremental_cc re-run) write sibling keys
+    merged.setdefault("round13", {}).update(res)
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1)
         f.write("\n")
