@@ -67,6 +67,10 @@ from .neardup_ledger_queries import (
     NEARDUP_LEDGER_ORACLES,
     NEARDUP_LEDGER_QUERIES,
 )
+from .takedown_ledger_queries import (
+    TAKEDOWN_LEDGER_ORACLES,
+    TAKEDOWN_LEDGER_QUERIES,
+)
 from .propagation_queries import PROPAGATION_ORACLES, PROPAGATION_QUERIES
 from .retraction_queries import RETRACTION_ORACLES, RETRACTION_QUERIES
 from .quality_calibration_queries import (
@@ -152,6 +156,7 @@ _ALL_QUERIES = {
     **POLICY_QUERIES,
     **INCREMENTAL_CC_QUERIES,
     **NEARDUP_LEDGER_QUERIES,
+    **TAKEDOWN_LEDGER_QUERIES,
 }
 _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
@@ -199,6 +204,7 @@ _ALL_ORACLES = {
     **POLICY_ORACLES,
     **INCREMENTAL_CC_ORACLES,
     **NEARDUP_LEDGER_ORACLES,
+    **TAKEDOWN_LEDGER_ORACLES,
 }
 
 # The driver's per-round oracle gate checks the FIRST 50 registry
