@@ -271,9 +271,18 @@ def binary_simhash(
     nothing to vote).
 
     Scale shape: one narrow explode of O(n_bytes) grams per payload,
-    one distinct + two grouped aggregations keyed on the id — linear
-    in corpus bytes, no UDF, no driver round-trip.
+    one distinct + ONE grouped aggregation keyed on the id — linear
+    in corpus bytes, no UDF, no driver round-trip. The ±1 votes for
+    all ``bits`` positions come out of a single groupBy(id) as
+    separate conditional sums (round 13 — the
+    `minhash_band_signatures` recipe): the previous shape exploded
+    every distinct gram ``bits``-fold and paid a second
+    groupBy(id, bit) shuffle stage for rows the agg immediately
+    re-collapsed.
     """
+    from functools import reduce
+    from operator import add
+
     hx = F.hex(F.col(payload_col))
     grams = (
         df.filter(F.length(payload_col) >= ngram_bytes)
@@ -297,17 +306,25 @@ def binary_simhash(
     from ..operators.similarity_dedup import md5_long
 
     hashed = grams.withColumn("h", md5_long(F.col("gram")) % (2 ** bits))
-    bit = F.explode(F.array(*[F.lit(b) for b in range(bits)])).alias("bit")
-    votes = hashed.select(F.col(id_col), "h", bit).withColumn(
-        "vote", F.expr("(h >> bit) & 1") * 2 - 1
+    # every gram votes on every bit, so the per-bit sums are just
+    # ``bits`` independent integer aggregates of the SAME rows — one
+    # map-side-combined groupBy(id), no bit-explode, no second shuffle
+    bitsums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)))
+                * 2 - 1
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
-    bitsum = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("s"))
-    return bitsum.groupBy(id_col).agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-            ).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("simhash")
+    simhash = reduce(
+        add,
+        [
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(bits)
+        ],
+    )
+    return bitsums.select(
+        F.col(id_col), simhash.cast("long").alias("simhash")
     )

@@ -70,17 +70,15 @@ def q188_quality_canonical_dedup(
     w = Window.partitionBy("component").orderBy(
         F.col("borda").asc(), F.md5(F.col("doc_id").cast("string"))
     )
-    # checkpoint before the canonical self-join: both sides of the
-    # join derive from the full pairs->CC->fusion pipeline, which
-    # would otherwise be evaluated twice
-    ranked = fused.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
-        eager=True
-    )
-    canon = ranked.filter(F.col("__rn") == 1).select(
-        "component", F.col("doc_id").alias("canonical_id")
-    )
+    # round 13: the canonical is `first(doc_id)` over the quality
+    # window — every row's running frame starts at its cluster's
+    # rank-1 member, so this IS the old rn==1 doc_id, computed on the
+    # partitioning rank_fuse already established (no new shuffle),
+    # replacing the old filter(rn=1) self-join whose double-lineage
+    # forced an eager checkpoint of the whole pairs->CC->fusion
+    # pipeline.
     return (
-        ranked.join(canon, "component")
+        fused.withColumn("canonical_id", F.first("doc_id").over(w))
         .select(
             "doc_id", "component", "canonical_id", "borda",
             (F.col("doc_id") == F.col("canonical_id"))

@@ -74,13 +74,21 @@ def q202_neardup_ingest_component_lifecycle(
     comp_path = f"{tmp}/components"
     bands_path = f"{tmp}/bands"
 
+    # ONE signature pass feeds all three tranches (round 13
+    # optimization, the q178/q179 precedent: a MinHash signature is a
+    # per-document function — independent of both the ledger state and
+    # the rest of the batch — so hoisting it is value-invisible; the
+    # per-tranche PROBE/append loop below is unchanged). Before the
+    # hoist each tranche re-ran shingle+md5+groupBy over its third of
+    # the corpus: 3 scan+shuffle jobs -> 1.
+    all_bands = minhash_band_signatures(
+        docs.select("doc_id", "text"),
+        "doc_id", "text", n=3, num_hashes=8, band_size=2,
+    ).localCheckpoint(eager=True)
+
     def _tranche(t: int):
-        batch = docs.filter(F.col("doc_id") % 3 == t).select(
-            "doc_id", "text"
-        )
-        new_bands = minhash_band_signatures(
-            batch, "doc_id", "text", n=3, num_hashes=8, band_size=2
-        ).localCheckpoint(eager=True)
+        batch = docs.filter(F.col("doc_id") % 3 == t).select("doc_id")
+        new_bands = all_bands.filter(F.col("doc_id") % 3 == t)
         ledger = read_parquet_if_exists(spark, bands_path)
         if ledger is None:
             ledger = local_rows_df(

@@ -137,3 +137,23 @@ def test_binary_simhash_neardup_vs_disjoint(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_binary_simhash_single_vote_aggregation(spark):
+    """Round-13 optimization pin: the ±1 bit votes come out of ONE
+    groupBy(id) as per-bit conditional sums — no bits-fold explode of
+    the gram rows, no second groupBy(id, bit) shuffle stage. Plan
+    budget: exactly 2 shuffle exchanges (gram distinct + the vote
+    agg) and exactly 1 Generate (the gram explode itself)."""
+    from data_integration_openfoodfacts_spark.multimodal.binary_ops import (
+        binary_simhash,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(32)))], "media_id long, payload binary"
+    )
+    out = binary_simhash(df, "media_id", "payload")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 2, plan
+    assert plan.count("Generate") == 1, plan

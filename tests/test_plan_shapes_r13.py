@@ -89,6 +89,25 @@ def test_merge_components_never_shuffles_labels(spark, tmp_path):
     assert got[1_000_000_007] == 20 and got[1_000_000_009] == 20
 
 
+def test_q188_canonical_is_windowed_not_selfjoined(spark):
+    """Round-13 optimization pin: q188's canonical member comes from
+    `first(doc_id)` over the SAME per-cluster quality window — the
+    three rank_fuse windows and the canonical window share ONE
+    component exchange, and nothing above that exchange is a join
+    (the old shape checkpointed the ranked frame and self-joined it
+    back on component)."""
+    from data_integration_openfoodfacts_spark.plans.canonical_queries import (  # noqa: E501
+        q188_quality_canonical_dedup,
+    )
+
+    plan = _plan(q188_quality_canonical_dedup(spark, SF))
+    assert plan.count("Window") == 4, plan
+    comp_ex = plan.find("Exchange hashpartitioning(component")
+    assert comp_ex != -1, plan
+    assert plan.count("Exchange hashpartitioning(component") == 1, plan
+    assert "Join" not in plan[:comp_ex], plan[:comp_ex]
+
+
 def test_assign_mean_partials_is_single_corpus_scan(spark):
     """The fused Lloyd sweep input (round 13): scan -> MapInPandas
     emitting per-batch (centroid_id, n, sums) partials — no join of

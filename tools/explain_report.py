@@ -135,8 +135,9 @@ HEADLINERS = {
     ),
     "q171_binary_simhash": (
         "codec-free payload SimHash: narrow hex-gram explode, distinct, "
-        "two grouped aggs keyed on media_id — linear in corpus bytes, "
-        "zero Python"
+        "ONE grouped agg keyed on media_id with per-bit conditional "
+        "sums (round 13 — bit explode + second shuffle removed) — "
+        "linear in corpus bytes, zero Python"
     ),
     "q176_counting_bloom_takedown": (
         "deletable screen: two groupBy(p) count builds (insert +, "
@@ -177,8 +178,8 @@ HEADLINERS = {
     ),
     "q188_quality_canonical_dedup": (
         "quality-canonical dedup: CC clusters + per-cluster Borda "
-        "windows; ranked frame checkpointed before the canonical "
-        "self-join"
+        "windows; canonical = first(doc_id) over the same window "
+        "(round 13 — no self-join, no checkpoint, no extra shuffle)"
     ),
     "q193_retrieval_operating_points": (
         "recall-vs-cost curve: corpus tagged/assigned ONCE per family, "
