@@ -261,70 +261,109 @@ def binary_simhash(
     of EXIF churn" that needs no decoder at all (exact dedup has
     `meta.content_md5`; this catches the almost-equal payloads).
 
-    JVM-only plan: the payload hexifies once (2 chars/byte,
-    `F.hex` — verified byte-identical to DuckDB's `hex()`), n-grams
-    are substring slices exploded over a `sequence`, and the ±1
-    bit-voting is q20's SimHash arithmetic (`similarity_dedup.simhash`
-    — kept inline here so the multimodal closure stays narrow) on
-    md5-derived gram hashes. Payloads shorter than ``ngram_bytes``
+    Arrow pass (round 14; the ``decode_media`` shape): ONE
+    `mapInPandas` over exactly (id, payload) computes each payload's
+    distinct-gram ±1 bit votes in place — numpy windows the bytes,
+    dedups grams per row, and md5 (hashlib over the SAME uppercase-hex
+    gram string `F.hex` produced, so hashes are bit-identical to the
+    old JVM plan and to DuckDB's `hex()`) runs once per TASK-unique
+    gram behind a dict cache instead of once per (payload, gram). The
+    old JVM shape materialized ~n_bytes gram rows per payload (~16x
+    payload bytes through a Generate + a distinct exchange) before the
+    vote agg; the Arrow pass ships each payload across the Python
+    boundary once and emits ONE partial-vote row per payload, so the
+    only shuffle left is the final map-side-combined groupBy(id) of
+    ``bits``-column partials. Payloads shorter than ``ngram_bytes``
     carry no gram and drop out (no fingerprint is honest — there is
     nothing to vote).
 
-    Scale shape: one narrow explode of O(n_bytes) grams per payload,
-    one distinct + ONE grouped aggregation keyed on the id — linear
-    in corpus bytes, no UDF, no driver round-trip. The ±1 votes for
-    all ``bits`` positions come out of a single groupBy(id) as
-    separate conditional sums (round 13 — the
-    `minhash_band_signatures` recipe): the previous shape exploded
-    every distinct gram ``bits``-fold and paid a second
-    groupBy(id, bit) shuffle stage for rows the agg immediately
-    re-collapsed.
+    Precondition (shared with `similarity_dedup.word_shingles`, and
+    true of every media frame here — ``id_col`` is the media PK): one
+    payload row per id. The partial-vote sum then equals the old
+    global (id, gram)-distinct vote exactly; ids repeated across rows
+    would instead vote grams shared BETWEEN their rows once per row.
     """
     from functools import reduce
     from operator import add
 
-    hx = F.hex(F.col(payload_col))
-    grams = (
-        df.filter(F.length(payload_col) >= ngram_bytes)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(
-                    F.lit(0), F.length(payload_col) - ngram_bytes
-                )
-            ).alias("i"),
-            hx.alias("hx"),
-        )
-        .select(
-            id_col,
-            F.expr(f"substring(hx, i * 2 + 1, {ngram_bytes * 2})").alias(
-                "gram"
-            ),
-        )
-        .distinct()
+    assert bits <= 63, (
+        "simhash projects vote signs onto BIGINT bit positions; "
+        f"bits={bits} would overflow the 1 << b literal"
     )
-    from ..operators.similarity_dedup import md5_long
+    n = int(ngram_bytes)
+    nbits = int(bits)
+    out_schema = StructType(
+        [StructField("__id", LongType())]
+        + [StructField(f"s{b}", LongType()) for b in range(nbits)]
+    )
 
-    hashed = grams.withColumn("h", md5_long(F.col("gram")) % (2 ** bits))
-    # every gram votes on every bit, so the per-bit sums are just
-    # ``bits`` independent integer aggregates of the SAME rows — one
-    # map-side-combined groupBy(id), no bit-explode, no second shuffle
-    bitsums = hashed.groupBy(id_col).agg(
-        *[
-            F.sum(
-                (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)))
-                * 2 - 1
-            ).alias(f"s{b}")
-            for b in range(bits)
-        ]
+    def vote_batches(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        mod = 1 << nbits
+        shifts = np.arange(nbits, dtype=np.int64)
+        # task-level gram -> ±1 vote-vector cache: md5 runs once per
+        # distinct gram seen by this task, not once per occurrence
+        votes_of: dict[bytes, "np.ndarray"] = {}
+
+        def _row_votes(payload) -> "np.ndarray | None":
+            if payload is None:
+                return None
+            raw = bytes(payload)
+            if len(raw) < n:
+                return None
+            a = np.frombuffer(raw, dtype=np.uint8)
+            w = np.lib.stride_tricks.sliding_window_view(a, n)
+            uniq = np.unique(np.ascontiguousarray(w).view(f"V{n}"))
+            s = np.zeros(nbits, dtype=np.int64)
+            for gv in uniq:
+                g = gv.tobytes()
+                v = votes_of.get(g)
+                if v is None:
+                    hx = g.hex().upper().encode("ascii")
+                    h = int(
+                        hashlib.md5(hx).hexdigest()[:15], 16
+                    ) % mod
+                    v = ((h >> shifts) & 1) * 2 - 1
+                    votes_of[g] = v
+                s += v
+            return s
+
+        for pdf in batches:
+            ids, cols = [], []
+            for mid, payload in zip(pdf["__id"], pdf["__payload"]):
+                s = _row_votes(payload)
+                if s is None:
+                    continue
+                ids.append(mid)
+                cols.append(s)
+            out = {"__id": pd.Series(ids, dtype="int64")}
+            arr = (
+                np.vstack(cols)
+                if cols
+                else np.zeros((0, nbits), dtype=np.int64)
+            )
+            for b in range(nbits):
+                out[f"s{b}"] = pd.Series(arr[:, b], dtype="int64")
+            yield pd.DataFrame(out)
+
+    partials = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(payload_col).alias("__payload"),
+    ).mapInPandas(vote_batches, out_schema)
+    bitsums = partials.groupBy("__id").agg(
+        *[F.sum(f"s{b}").alias(f"s{b}") for b in range(nbits)]
     )
     simhash = reduce(
         add,
         [
             F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-            for b in range(bits)
+            for b in range(nbits)
         ],
     )
     return bitsums.select(
-        F.col(id_col), simhash.cast("long").alias("simhash")
+        F.col("__id").alias(id_col), simhash.cast("long").alias("simhash")
     )

@@ -112,9 +112,19 @@ def init_component_ledger(
     )
 
 
+_STORE_SCHEMA = f"node long, component long, {NB_COL} int"
+
+
+def _read_store(spark: SparkSession, path: str) -> DataFrame:
+    """The store scan with its (fixed) schema stated explicitly —
+    parquet schema inference is a driver-visible job per read, and the
+    lifecycle queries read the store several times (round 14)."""
+    return spark.read.schema(_STORE_SCHEMA).parquet(_store(path))
+
+
 def read_component_labels(spark: SparkSession, path: str) -> DataFrame:
     """Every (node, component) with aliases resolved."""
-    store = spark.read.parquet(_store(path)).select("node", "component")
+    store = _read_store(spark, path).select("node", "component")
     return _resolve(store, _read_alias(spark, path))
 
 
@@ -138,10 +148,22 @@ def probe_components(
         keys, lambda n: _nb_of_col(F.col("node"), n), nb
     )
     store = prune_to_buckets(
-        spark.read.parquet(_store(path)), NB_COL, nbs
+        _read_store(spark, path), NB_COL, nbs
     ).select("node", "component")
     hit = store.join(F.broadcast(keys), "node", "left_semi")
     return _resolve(hit, _read_alias(spark, path))
+
+
+def _nb_of_py(node: int, n_buckets: int) -> int:
+    """Python twin of `_nb_of_col` — identical arithmetic (md5 of the
+    node id's decimal string, 60-bit hex prefix, modulo), so a driver-
+    held endpoint set can compute its touched buckets without a Spark
+    job. Pinned against the Column form by
+    tests/test_component_ledger.py."""
+    import hashlib
+
+    h = hashlib.md5(str(int(node)).encode("ascii")).hexdigest()[:15]
+    return int(h, 16) % int(n_buckets)
 
 
 def merge_ledger_components(
@@ -159,12 +181,160 @@ def merge_ledger_components(
     components land in the alias table (kept canonical). Returns
     {new_nodes, new_aliases, compacted} for the caller's run ledger.
 
+    Round 14 (guide §1.2 — the distributed algorithm first): the
+    merge's decision state was ALWAYS delta-bounded and driver-held —
+    the component mapping collected into a union-find, and every
+    derived frame (endpoints, fresh nodes, the alias table) broadcast.
+    The round-13 shape still ran ~11 sequential driver actions per
+    merge (checkpoint, count and join jobs over those bounded frames),
+    which at probe scale is pure job-scheduling wall and at 100 TB
+    serializes the ingest loop between tranches. Now the delta
+    (``<= DRIVER_CC_MAX_EDGES`` distinct edges, the same ceiling the
+    mapping already collected under) collects ONCE; endpoints, the
+    touched buckets, the translation, the union-find, fresh labels and
+    the alias rewrite are plain Python over that envelope, and the
+    cluster does exactly three data jobs: the bucket-pruned endpoint
+    probe (the only corpus-touching read, shape unchanged), the
+    fresh-node append, and the alias-table rewrite. Deltas over the
+    ceiling take the distributed path (`_merge_ledger_distributed`,
+    the round-13 implementation, verbatim).
+
+    Merge crash contract unchanged (module docstring): fresh nodes
+    append FIRST, aliases land LAST, replays converge.
+
     ``max_aliases`` (round 13): state-based auto-compaction — after
     the merge, if the alias table exceeds this many rows, fire
     `compact_component_ledger` (the `compaction_policy` trigger
     recipe applied to the ledger's own debt metric: every merge with
     retirements rewrites AND broadcasts the whole alias table, so an
     unbounded merge streak grows both; the trigger bounds them)."""
+    from .bucketed_ledger import (
+        append_bucketed,
+        prune_to_buckets,
+        store_n_buckets,
+    )
+    from .graph_incremental import DRIVER_CC_MAX_EDGES, driver_union_find
+    from ..functions.localframe import local_rows_df
+    from ..streaming.events_stream import overwrite_parquet_atomically
+
+    edges_pdf = (
+        new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .limit(DRIVER_CC_MAX_EDGES + 1)
+        .toPandas()
+    )
+    if len(edges_pdf) > DRIVER_CC_MAX_EDGES:
+        return _merge_ledger_distributed(
+            spark, path, new_edges, src, dst, max_aliases
+        )
+    epairs = list(
+        zip(
+            edges_pdf["u"].to_numpy().tolist(),
+            edges_pdf["v"].to_numpy().tolist(),
+        )
+    )
+    endpoints = sorted({n for e in epairs for n in e})
+
+    # bucket-pruned probe, broadcast-TRANCHE direction (the store is
+    # never shuffled or broadcast) — probe_components' shape with the
+    # endpoint set and touched buckets driver-computed. The store read
+    # carries its (fixed) schema explicitly and the delta-bounded
+    # alias table rides the SAME collect as the probe result (a tagged
+    # union), so the whole read side is ONE cluster job instead of
+    # inference + probe + alias three.
+    nb = store_n_buckets(spark, _store(path), NB_COL, DEFAULT_BUCKETS)
+    nbs = sorted({_nb_of_py(n, nb) for n in endpoints})
+    ep_df = local_rows_df(
+        spark, [(int(n),) for n in endpoints], "node long"
+    )
+    store = prune_to_buckets(
+        _read_store(spark, path), NB_COL, nbs
+    ).select("node", "component")
+    probe = store.join(F.broadcast(ep_df), "node", "left_semi").select(
+        F.lit(0).alias("__t"), F.col("node").alias("__a"),
+        F.col("component").alias("__b"),
+    )
+    alias_rows = _read_alias(spark, path).select(
+        F.lit(1).alias("__t"), F.col("old").alias("__a"),
+        F.col("new").alias("__b"),
+    )
+    both = probe.unionByName(alias_rows).toPandas()
+    tags = both["__t"].to_numpy()
+    a_vals = both["__a"].to_numpy().tolist()
+    b_vals = both["__b"].to_numpy().tolist()
+    alias_pairs = [
+        (int(a), int(b))
+        for t, a, b in zip(tags.tolist(), a_vals, b_vals)
+        if t == 1
+    ]
+    alias_map = dict(alias_pairs)
+    known = {
+        int(a): alias_map.get(int(b), int(b))
+        for t, a, b in zip(tags.tolist(), a_vals, b_vals)
+        if t == 0
+    }
+    labels = {n: known.get(n, n) for n in endpoints}
+    mapping = driver_union_find(
+        (labels[u], labels[v]) for u, v in epairs
+    )
+
+    # 1) brand-new nodes append FIRST (replay-safe: on a re-run every
+    # endpoint probes as known and this list is empty)
+    fresh = [n for n in endpoints if n not in known]
+    n_fresh = len(fresh)
+    if n_fresh:
+        fresh_labels = local_rows_df(
+            spark,
+            [(int(n), int(mapping.get(n, n))) for n in fresh],
+            "node long, component long",
+        )
+        append_bucketed(
+            fresh_labels, _store(path), NB_COL,
+            lambda n: _nb_of_col(F.col("node"), n), nb,
+            columns=["node", "component"],
+        )
+
+    # 2) aliases for RETIRED existing components, table kept canonical
+    fresh_set = set(fresh)
+    retired = {
+        int(o): int(m) for o, m in mapping.items() if o not in fresh_set
+    }
+    n_new_aliases = len(retired)
+    if n_new_aliases:
+        rewritten = [
+            (o, retired.get(n2, n2)) for o, n2 in alias_pairs
+        ]
+        merged_alias = local_rows_df(
+            spark, rewritten + sorted(retired.items()), _ALIAS_SCHEMA
+        )
+        overwrite_parquet_atomically(
+            merged_alias.coalesce(1), _alias(path)
+        )
+    compacted = False
+    if max_aliases is not None:
+        compacted = maybe_compact_component_ledger(
+            spark, path, max_aliases
+        )
+    return {
+        "new_nodes": n_fresh,
+        "new_aliases": n_new_aliases,
+        "compacted": compacted,
+    }
+
+
+def _merge_ledger_distributed(
+    spark: SparkSession,
+    path: str,
+    new_edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_aliases: int | None = None,
+) -> dict:
+    """The over-ceiling merge: the round-13 frame-based implementation,
+    kept verbatim for deltas whose distinct edge list exceeds
+    `DRIVER_CC_MAX_EDGES` (where `delta_component_mapping` runs the
+    distributed star contraction anyway and the driver envelope above
+    would not fit)."""
     from .bucketed_ledger import append_bucketed, store_n_buckets
     from ..streaming.events_stream import overwrite_parquet_atomically
 
@@ -290,14 +460,35 @@ def compact_component_ledger(
     from ..functions.localframe import local_rows_df
     from ..streaming.events_stream import overwrite_parquet_atomically
 
-    alias = _read_alias(spark, path).localCheckpoint(eager=True)
-    if alias.count() == 0 and not relabel_dangling:
+    # ONE bounded collect decides the no-op case AND becomes the
+    # broadcastable alias frame (round 14 — the round-13 shape spent
+    # two driver actions, an eager checkpoint plus a count, on a table
+    # whose size is bounded by merges since the last compaction)
+    alias_pdf = _read_alias(spark, path).toPandas()
+    if len(alias_pdf) == 0 and not relabel_dangling:
         return
+    alias = local_rows_df(
+        spark,
+        [
+            (int(o), int(n))
+            for o, n in zip(
+                alias_pdf["old"].to_numpy().tolist(),
+                alias_pdf["new"].to_numpy().tolist(),
+            )
+        ],
+        _ALIAS_SCHEMA,
+    )
 
     def _transform(rows: DataFrame) -> DataFrame:
-        out = _resolve(rows, alias).localCheckpoint(eager=True)
+        out = _resolve(rows, alias)
         if not relabel_dangling:
+            # consumed exactly once (the compaction rewrite) — no
+            # checkpoint needed (round 14: one fewer action)
             return out
+        # the relabel path references the resolved frame three more
+        # times (dangling detection twice, the relabel join) — keep
+        # the checkpoint that stops those re-resolving
+        out = out.localCheckpoint(eager=True)
         dangling = (
             out.select("component")
             .distinct()
@@ -312,15 +503,14 @@ def compact_component_ledger(
             .groupBy("component")
             .agg(F.min("node").alias("__new"))
         )
-        out = (
+        # consumed once by the rewrite — no final checkpoint
+        return (
             out.join(F.broadcast(relabel), "component", "left")
             .select(
                 "node",
                 F.coalesce("__new", "component").alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
-        return out
 
     nb = store_n_buckets(spark, _store(path), NB_COL, DEFAULT_BUCKETS)
     compact_bucketed(

@@ -45,6 +45,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: above this many DISTINCT edges the star contraction runs; below it
+#: the graph is a bounded driver envelope and a path-compressed
+#: union-find replaces ~3 jobs x O(log n) rounds of iterative
+#: scheduling with ONE bounded collect (round 14 — the
+#: `delta_component_mapping` hybrid, round 12, applied to batch CC:
+#: the lifecycle queries' in-query CC seeds ran 15-25 driver-serial
+#: jobs each at probe scale). 2M (u,v) longs ≈ 32 MB through Arrow —
+#: the same ceiling the incremental merge already collects under.
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def driver_union_find(pairs) -> dict[int, int]:
+    """Path-compressed min-id union-find over an iterable of (a, b)
+    int pairs -> ``{id: merged_component}`` for every id whose merged
+    component differs from itself (the batch-CC min-id label
+    convention). The bounded driver envelope shared by the hybrid
+    `connected_components`, `graph_incremental.delta_component_mapping`
+    and the persisted component ledger's merge."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        if a == b:
+            continue
+        a, b = find(a), find(b)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    return {x: find(x) for x in list(parent) if find(x) != x}
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """(u,v) edge set -> large-star step: for each node u, connect all
@@ -86,9 +122,22 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Label every node appearing in ``edges`` (undirected) with the min
     node id of its component. Returns (node, component).
+
+    Hybrid execution (round 14): up to ``driver_max_edges`` distinct
+    non-self edges, the graph collects through Arrow into a
+    path-compressed min-id union-find — the same bounded envelope (and
+    ceiling) `graph_incremental.delta_component_mapping` has collected
+    under since round 12 — and the labels for edge-touching nodes come
+    back as one local frame; only nodes NEVER seen in a non-self edge
+    stay distributed (the isolated-node self-label anti-join, which is
+    corpus-sized and never collected). Bigger graphs run the star
+    contraction below unchanged; pass ``driver_max_edges=0`` to force
+    it (the convergence tests do). Labels are identical by
+    construction: both paths emit the min node id of each component.
 
     ``max_iter`` bounds the large-star/small-star rounds; convergence
     takes ~log₂(n) rounds, so the default 30 covers any graph that fits
@@ -106,9 +155,44 @@ def connected_components(
     raw = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=True)
-    e = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(
-        eager=False
-    )
+    dedup = raw.filter(F.col("u") != F.col("v")).distinct()
+    if driver_max_edges and driver_max_edges > 0:
+        pdf = dedup.limit(driver_max_edges + 1).toPandas()
+        if len(pdf) <= driver_max_edges:
+            from ..functions.localframe import local_rows_df
+
+            pairs = list(
+                zip(
+                    pdf["u"].to_numpy().tolist(),
+                    pdf["v"].to_numpy().tolist(),
+                )
+            )
+            mapping = driver_union_find(pairs)
+            edge_nodes = sorted({n for p in pairs for n in p})
+            labels = local_rows_df(
+                edges.sparkSession,
+                [
+                    (int(n), int(mapping.get(n, n)))
+                    for n in edge_nodes
+                ],
+                "node long, component long",
+            )
+            # isolated nodes (only self-loop inputs) label themselves;
+            # the anti-join build side is the bounded edge-node set,
+            # the corpus-sized node frame is never collected
+            lonely = (
+                raw.select(F.col("u").alias("node"))
+                .union(raw.select(F.col("v").alias("node")))
+                .distinct()
+                .join(
+                    F.broadcast(labels.select("node")),
+                    "node",
+                    "left_anti",
+                )
+                .select("node", F.col("node").alias("component"))
+            )
+            return labels.union(lonely)
+    e = dedup.localCheckpoint(eager=False)
     # Size the working set's partitioning to the MEASURED edge count
     # (one count on the checkpoint — also its materializing action).
     # Star contraction only shrinks the edge set, so the entry count is

@@ -43,11 +43,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .graph import connected_components
+from .graph import connected_components, driver_union_find
 
 __all__ = [
     "merge_components",
     "delta_component_mapping",
+    "driver_union_find",
     "prune_labels_to_endpoints",
 ]
 
@@ -56,8 +57,10 @@ __all__ = [
 #: bounded driver envelope — the SAME bound the merge already relies
 #: on to broadcast the resulting mapping — and a driver union-find
 #: beats ~2s of iterative job scheduling per merge (round 12,
-#: measured on q201's gate wall)
-DRIVER_CC_MAX_EDGES = 2_000_000
+#: measured on q201's gate wall). Round 14: ONE ceiling, authored in
+#: operators/graph.py next to the hybrid batch CC, re-exported here
+#: for the existing callers.
+from .graph import DRIVER_CC_MAX_EDGES  # noqa: E402
 
 
 def delta_component_mapping(comp_edges: DataFrame) -> DataFrame:
@@ -71,18 +74,20 @@ def delta_component_mapping(comp_edges: DataFrame) -> DataFrame:
     collects through Arrow into two primitive int64 arrays (round-12
     ADVICE: `collect()`'s Row objects cost ~10x the payload — at the
     2M-edge ceiling that is several GB of Python heap vs ~32 MB of
-    numpy)."""
+    numpy). Round 14: the size gate rides the SAME collect
+    (``limit(ceiling + 1)``) instead of a separate count job — the
+    common small-delta path now costs ONE action (the round-13 shape
+    checkpointed, counted, then collected: three); only the rare
+    over-ceiling path pays the caller's translation chain twice
+    (once for the aborted bounded collect, once checkpointing for the
+    distributed CC — minutes-scale work where one extra pass is
+    noise)."""
     spark = comp_edges.sparkSession
-    # checkpointed: the count below and the driver collect (or the
-    # distributed CC) would otherwise each re-run the caller's
-    # translation-join chain (round 13 — one visible job per merge)
-    edges = (
-        comp_edges.filter(F.col("cu") != F.col("cv"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n = edges.count()
-    if n > DRIVER_CC_MAX_EDGES:
+    dedup = comp_edges.filter(F.col("cu") != F.col("cv")).distinct()
+    # Arrow path: two int64 columns, no Rows; bounded by the ceiling
+    pdf = dedup.limit(DRIVER_CC_MAX_EDGES + 1).toPandas()
+    if len(pdf) > DRIVER_CC_MAX_EDGES:
+        edges = dedup.localCheckpoint(eager=True)
         # checkpointed: callers reference the mapping several times
         # (relabel join, fresh-node join, alias rewrite) and the
         # distributed branch must not re-run CC per reference
@@ -97,28 +102,13 @@ def delta_component_mapping(comp_edges: DataFrame) -> DataFrame:
         )
     from ..functions.localframe import local_rows_df
 
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = r, parent[x]
-        return r
-
-    pdf = edges.toPandas()  # Arrow path: two int64 columns, no Rows
-    for a, b in zip(
-        pdf["cu"].to_numpy().tolist(), pdf["cv"].to_numpy().tolist()
-    ):
-        a, b = find(a), find(b)
-        if a != b:
-            parent[max(a, b)] = min(a, b)
-    rows = [
-        (x, find(x)) for x in list(parent) if find(x) != x
-    ]
+    mapping = driver_union_find(
+        zip(
+            pdf["cu"].to_numpy().tolist(), pdf["cv"].to_numpy().tolist()
+        )
+    )
     return local_rows_df(
-        spark, rows, "__old long, __m long"
+        spark, sorted(mapping.items()), "__old long, __m long"
     )
 
 

@@ -84,17 +84,17 @@ def q179_counting_store_time_travel(
     ingest re-admits."""
     import shutil
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from ..operators.bloom import bloom_probe_keys, counting_to_words
-    from ..operators.similarity_dedup import word_shingles
     from ..streaming.counting_store import (
         CountingLayoutError,
+        append_counting_deltas,
         compact_counting,
         read_counts_as_of,
-        retract_counting,
         store_versions,
-        write_counting_delta,
     )
+    from ..operators.similarity_dedup import word_shingles
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # ONE shingle pass feeds every delta, every probe and every truth
@@ -104,24 +104,82 @@ def q179_counting_store_time_travel(
     )
     tmp = tempfile.mkdtemp(prefix="q179_tt_")
     path = f"{tmp}/store"
-    try:
-        for b in range(2):
-            write_counting_delta(
-                occ.filter(F.col("doc_id") % 3 == b).select("shingle"),
-                "shingle", path, f"batch-{b}", _NW, _K,
-            )
+
+    def _store_lifecycle() -> None:
+        # the batched appends overlap the independent delta builds
+        # inside each log-order-preserving transaction (round 14,
+        # guide §2.6): batch-0/batch-1 land together pre-compaction,
+        # the takedown and the late ingest land together after it —
+        # the applied log ([batch-0, batch-1, takedown-gdpr-1,
+        # batch-2]) and therefore every version cut are EXACTLY the
+        # old sequential sequence's.
+        append_counting_deltas(
+            spark,
+            [
+                (
+                    f"batch-{b}",
+                    occ.filter(F.col("doc_id") % 3 == b).select(
+                        "shingle"
+                    ),
+                    1,
+                )
+                for b in range(2)
+            ],
+            "shingle", path, _NW, _K,
+        )
         compact_counting(spark, path, _NW, _K)
-        retract_counting(
-            occ.filter(
-                (F.col("doc_id") % _TAKEDOWN_MOD == 0)
-                & (F.col("doc_id") % 3 != 2)
-            ).select("shingle"),
-            "shingle", path, "gdpr-1", _NW, _K,
+        append_counting_deltas(
+            spark,
+            [
+                (
+                    "takedown-gdpr-1",
+                    occ.filter(
+                        (F.col("doc_id") % _TAKEDOWN_MOD == 0)
+                        & (F.col("doc_id") % 3 != 2)
+                    ).select("shingle"),
+                    -1,
+                ),
+                (
+                    "batch-2",
+                    occ.filter(F.col("doc_id") % 3 == 2).select(
+                        "shingle"
+                    ),
+                    1,
+                ),
+            ],
+            "shingle", path, _NW, _K,
         )
-        write_counting_delta(
-            occ.filter(F.col("doc_id") % 3 == 2).select("shingle"),
-            "shingle", path, "batch-2", _NW, _K,
-        )
+
+    # ONE pass computes the distinct probe keys and every version's
+    # ground truth (three conditional maxes in one groupBy) — the
+    # first draft re-deduped the 10x-larger occurrence frame and
+    # re-aggregated truth once PER version (21.2s -> well under the
+    # sf0.1 budget with the shared frames checkpointed). Both frames
+    # are store-INDEPENDENT (they only read the checkpointed occ), so
+    # they overlap the store lifecycle in a driver pool (guide §2.6).
+    try:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_store = pool.submit(_store_lifecycle)
+            f_keys = pool.submit(
+                lambda: occ.select("shingle")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            f_truth = pool.submit(
+                lambda: occ.groupBy("shingle")
+                .agg(
+                    *[
+                        F.max(_truth_cond(v).cast("long")).alias(
+                            f"__t{v}"
+                        )
+                        for v, _w in _VERSIONS
+                    ]
+                )
+                .localCheckpoint(eager=True)
+            )
+            f_store.result()
+            keys = f_keys.result()
+            truth = f_truth.result()
         vs = store_versions(spark, path)
         assert vs["latest"] == 4 and vs["min_readable"] == 2, vs
         try:
@@ -129,20 +187,6 @@ def q179_counting_store_time_travel(
             raise AssertionError("vacuumed version 1 must be unreadable")
         except CountingLayoutError:
             pass
-        # ONE pass computes the distinct probe keys and every version's
-        # ground truth (three conditional maxes in one groupBy) — the
-        # first draft re-deduped the 10x-larger occurrence frame and
-        # re-aggregated truth once PER version (21.2s -> well under the
-        # sf0.1 budget with the shared frames checkpointed).
-        keys = occ.select("shingle").distinct().localCheckpoint(
-            eager=True
-        )
-        truth = occ.groupBy("shingle").agg(
-            *[
-                F.max(_truth_cond(v).cast("long")).alias(f"__t{v}")
-                for v, _w in _VERSIONS
-            ]
-        ).localCheckpoint(eager=True)
         parts = []
         for v, _w in _VERSIONS:
             words = counting_to_words(read_counts_as_of(spark, path, v))

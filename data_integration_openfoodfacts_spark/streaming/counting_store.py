@@ -80,6 +80,7 @@ __all__ = [
     "CountingLayoutError",
     "store_geometry",
     "write_counting_delta",
+    "append_counting_deltas",
     "retract_counting",
     "read_counts",
     "read_counts_as_of",
@@ -201,6 +202,103 @@ def write_counting_delta(
         log = log + [delta_id]
     _write_meta(spark, path, n_words, k, absorbed, log)
     return True
+
+
+def append_counting_deltas(
+    spark: SparkSession,
+    items: list[tuple[str, DataFrame, int]],
+    key: str,
+    path: str,
+    n_words: int = DEFAULT_WORDS,
+    k: int = DEFAULT_K,
+    max_workers: int = 3,
+) -> dict[str, bool]:
+    """Append SEVERAL delta partitions in one store transaction:
+    ``items`` is an ORDERED list of ``(delta_id, keys_df, sign)``. The
+    per-delta parquet writes target independent ``delta_id=``
+    directories, so they overlap in a small driver thread pool (the
+    guide's overlap-independent-jobs recipe — each delta-build job's
+    straggler tail back-fills with the next delta's tasks instead of
+    idling the local cluster); the sidecar is then written ONCE,
+    appending the ids to the log in the CALLER's list order, so the
+    applied log — and therefore every `read_counts_as_of` version cut
+    — is exactly what the equivalent sequence of
+    `write_counting_delta` calls would have produced. The live table
+    never depends on arrival order at all (summation is commutative;
+    module docstring).
+
+    Contracts preserved, not weakened:
+
+    - single WRITER per store: the one caller coordinates; the pool is
+      its internal fan-out, and the sidecar read-modify-write happens
+      exactly once, outside the pool;
+    - per-delta idempotence: absorbed ids (compaction tombstone) and
+      completed directories (_SUCCESS) are refused exactly as in
+      `write_counting_delta`, torn directories are deleted and
+      rewritten, and a completed-but-unlogged directory heals the log
+      (the same crash window: this function widens it to several
+      deltas, and the SAME replay heal covers all of them);
+    - all-or-nothing is NOT promised (it never was across separate
+      calls either): a crash mid-pool leaves some directories complete
+      and unlogged — a replay of the same ordered batch heals them in
+      list order and writes the rest.
+
+    Returns ``{delta_id: wrote_anything}`` (False = refused replay).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    ids = [d for d, _df, _s in items]
+    if len(set(ids)) != len(ids):
+        raise CountingLayoutError(
+            f"duplicate delta ids in one batch append: {ids}"
+        )
+    if BASE_DELTA in ids:
+        raise CountingLayoutError(
+            f"delta_id '{BASE_DELTA}' is reserved for compaction output"
+        )
+    n_words, k, absorbed, log = store_geometry(spark, path, n_words, k)
+    applied: dict[str, bool] = {}
+    loggable: list[str] = []  # ids to append, in the CALLER's order
+    pending: list[tuple[str, DataFrame, int]] = []
+    for delta_id, keys, sign in items:
+        if delta_id in absorbed:
+            applied[delta_id] = False
+            continue
+        ddir = f"{path.rstrip('/')}/delta_id={delta_id}"
+        fs, hdir, _jvm = _fs_and_path(spark, ddir)
+        if fs.exists(hdir):
+            if fs.exists(_fs_and_path(spark, f"{ddir}/_SUCCESS")[1]):
+                # completed directory: refuse the rewrite, heal the
+                # log below at this id's LIST position — exactly where
+                # a sequential replay would have healed it
+                loggable.append(delta_id)
+                applied[delta_id] = False
+                continue
+            fs.delete(hdir, True)
+        loggable.append(delta_id)
+        pending.append((delta_id, keys, sign))
+
+    def _write_one(item: tuple[str, DataFrame, int]) -> None:
+        delta_id, keys, sign = item
+        delta = counting_build(keys, key, n_words, k)
+        if sign < 0:
+            delta = delta.select("p", (-F.col("cnt")).alias("cnt"))
+        ddir = f"{path.rstrip('/')}/delta_id={delta_id}"
+        delta.coalesce(1).write.mode("errorifexists").parquet(ddir)
+
+    if pending:
+        with ThreadPoolExecutor(
+            max_workers=min(max_workers, len(pending))
+        ) as pool:
+            futures = [pool.submit(_write_one, it) for it in pending]
+        for f in futures:
+            f.result()  # re-raise the first failure
+        for delta_id, _keys, _sign in pending:
+            applied[delta_id] = True
+    new_log = log + [d for d in loggable if d not in log]
+    if new_log != log:
+        _write_meta(spark, path, n_words, k, absorbed, new_log)
+    return applied
 
 
 def retract_counting(

@@ -110,3 +110,49 @@ def test_compaction_applies_and_clears_aliases(spark, tmp_path):
     merge_ledger_components(spark, p, _edges(spark, [(9, 30), (30, 1)]))
     got = _as_map(read_component_labels(spark, p))
     assert set(got.values()) == {1} and got[30] == 1
+
+
+def test_nb_python_twin_matches_column_form(spark):
+    """Round-14 pin: `_nb_of_py` (the driver-side bucket function the
+    collected-merge path prunes with) must agree with `_nb_of_col`
+    (the Column form every store row was laid out under) — a drift
+    would silently mis-prune probes, the exact failure BucketLayoutError
+    exists to prevent."""
+    from pyspark.sql import functions as F
+
+    from data_integration_openfoodfacts_spark.operators.component_ledger import (  # noqa: E501
+        _nb_of_col,
+        _nb_of_py,
+    )
+
+    nodes = [0, 1, 7, 97, 12345, 10**12 + 7, 2**62]
+    for nb in (2, 8, 64):
+        df = spark.createDataFrame([(n,) for n in nodes], "node long")
+        got = {
+            r["node"]: r["b"]
+            for r in df.select(
+                "node", _nb_of_col(F.col("node"), nb).alias("b")
+            ).collect()
+        }
+        want = {n: _nb_of_py(n, nb) for n in nodes}
+        assert got == want, (nb, got, want)
+
+
+def test_merge_collected_path_is_three_data_jobs(spark, tmp_path):
+    """Round-14 optimization pin: a below-ceiling merge runs exactly
+    the documented cluster work — the bounded edge collect, the
+    bucket-pruned endpoint probe, the fresh-node append and the alias
+    rewrite — with NO checkpoint/count jobs over delta-bounded frames
+    (round 13 ran ~16 driver actions per merge; the serialized store
+    actions were the suite's #1 cost). Job count is pinned via the
+    status tracker at the measured round-14 floor: 2 for the bounded
+    edge CollectLimit, 2 for the fused probe∪alias read, 3 for the
+    bucketed fresh-node append, 1 for the alias rewrite."""
+    p = _seed(spark, tmp_path)
+    sc = spark.sparkContext
+    before = sc._jsc.sc().statusTracker().getJobIdsForGroup(None)
+    n_before = len(list(before))
+    merge_ledger_components(spark, p, _edges(spark, [(6, 8), (9, 20)]))
+    after = sc._jsc.sc().statusTracker().getJobIdsForGroup(None)
+    n_jobs = len(list(after)) - n_before
+    assert n_jobs <= 8, f"collected merge ran {n_jobs} jobs"

@@ -184,3 +184,109 @@ def test_stream_matches_batch_trajectory(spark, tmp_path):
         for r in spark.read.parquet(bres).collect()
     )
     assert s_tot == b_tot
+
+
+def test_batched_append_matches_sequential(spark, tmp_path):
+    """Round-14 `append_counting_deltas`: the pooled batch append must
+    leave a store byte-equivalent to the sequential calls — same live
+    counts, same applied LOG ORDER (the caller's list order, so every
+    time-travel version cut is unchanged) — with mixed-sign deltas in
+    one transaction."""
+    from data_integration_openfoodfacts_spark.streaming.counting_store import (  # noqa: E501
+        append_counting_deltas,
+        read_counts_as_of,
+        store_versions,
+    )
+
+    seq = str(tmp_path / "seq")
+    bat = str(tmp_path / "bat")
+    a, b = _keys(spark, ["a1", "a2"]), _keys(spark, ["a2", "b1"])
+    neg = _keys(spark, ["a2"])
+    write_counting_delta(a, "k", seq, "d0", NW, K)
+    write_counting_delta(b, "k", seq, "d1", NW, K)
+    write_counting_delta(neg, "k", seq, "t0", NW, K, sign=-1)
+    applied = append_counting_deltas(
+        spark, [("d0", a, 1), ("d1", b, 1), ("t0", neg, -1)],
+        "k", bat, NW, K,
+    )
+    assert applied == {"d0": True, "d1": True, "t0": True}
+    assert _counts(spark, seq) == _counts(spark, bat)
+    assert store_versions(spark, seq)["log"] == \
+        store_versions(spark, bat)["log"] == ["d0", "d1", "t0"]
+    for v in (1, 2, 3):
+        sv = {(r["p"], r["cnt"])
+              for r in read_counts_as_of(spark, seq, v).collect()}
+        bv = {(r["p"], r["cnt"])
+              for r in read_counts_as_of(spark, bat, v).collect()}
+        assert sv == bv, f"version {v} diverged"
+
+
+def test_batched_append_replay_and_tombstone(spark, tmp_path):
+    """Batched-append idempotence contracts: a replayed batch writes
+    nothing (completed directories refused, log healed in LIST order),
+    and post-compaction replays are refused by the tombstone — the
+    same guarantees `write_counting_delta` gives one delta at a time."""
+    from data_integration_openfoodfacts_spark.streaming.counting_store import (  # noqa: E501
+        append_counting_deltas,
+        store_versions,
+    )
+
+    p = str(tmp_path / "store")
+    items = [
+        ("d0", _keys(spark, ["a1"]), 1),
+        ("d1", _keys(spark, ["b1"]), 1),
+    ]
+    first = append_counting_deltas(spark, items, "k", p, NW, K)
+    assert first == {"d0": True, "d1": True}
+    before = _counts(spark, p)
+    replay = append_counting_deltas(spark, items, "k", p, NW, K)
+    assert replay == {"d0": False, "d1": False}
+    assert _counts(spark, p) == before
+    assert store_versions(spark, p)["log"] == ["d0", "d1"]
+    compact_counting(spark, p, NW, K)
+    post = append_counting_deltas(spark, items, "k", p, NW, K)
+    assert post == {"d0": False, "d1": False}
+    assert _counts(spark, p) == before
+    # duplicate ids within one batch and the reserved id are refused
+    with pytest.raises(CountingLayoutError):
+        append_counting_deltas(
+            spark, [("x", items[0][1], 1), ("x", items[1][1], 1)],
+            "k", p, NW, K,
+        )
+    with pytest.raises(CountingLayoutError):
+        append_counting_deltas(
+            spark, [("base", items[0][1], 1)], "k", p, NW, K,
+        )
+
+
+def test_batched_append_heals_unlogged_directory(spark, tmp_path):
+    """The widened crash window (data directory complete, sidecar not
+    yet rewritten): a batch replay must heal the log at the id's LIST
+    position without rewriting the data — the same heal
+    `write_counting_delta` performs for one delta."""
+    import json
+
+    from data_integration_openfoodfacts_spark.operators.bucketed_ledger import (  # noqa: E501
+        read_json_sidecar,
+        write_json_sidecar,
+    )
+    from data_integration_openfoodfacts_spark.streaming.counting_store import (  # noqa: E501
+        append_counting_deltas,
+        store_versions,
+    )
+
+    p = str(tmp_path / "store")
+    items = [
+        ("d0", _keys(spark, ["a1"]), 1),
+        ("d1", _keys(spark, ["b1"]), 1),
+    ]
+    append_counting_deltas(spark, items, "k", p, NW, K)
+    # simulate the crash: drop d1 from the persisted log
+    meta = read_json_sidecar(spark, p, COUNTING_META)
+    meta["log"] = ["d0"]
+    write_json_sidecar(spark, p, COUNTING_META, meta)
+    before = _counts(spark, p)
+    replay = append_counting_deltas(spark, items, "k", p, NW, K)
+    assert replay == {"d0": False, "d1": False}
+    assert store_versions(spark, p)["log"] == ["d0", "d1"]
+    assert _counts(spark, p) == before

@@ -7,11 +7,11 @@ from data_integration_openfoodfacts_spark.operators.graph import (
 )
 
 
-def _cc(spark, edges):
+def _cc(spark, edges, **kw):
     df = spark.createDataFrame(edges, "src long, dst long")
     return {
         r["node"]: r["component"]
-        for r in connected_components(df).collect()
+        for r in connected_components(df, **kw).collect()
     }
 
 
@@ -41,11 +41,32 @@ def test_long_chain_converges_within_default_iters(spark):
 def test_chain_far_beyond_round_budget_converges(spark):
     """A 300-link chain has diameter 300: min-label propagation would
     need 300 rounds, large-star/small-star needs ~log n — this pins
-    the O(log n) convergence that makes unknown-diameter graphs safe."""
+    the O(log n) convergence that makes unknown-diameter graphs safe.
+    ``driver_max_edges=0`` forces the DISTRIBUTED path (round 14: the
+    hybrid would otherwise collect a 300-edge toy graph into the
+    driver union-find and never exercise the contraction)."""
     n = 300
-    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    got = _cc(spark, [(i, i + 1) for i in range(n)], driver_max_edges=0)
     assert set(got.values()) == {0}
     assert len(got) == n + 1
+
+
+def test_cc_hybrid_paths_agree(spark):
+    """Round-14 pin: the driver union-find branch and the star
+    contraction label identically (min node id per component,
+    self-loop-only nodes self-labelled) on a graph mixing chains,
+    merges of existing components, duplicate + reversed edges and
+    self-loops."""
+    import random
+
+    rng = random.Random(14)
+    edges = [(i, i + 1) for i in range(40)]            # chain
+    edges += [(100 + i, 100 + (i * 7) % 23) for i in range(23)]
+    edges += [(5, 110), (200, 200), (201, 201)]        # bridge + loops
+    edges += [(b, a) for a, b in rng.sample(edges, 10)]  # reversed dups
+    fast = _cc(spark, edges)
+    slow = _cc(spark, edges, driver_max_edges=0)
+    assert fast == slow
 
 
 def test_self_loop_only_node_labels_itself(spark):

@@ -140,20 +140,101 @@ def test_binary_simhash_neardup_vs_disjoint(spark):
 
 
 def test_binary_simhash_single_vote_aggregation(spark):
-    """Round-13 optimization pin: the ±1 bit votes come out of ONE
-    groupBy(id) as per-bit conditional sums — no bits-fold explode of
-    the gram rows, no second groupBy(id, bit) shuffle stage. Plan
-    budget: exactly 2 shuffle exchanges (gram distinct + the vote
-    agg) and exactly 1 Generate (the gram explode itself)."""
+    """Round-14 optimization pin: gram dedup + the ±1 bit votes happen
+    in ONE Arrow `mapInPandas` pass emitting a single partial-vote row
+    per payload — no hex-gram Generate fan-out (~16x payload bytes
+    materialized in round 13's shape), no gram-distinct exchange. Plan
+    budget: exactly 1 shuffle exchange (the map-side-combined
+    groupBy(id) of the partials), 0 Generate, exactly 1 MapInPandas,
+    and the Arrow pass sees ONLY (id, payload) — payload-adjacent
+    metadata columns must not cross the Python boundary."""
     from data_integration_openfoodfacts_spark.multimodal.binary_ops import (
         binary_simhash,
     )
 
     df = spark.createDataFrame(
-        [(1, bytes(range(32)))], "media_id long, payload binary"
+        [(1, bytes(range(32)), "extra")],
+        "media_id long, payload binary, other string",
     )
     out = binary_simhash(df, "media_id", "payload")
     plan = out._jdf.queryExecution().executedPlan().toString()
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
-    assert shuffles == 2, plan
-    assert plan.count("Generate") == 1, plan
+    assert shuffles == 1, plan
+    assert plan.count("Generate") == 0, plan
+    assert plan.count("MapInPandas") == 1, plan
+    assert "other" not in plan.split("MapInPandas", 1)[1].split(
+        "\n", 1
+    )[0], plan
+
+
+def test_binary_simhash_values_match_jvm_reference(spark):
+    """Value pin for the round-14 Arrow rewrite: the mapInPandas vote
+    pass must reproduce the old JVM explode+distinct+agg plan's
+    simhash values bit-for-bit (same uppercase-hex gram strings, same
+    md5-prefix hash, same ±1 votes over per-payload DISTINCT grams)."""
+    from functools import reduce
+    from operator import add
+
+    from pyspark.sql import functions as F
+
+    from data_integration_openfoodfacts_spark.multimodal.binary_ops import (
+        binary_simhash,
+    )
+    from data_integration_openfoodfacts_spark.operators.similarity_dedup import (  # noqa: E501
+        md5_long,
+    )
+
+    rows = [
+        (1, bytes(range(48, 112)) * 4),
+        (2, b"abcdabcdabcd"),      # heavy intra-payload gram repeats
+        (3, b"\x00\x01\x02\x03"),  # exactly one gram
+        (4, bytes(range(256))),    # all byte values, incl. non-ascii hex
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r["simhash"]
+        for r in binary_simhash(df, "media_id", "payload").collect()
+    }
+
+    # the pre-round-14 JVM reference shape, inlined
+    bits, ngram_bytes = 16, 4
+    grams = (
+        df.filter(F.length("payload") >= ngram_bytes)
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.length("payload") - ngram_bytes)
+            ).alias("i"),
+            F.hex(F.col("payload")).alias("hx"),
+        )
+        .select(
+            "media_id",
+            F.expr(f"substring(hx, i * 2 + 1, {ngram_bytes * 2})").alias(
+                "gram"
+            ),
+        )
+        .distinct()
+    )
+    hashed = grams.withColumn("h", md5_long(F.col("gram")) % (2**bits))
+    bitsums = hashed.groupBy("media_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))) * 2 - 1
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    simhash = reduce(
+        add,
+        [
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(bits)
+        ],
+    )
+    want = {
+        r["media_id"]: r["simhash"]
+        for r in bitsums.select(
+            "media_id", simhash.cast("long").alias("simhash")
+        ).collect()
+    }
+    assert got == want
