@@ -163,7 +163,7 @@ def store_n_buckets(
 def validate_layout(
     spark: SparkSession,
     path: str,
-    store: DataFrame,
+    store: DataFrame | None,
     bucket_col: str,
     bucket_of: Callable[[int], Column],
     n_buckets: int,
@@ -171,7 +171,9 @@ def validate_layout(
 ) -> None:
     """Raise ``BucketLayoutError`` unless the store at ``path`` was
     laid out with ``n_buckets``. Sidecar comparison when present;
-    bounded sample recomputation for legacy stores. Memoized per
+    bounded sample recomputation for legacy stores (``store`` may be
+    None when the caller already read a sidecar — the data frame is
+    only touched on the legacy path). Memoized per
     (application, path, bucket_col, n_buckets) — one JSON read or one
     16-row scan per app per store, then free."""
     key = (spark.sparkContext.applicationId, path, bucket_col, n_buckets)
@@ -226,13 +228,28 @@ def append_bucketed(
     repartition BY BUCKET (one file per touched bucket per append —
     without it a 32-partition delta writes up to 32 files into every
     bucket it touches and the store's file count explodes append by
-    append), write, stamp the sidecar."""
+    append), write, stamp the sidecar.
+
+    Validation is sidecar-FIRST (round 14): when the store carries the
+    layout sidecar every append wrote since round 9, comparing it is
+    one JSON read — opening the parquet data just to list columns cost
+    a schema-inference job on EVERY append (ledger stores see one
+    append per stream trigger / merge, so the suite paid it dozens of
+    times). Only sidecar-less legacy stores still read the data (for
+    the bucket-column check + the 16-row sample recomputation)."""
     spark = rows.sparkSession
-    existing = read_parquet_if_exists(spark, path)
-    if existing is not None and bucket_col in existing.columns:
+    meta = read_meta(spark, path)
+    if meta is not None:
+        # memoizes on success, so repeat appends skip even the JSON read
         validate_layout(
-            spark, path, existing, bucket_col, bucket_of, n_buckets
+            spark, path, None, bucket_col, bucket_of, n_buckets
         )
+    else:
+        existing = read_parquet_if_exists(spark, path)
+        if existing is not None and bucket_col in existing.columns:
+            validate_layout(
+                spark, path, existing, bucket_col, bucket_of, n_buckets
+            )
     out = rows.select(*columns) if columns else rows
     (
         out.select("*", bucket_of(n_buckets).alias(bucket_col))

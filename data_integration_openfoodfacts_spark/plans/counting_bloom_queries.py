@@ -62,9 +62,8 @@ def q176_counting_bloom_takedown(
     word-table probe — nothing scales with corpus size except the
     linear hashing passes."""
     from ..operators.bloom import (
+        bloom_positions,
         bloom_probe_keys,
-        counting_build,
-        counting_retract,
         counting_to_words,
     )
     from ..operators.similarity_dedup import word_shingles
@@ -76,11 +75,29 @@ def q176_counting_bloom_takedown(
     occ = word_shingles(docs, "doc_id", "text", n=3).localCheckpoint(
         eager=True
     )
-    counts = counting_build(occ, "shingle", _NW, _K)
-    removed = occ.filter(F.col("doc_id") % _TAKEDOWN_MOD == 0).select(
-        "shingle"
+    # build and retraction FUSED into one signed aggregation (round 14,
+    # guide §2.4): insertions vote +1, the takedown pairs vote -1, and
+    # ONE groupBy(p) SUM is integer-identical to build -> negative
+    # build -> merge (sums are associative; zero rows dropped and
+    # negatives kept exactly as `counting_merge` leaves them) — the
+    # old shape paid two groupBy(p) aggregation stages plus the merge
+    # re-aggregation on the same checkpointed occurrences
+    signed = occ.select("shingle", F.lit(1).alias("w")).unionByName(
+        occ.filter(F.col("doc_id") % _TAKEDOWN_MOD == 0).select(
+            "shingle", F.lit(-1).alias("w")
+        )
     )
-    after = counting_retract(counts, removed, "shingle", _NW, _K)
+    after = (
+        signed.select(
+            F.explode(
+                bloom_positions(F.col("shingle"), _NW, _K)
+            ).alias("p"),
+            "w",
+        )
+        .groupBy("p")
+        .agg(F.sum("w").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )
     flags = bloom_probe_keys(
         occ.select("shingle"), "shingle", counting_to_words(after), _NW, _K
     )

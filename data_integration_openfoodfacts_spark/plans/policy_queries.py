@@ -134,26 +134,46 @@ def q199_takedown_request_idempotence(
     ckpt = f"{tmp}/ckpt"
     applied = f"{tmp}/applied"
     try:
-        write_counting_delta(
-            docs.select(F.md5("text").alias("text_md5")),
-            "text_md5", store, "seed", _NW, _K,
-        )
+        # the screen seed and the request-queue files target disjoint
+        # stores — two independent action chains, overlapped on the
+        # driver (guide §2.6). The three queue files stay SEQUENTIAL
+        # inside their chain and get explicitly spaced mtimes: the file
+        # stream source orders files by modification time, so the
+        # delivery order (file 0 = %7 docs, file 1 = the re-delivery
+        # mix, file 2 = the third copy) is part of the query's
+        # semantics and must never ride on write-completion order.
+        from concurrent.futures import ThreadPoolExecutor
+
         os.makedirs(reqs)
         batches = [
             docs.filter(is_a),
             docs.filter(is_a).unionByName(docs.filter(is_b)),
             docs.filter(is_a),
         ]
-        for i, b in enumerate(batches):
-            part = f"{tmp}/req_part_{i}"
-            b.coalesce(1).write.parquet(part)
-            src = next(
-                f for f in os.listdir(part) if f.endswith(".parquet")
+
+        def _write_reqs() -> None:
+            import time as _time
+
+            base = _time.time()
+            for i, b in enumerate(batches):
+                part = f"{tmp}/req_part_{i}"
+                b.coalesce(1).write.parquet(part)
+                src = next(
+                    f for f in os.listdir(part) if f.endswith(".parquet")
+                )
+                dst = os.path.join(reqs, f"part-{i}.parquet")
+                os.link(os.path.join(part, src), dst)
+                os.utime(dst, (base + 10 * i, base + 10 * i))
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_seed = pool.submit(
+                write_counting_delta,
+                docs.select(F.md5("text").alias("text_md5")),
+                "text_md5", store, "seed", _NW, _K,
             )
-            os.link(
-                os.path.join(part, src),
-                os.path.join(reqs, f"part-{i}.parquet"),
-            )
+            f_reqs = pool.submit(_write_reqs)
+            f_seed.result()
+            f_reqs.result()
 
         def _drain() -> None:
             run_takedown_stream(
@@ -168,8 +188,11 @@ def q199_takedown_request_idempotence(
             int(r["batch_id"]): int(r["n_requests"])
             for r in spark.read.parquet(results).collect()
         }
-        n_a = docs.filter(is_a).count()
-        n_b = docs.filter(is_b).count()
+        cohorts = docs.agg(
+            F.sum(is_a.cast("long")).alias("n_a"),
+            F.sum(is_b.cast("long")).alias("n_b"),
+        ).collect()[0]  # one job for both cohort counts, not two
+        n_a, n_b = int(cohorts["n_a"]), int(cohorts["n_b"])
         if audits != {0: n_a, 1: n_b, 2: 0}:
             raise AssertionError(
                 "per-request idempotence contract broke: fresh counts "
