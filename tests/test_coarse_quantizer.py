@@ -272,3 +272,55 @@ def test_semantic_dedup_blocked_probe_path(spark):
         for r in semantic_dedup(emb, cents, blocked_probe=99).collect()
     }
     assert blocked == gemm
+
+
+def test_centroid_collect_budget_guard(spark):
+    """Round-14 pin (VERDICT r13 #7): the kernel's centroid collect is
+    BOUNDED — the k x d float64 matrix lives on the driver and ships
+    in every task closure, so an over-budget table must raise a clear
+    error instead of silently OOMing the driver at 100 TB k. The row
+    cap is enforced via limit() BEFORE the collect; the float budget
+    right after."""
+    import pytest as _pytest
+
+    from data_integration_openfoodfacts_spark.operators import (
+        coarse_quantizer as cq,
+    )
+
+    # row-cap branch: shrink the cap instead of building 2^20 rows
+    orig_rows = cq.MAX_CENTROID_ROWS
+    cq.MAX_CENTROID_ROWS = 3
+    try:
+        cents = spark.createDataFrame(
+            [(i, [float(i), 0.0]) for i in range(5)],
+            "centroid_id long, centroid_vec array<double>",
+        )
+        with _pytest.raises(ValueError, match="rows"):
+            cq._collect_centroids(
+                cents, ("centroid_id", "centroid_vec")
+            )
+    finally:
+        cq.MAX_CENTROID_ROWS = orig_rows
+
+    # float-budget branch
+    orig_floats = cq.MAX_CENTROID_FLOATS
+    cq.MAX_CENTROID_FLOATS = 7  # 4 rows x 2 dims = 8 > 7
+    try:
+        cents = spark.createDataFrame(
+            [(i, [float(i), 0.0]) for i in range(4)],
+            "centroid_id long, centroid_vec array<double>",
+        )
+        with _pytest.raises(ValueError, match="budget"):
+            cq._collect_centroids(
+                cents, ("centroid_id", "centroid_vec")
+            )
+    finally:
+        cq.MAX_CENTROID_FLOATS = orig_floats
+
+    # in-budget table passes through unchanged
+    cents = spark.createDataFrame(
+        [(1, [0.5, 0.5]), (0, [1.0, 0.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    rows = cq._collect_centroids(cents, ("centroid_id", "centroid_vec"))
+    assert {r[0] for r in rows} == {0, 1}
