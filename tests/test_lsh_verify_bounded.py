@@ -123,11 +123,14 @@ def test_exact_jaccard_from_shingles_matches_wrapper(spark):
 
 def test_connected_components_raises_when_unconverged(spark):
     # a 6-node chain has diameter 5; min-label propagation moves the min
-    # one hop per round, so max_iter=2 cannot converge
+    # one hop per round, so max_iter=2 cannot converge.
+    # driver_max_edges=0 forces the DISTRIBUTED star contraction this
+    # test pins (round 14: the hybrid would otherwise union-find a
+    # 6-edge toy graph on the driver and trivially "converge").
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], ["src", "dst"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=2)
-    labels = connected_components(edges, max_iter=20)
+        connected_components(edges, max_iter=2, driver_max_edges=0)
+    labels = connected_components(edges, max_iter=20, driver_max_edges=0)
     assert {r["component"] for r in labels.collect()} == {0}
